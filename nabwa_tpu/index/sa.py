@@ -1,0 +1,129 @@
+"""Suffix array / BWT construction (host, offline).
+
+Output parity with the reference's is_bwt (is.c:187-218) + bwt_bwtupdate_core
+(bwtmisc.c:125-152) + bwt_cal_sa (bwt.c:48-70): the BWT string, the
+checkpoint-interleaved .bwt layout, and the sampled SA are bit-identical.
+The construction algorithm itself is ours (prefix-doubling on NumPy; the
+reference uses SA-IS / BWT-SW incremental) — only the outputs must match.
+"""
+
+import numpy as np
+
+from ..constants import OCC_INTERVAL, SA_INTERVAL
+
+
+def suffix_array(codes):
+    """Suffix array of codes (values 0..3) by prefix doubling (O(n log^2 n)).
+
+    Suffix comparison semantics: plain lexicographic with the shorter suffix
+    smaller on prefix ties — identical to SA-IS over T without a sentinel
+    (is.c:187-196 prepends the virtual sentinel as SA[0]=n separately).
+    """
+    s = np.asarray(codes, dtype=np.int64)
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n == 1:
+        return np.zeros(1, dtype=np.int64)
+    rank = s.copy()
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        # secondary key: rank of suffix i+k, or -1 past the end
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank_sorted = np.cumsum(changed)
+        if new_rank_sorted[-1] == n - 1:
+            return order
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank_sorted
+        k <<= 1
+
+
+def bwt_from_codes(codes):
+    """Return (bwt_string_without_$, primary, L2) — is_bwt semantics.
+
+    SA_full = [n] ++ SA(T); bwt row i is T[SA_full[i]-1]; the row whose
+    suffix starts at 0 (the '$' row) is `primary` and is removed from the
+    string (is.c:204-218).
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = len(codes)
+    sa = suffix_array(codes)
+    primary = int(np.flatnonzero(sa == 0)[0]) + 1  # +1: sentinel row is SA_full[0]
+    sa_full = np.concatenate(([n], sa))
+    rows = np.delete(sa_full, primary)  # drop the '$' row
+    bwt = codes[rows - 1]
+    counts = np.bincount(codes, minlength=4)[:4]
+    l2 = np.zeros(5, dtype=np.uint32)
+    l2[1:] = np.cumsum(counts)
+    return bwt.astype(np.uint8), primary, l2, sa_full
+
+
+def pack_bwt_words(bwt):
+    """Pack BWT base codes into uint32 words, 16 bases per word, base i at
+    bits (15 - i%16)*2 (bwtmisc.c:97-98)."""
+    n = len(bwt)
+    n_words = (n + 15) >> 4
+    padded = np.zeros(n_words * 16, dtype=np.uint32)
+    padded[:n] = bwt
+    q = padded.reshape(-1, 16)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    return (q << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+
+
+def interleave_occ(bwt_words, bwt, seq_len):
+    """bwt_bwtupdate_core equivalent (bwtmisc.c:125-152).
+
+    Produces the interleaved layout: per 128-base block, 4 uint32 cumulative
+    counts (occ *before* the block) then 8 uint32 BWT words; a trailing
+    4-word checkpoint carries the final counts.
+    """
+    n_occ = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL + 1
+    plain_words = (seq_len + 15) >> 4
+    out_size = plain_words + n_occ * 4
+    out = np.zeros(out_size, dtype=np.uint32)
+
+    # cumulative counts of each base before each 128-bp block
+    n_blocks = n_occ - 1  # full/partial data blocks
+    onehot = np.zeros((4, (n_blocks) * OCC_INTERVAL), dtype=np.uint32)
+    for c in range(4):
+        hits = (bwt == c).astype(np.uint32)
+        onehot[c, : len(bwt)] = hits
+    per_block = onehot.reshape(4, n_blocks, OCC_INTERVAL).sum(axis=2)
+    cum = np.zeros((4, n_blocks + 1), dtype=np.uint32)
+    cum[:, 1:] = np.cumsum(per_block, axis=1)
+
+    k = 0
+    wi = 0
+    for b in range(n_blocks):
+        out[k : k + 4] = cum[:, b]
+        k += 4
+        n_words_here = min(8, plain_words - wi)
+        out[k : k + n_words_here] = bwt_words[wi : wi + n_words_here]
+        k += n_words_here
+        wi += n_words_here
+    out[k : k + 4] = cum[:, n_blocks]
+    k += 4
+    assert k == out_size, "inconsistent bwt_size"
+    return out
+
+
+def cal_sa_sample(sa_full, seq_len, intv=SA_INTERVAL):
+    """bwt_cal_sa equivalent (bwt.c:48-70).
+
+    The reference walks invPsi from the last row, assigning descending SA
+    values; that walk visits row k exactly when SA_full[k] is the current
+    value, so the sampled array is simply SA_full at rows divisible by the
+    interval.  Row 0 is then stomped with -1 (bwt.c:69).
+    """
+    n_sa = (seq_len + intv) // intv
+    sa_arr = np.asarray(sa_full[::intv][:n_sa], dtype=np.uint32).copy()
+    sa_arr[0] = np.uint32(0xFFFFFFFF)
+    return sa_arr
