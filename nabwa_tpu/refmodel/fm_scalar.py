@@ -48,7 +48,8 @@ class ScalarFm:
 
     # --- occ (bwt.c:92-115) ---
     def occ(self, k, c):
-        k &= _NEG1
+        k = int(k) & _NEG1
+        c = int(c)
         if k == self.seq_len:
             return self.L2[c + 1] - self.L2[c]
         if k == _NEG1:
@@ -191,7 +192,7 @@ class ScalarFm:
     # --- exact match (bwt.c:218-252) ---
     def match_exact(self, query):
         k, l = 0, self.seq_len
-        for c in reversed(list(query)):
+        for c in reversed([int(x) for x in query]):
             if c > 3:
                 return 0, 0, 0
             ok = self.occ((k - 1) & _NEG1, c)
@@ -204,7 +205,7 @@ class ScalarFm:
 
     def match_exact_alt(self, query, k, l):
         """bwt_match_exact_alt: continue narrowing from (k, l)."""
-        for c in reversed(list(query)):
+        for c in reversed([int(x) for x in query]):
             if c > 3:
                 return 0, k, l
             ok = self.occ((k - 1) & _NEG1, c)
