@@ -1,0 +1,199 @@
+"""`aln` workflow driver — the TPU replacement for bwa_cal_sa_reg_gap /
+bwa_aln_core (bwtaln.c:93-257).
+
+Batch pipeline per reference chunk (0x40000 reads, bwtaln.c:208):
+  host: read prep → pad to device batch
+  device: cal_width (fwd+rev, + seed suffix) → DFS engine → hit arrays
+  host: unpack to per-read hit lists (append order), scalar fallback for
+        overflow-flagged reads, .sai-compatible output
+Batch-level option quirks replicated: local max_diff from the chunk's max
+read length sizes nothing here, but its max_gapo clamp (bwtaln.c:105) and
+the per-read max_diff/seed_len recomputation (bwtaln.c:125-126) do.
+"""
+
+import copy
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import BWA_AVG_ERR
+from ..ops import occ as occ_ops
+from ..ops.dfs import dfs_match_gap
+from ..refmodel.aln_scalar import cal_maxdiff, aln_batch as scalar_aln_batch
+from ..refmodel.fm_scalar import ScalarFm
+
+
+def _maxdiff_table(fnr, max_len=1024):
+    tab = np.zeros(max_len + 1, dtype=np.int32)
+    for l in range(1, max_len + 1):
+        tab[l] = cal_maxdiff(l, BWA_AVG_ERR, fnr)
+    return tab
+
+
+class AlnEngine:
+    """Holds device arrays + compiled DFS for one index."""
+
+    def __init__(self, index, opt, stack_cap=8192, hits_cap=64,
+                 max_iters=2_000_000):
+        self.index = index
+        self.opt = opt
+        self.stack_cap = stack_cap
+        self.hits_cap = hits_cap
+        self.max_iters = max_iters
+        fwd, rev = index.fwd, index.rev
+        assert np.array_equal(fwd.l2, rev.l2), "L2 must match for fwd/rev"
+        self.bwt_fwd = jnp.asarray(fwd.bwt)
+        self.bwt_rev = jnp.asarray(rev.bwt)
+        self.bwt_cat = jnp.concatenate([self.bwt_fwd, self.bwt_rev])
+        self.rev_off = len(fwd.bwt)
+        self.l2 = jnp.asarray(fwd.l2)
+        self.primary_fwd = np.uint32(fwd.primary)
+        self.primary_rev = np.uint32(rev.primary)
+        self.seq_len = np.uint32(fwd.seq_len)
+        self._scalar_fms = None
+
+    def scalar_fms(self):
+        if self._scalar_fms is None:
+            f, r = self.index.fwd, self.index.rev
+            self._scalar_fms = (
+                ScalarFm(f.bwt, f.primary, f.l2, f.seq_len, f.sa, f.sa_intv),
+                ScalarFm(r.bwt, r.primary, r.l2, r.seq_len, r.sa, r.sa_intv))
+        return self._scalar_fms
+
+    def run_chunk(self, reads, device_batch=512):
+        """Process one reference-chunk of reads; returns list of
+        (alns, max_entries) in read order."""
+        opt = self.opt
+        if not reads:
+            return []
+        max_len = max(r.len for r in reads)
+        local = copy.copy(opt)
+        if opt.fnr > 0.0:
+            local.max_diff = cal_maxdiff(max_len, BWA_AVG_ERR, opt.fnr)
+        if local.max_diff < local.max_gapo:
+            local.max_gapo = local.max_diff
+        if opt.fnr > 0.0:
+            tab = _maxdiff_table(opt.fnr, max(max_len, 64))
+            per_read_maxdiff = np.array([tab[r.len] for r in reads],
+                                        dtype=np.int32)
+        else:
+            per_read_maxdiff = np.full(len(reads), local.max_diff,
+                                       dtype=np.int32)
+
+        results = [None] * len(reads)
+        for start in range(0, len(reads), device_batch):
+            part = reads[start:start + device_batch]
+            self._run_device(part, per_read_maxdiff[start:start + len(part)],
+                             local, results, start, max_len)
+        return results
+
+    def _run_device(self, reads, maxdiff, local, results, base, max_len):
+        # Bucket shapes (B to 64s, L to 32s) so recurring batch geometries
+        # reuse compiled kernels; padding lanes are len-0 (done immediately).
+        B = max(64, -(-len(reads) // 64) * 64)
+        L = max(32, -(-max_len // 32) * 32)
+        nreads = len(reads)
+        maxdiff = np.concatenate(
+            [maxdiff, np.zeros(B - nreads, dtype=np.int32)])
+        SL = min(local.seed_len, L) if local.seed_len < 0x7FFFFFFF else L
+        SL = max(SL, 1)
+        seqs = np.full((B, 2, L), 4, dtype=np.int32)
+        lengths = np.zeros(B, dtype=np.int32)
+        for i, r in enumerate(reads):
+            seqs[i, 0, :r.len] = r.seq
+            seqs[i, 1, :r.len] = r.rseq
+            lengths[i] = r.len
+        seqs_j = jnp.asarray(seqs)
+        lengths_j = jnp.asarray(lengths)
+
+        # widths on the OPPOSITE bwt (bwtaln.c:123-124): strand 0 -> fwd bwt
+        w0, bid0 = occ_ops.cal_width(self.bwt_fwd, self.l2, self.primary_fwd,
+                                     self.seq_len, seqs_j[:, 0, :], lengths_j)
+        w1, bid1 = occ_ops.cal_width(self.bwt_rev, self.l2, self.primary_rev,
+                                     self.seq_len, seqs_j[:, 1, :], lengths_j)
+        widths = jnp.stack([w0, w1], axis=1)
+        bids = jnp.stack([bid0, bid1], axis=1)
+
+        # seed widths over the last seed_len bases (bwtaln.c:127-130)
+        has_seed = lengths > local.seed_len if local.seed_len < 0x7FFFFFFF \
+            else np.zeros(B, dtype=bool)
+        has_seed = np.asarray(has_seed, dtype=bool)
+        seed_starts = np.maximum(lengths - (local.seed_len
+                                            if local.seed_len < 0x7FFFFFFF
+                                            else 0), 0)
+        gather_idx = np.minimum(seed_starts[:, None] + np.arange(SL), L - 1)
+        sseq0 = np.take_along_axis(seqs[:, 0, :], gather_idx, axis=1)
+        sseq1 = np.take_along_axis(seqs[:, 1, :], gather_idx, axis=1)
+        slen = np.where(has_seed, min(local.seed_len, SL), 0).astype(np.int32)
+        sw0, sbid0 = occ_ops.cal_width(self.bwt_fwd, self.l2,
+                                       self.primary_fwd, self.seq_len,
+                                       jnp.asarray(sseq0), jnp.asarray(slen))
+        sw1, sbid1 = occ_ops.cal_width(self.bwt_rev, self.l2,
+                                       self.primary_rev, self.seq_len,
+                                       jnp.asarray(sseq1), jnp.asarray(slen))
+        seed_widths = jnp.stack([sw0, sw1], axis=1)
+        seed_bids = jnp.stack([sbid0, sbid1], axis=1)
+
+        out = dfs_match_gap(
+            self.bwt_cat, self.rev_off, self.primary_fwd, self.primary_rev,
+            self.l2, self.seq_len, seqs_j, lengths_j, widths, bids,
+            seed_widths, seed_bids, jnp.asarray(has_seed),
+            jnp.asarray(maxdiff),
+            s_mm=local.s_mm, s_gapo=local.s_gapo, s_gape=local.s_gape,
+            max_gape=local.max_gape, max_gapo=local.max_gapo,
+            indel_end_skip=local.indel_end_skip,
+            max_del_occ=local.max_del_occ, max_entries=local.max_entries,
+            max_top2=local.max_top2, max_seed_diff=local.max_seed_diff,
+            seed_len=local.seed_len, mode=local.mode,
+            stack_cap=self.stack_cap, hits_cap=self.hits_cap,
+            max_iters=self.max_iters)
+
+        n_aln = np.asarray(out["n_aln"])
+        hit_meta = np.asarray(out["hit_meta"])
+        hit_k = np.asarray(out["hit_k"])
+        hit_l = np.asarray(out["hit_l"])
+        hit_score = np.asarray(out["hit_score"])
+        hw = np.asarray(out["hw"])
+        overflow = np.asarray(out["overflow"])
+
+        fallback = []
+        for i, r in enumerate(reads):
+            if overflow[i]:
+                fallback.append(i)
+                continue
+            alns = []
+            for h in range(n_aln[i]):
+                meta = int(hit_meta[i, h])
+                alns.append(dict(n_mm=meta & 0xFF, n_gapo=(meta >> 8) & 0xFF,
+                                 n_gape=(meta >> 16) & 0xFF,
+                                 a=(meta >> 24) & 1, k=int(hit_k[i, h]),
+                                 l=int(hit_l[i, h]),
+                                 score=int(hit_score[i, h])))
+            results[base + i] = (alns, int(hw[i]))
+
+        if fallback:
+            fms = self.scalar_fms()
+            fb_reads = [reads[i] for i in fallback]
+            # scalar path recomputes its own local opts from the full-chunk
+            # semantics: reuse `local` by running the per-read portion
+            from ..refmodel.dfs_scalar import match_gap
+            from ..refmodel.aln_scalar import scalar_cal_width
+            for i, r in zip(fallback, fb_reads):
+                lo = copy.copy(local)
+                if self.opt.fnr > 0.0:
+                    lo.max_diff = cal_maxdiff(r.len, BWA_AVG_ERR,
+                                              self.opt.fnr)
+                lo.seed_len = self.opt.seed_len \
+                    if self.opt.seed_len < r.len else 0x7FFFFFFF
+                widths_s = (scalar_cal_width(fms[0], r.seq),
+                            scalar_cal_width(fms[1], r.rseq))
+                seed_w = None
+                if r.len > self.opt.seed_len:
+                    seed_w = (
+                        scalar_cal_width(fms[0],
+                                         r.seq[r.len - self.opt.seed_len:]),
+                        scalar_cal_width(fms[1],
+                                         r.rseq[r.len - self.opt.seed_len:]))
+                alns, hwv = match_gap(fms, r.len, (r.seq, r.rseq), widths_s,
+                                      seed_w, lo, lo.max_diff, local.max_gapo)
+                results[base + i] = (alns, hwv)

@@ -1,0 +1,492 @@
+"""Batched bounded-DFS gapped search — the TPU re-design of bwt_match_gap
+(bwtgap.c:104-266).
+
+The reference runs a divergent best-first search per read with a score-binned
+LIFO priority stack.  Here a whole batch of reads runs in lockstep: one outer
+iteration pops (or advances the zero-budget exact-match fast path of) exactly
+one entry per live read, entirely as masked vector ops:
+
+- per-read explicit stacks live in HBM as [B, S] SoA arrays with a free-list
+  allocator; pop = (min score, then max push-sequence) reduction, which
+  reproduces the C stack's LIFO-within-score-bin order exactly (gap_pop,
+  bwtgap.c:66-79) — that order decides which hit drand48 picks downstream;
+- both strands search within one stack (two seeds pushed, bwtgap.c:127-128);
+  strand selects the fwd/rev BWT bank in one concatenated HBM array;
+- the zero-budget bwt_match_exact_alt call (bwtgap.c:162) becomes a per-read
+  "pending exact" lane state advancing one base per outer iteration, so
+  lockstep never stalls on the nested loop;
+- gap_shadow's width rewrite (bwtgap.c:81-91) is a masked prefix-sum update;
+- all stop rules (best-score cutoff, max_entries cap, top-2 behaviour,
+  max_top2) are per-lane `done` conditions.
+
+Reads that overflow the device stack or hit caps are flagged and re-run on
+the scalar host model (refmodel.dfs_scalar) — same semantics, no limits.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .occ import occ4, U32, _FULL
+from ..constants import (STATE_M, STATE_I, STATE_D, BWA_MODE_GAPE,
+                         BWA_MODE_LOGGAP, BWA_MODE_NONSTOP)
+
+I32 = jnp.int32
+
+
+def _int_log2(v):
+    """int_log2 (bwtgap.c:93-102) for small non-negative int32 vectors."""
+    bits = (v[..., None] >= (1 << jnp.arange(1, 16, dtype=I32))).astype(I32)
+    return bits.sum(axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
+                     "indel_end_skip", "max_del_occ", "max_entries",
+                     "max_top2", "max_seed_diff", "seed_len", "mode",
+                     "stack_cap", "hits_cap", "max_iters"))
+def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
+                  seq_len, seqs, lengths, widths, bids, seed_widths,
+                  seed_bids, has_seed, max_diff, *, s_mm, s_gapo, s_gape,
+                  max_gape, max_gapo, indel_end_skip, max_del_occ,
+                  max_entries, max_top2, max_seed_diff, seed_len, mode,
+                  stack_cap=2048, hits_cap=64, max_iters=200000):
+    """Run the DFS for a batch.
+
+    bwt_cat: uint32 [Wf+Wr], forward then reverse interleaved BWT.
+    seqs: int32 [B, 2, L] (seq / rseq codes, reversed-read orientation).
+    lengths: int32 [B]; widths/bids: [B, 2, L+1]; seed_*: [B, 2, SL+1].
+    max_diff: int32 [B] per-read budget (max_gapo is the batch-clamped
+    scalar, bwtaln.c:105).
+
+    Returns dict with hit arrays [B, H], n_aln, hw (max_entries high-water),
+    and overflow flags (reads needing the host fallback).
+    """
+    B, _, L = seqs.shape
+    S = stack_cap
+    H = hits_cap
+    b_idx = jnp.arange(B, dtype=I32)
+    gape_mode = bool(mode & BWA_MODE_GAPE)
+    nonstop = bool(mode & BWA_MODE_NONSTOP)
+    loggap = bool(mode & BWA_MODE_LOGGAP)
+    BIG = I32(0x7FFFFFF)
+
+    def aln_score(m, o, e):
+        return m * s_mm + o * s_gapo + e * s_gape
+
+    seq_len_u = U32(seq_len) if isinstance(seq_len, int) else seq_len.astype(U32)
+
+    # --- initial state ---
+    st = dict(
+        info=jnp.zeros((B, S), dtype=U32),
+        cnt=jnp.zeros((B, S), dtype=U32),
+        k=jnp.zeros((B, S), dtype=U32),
+        l=jnp.zeros((B, S), dtype=U32),
+        ldp=jnp.zeros((B, S), dtype=I32),
+        seq=jnp.zeros((B, S), dtype=I32),
+        live=jnp.zeros((B, S), dtype=bool),
+        fl=jnp.broadcast_to(jnp.arange(S, dtype=I32), (B, S)),
+        fl_n=jnp.full(B, S, dtype=I32),
+        n_entries=jnp.zeros(B, dtype=I32),
+        seq_ctr=jnp.zeros(B, dtype=I32),
+        best_score=aln_score(max_diff + 1, max_gapo + 1, max_gape + 1),
+        best_diff=max_diff + 1,
+        best_cnt=jnp.zeros(B, dtype=I32),
+        max_diff=max_diff.astype(I32),
+        n_aln=jnp.zeros(B, dtype=I32),
+        done=jnp.zeros(B, dtype=bool),
+        overflow=jnp.zeros(B, dtype=bool),
+        hw=jnp.zeros(B, dtype=I32),
+        pend=jnp.zeros(B, dtype=bool),
+        pend_i=jnp.zeros(B, dtype=I32),
+        pend_k=jnp.zeros(B, dtype=U32),
+        pend_l=jnp.zeros(B, dtype=U32),
+        pend_cnt=jnp.zeros(B, dtype=U32),   # n_mm|gapo<<8|gape<<16
+        pend_a=jnp.zeros(B, dtype=I32),
+        pend_ldp=jnp.zeros(B, dtype=I32),
+        w=widths.astype(U32),
+        bid=bids.astype(I32),
+        hit_meta=jnp.zeros((B, H), dtype=U32),
+        hit_k=jnp.zeros((B, H), dtype=U32),
+        hit_l=jnp.zeros((B, H), dtype=U32),
+        hit_score=jnp.zeros((B, H), dtype=I32),
+        iters=jnp.zeros((), dtype=I32),
+    )
+
+    # too many Ns in seq[0] → no search at all (bwtgap.c:118-123)
+    n_count = ((seqs[:, 0, :] > 3)
+               & (jnp.arange(L) < lengths[:, None])).sum(axis=1)
+    st["done"] = n_count > max_diff
+
+    # push the two strand seeds (bwtgap.c:127-128): slots S-1 (a=0), S-2
+    # (a=1); LIFO pop takes a=1 first like the C bins.
+    empty_read = lengths <= 0
+    st["done"] = st["done"] | empty_read
+    seedable = ~st["done"]
+    for a in (0, 1):
+        slot = S - 1 - a
+        st["info"] = st["info"].at[:, slot].set(
+            jnp.where(seedable, U32(a << 20) | lengths.astype(U32), 0))
+        st["l"] = st["l"].at[:, slot].set(jnp.where(seedable, seq_len_u, 0))
+        st["seq"] = st["seq"].at[:, slot].set(a)
+        st["live"] = st["live"].at[:, slot].set(seedable)
+    st["fl_n"] = jnp.where(seedable, S - 2, S)
+    st["n_entries"] = jnp.where(seedable, 2, 0)
+    st["seq_ctr"] = jnp.where(seedable, 2, 0)
+
+    seqs_flat = seqs.reshape(B, 2 * L)
+    w_shape = widths.shape  # [B, 2, L+1]
+
+    def occ4_lane(k_vec, a_vec):
+        """occ4 against bwts[1-a] per lane (bwtgap.c:149): a=0 → reverse
+        bank, a=1 → forward bank."""
+        offs = jnp.where(a_vec == 0, rev_word_offset, 0).astype(I32)
+        prim = jnp.where(a_vec == 0, primary_rev, primary_fwd).astype(U32)
+        return occ4(bwt_cat, prim, seq_len_u, k_vec, word_offset=offs)
+
+    def get_seq(a_vec, pos):
+        idx = a_vec * L + jnp.clip(pos, 0, L - 1)
+        return seqs_flat[b_idx, idx]
+
+    def body(st):
+        st = dict(st)
+        active = ~st["done"]
+        in_pend = st["pend"] & active
+        do_stack = active & ~st["pend"]
+
+        # ---- stack checks (bwtgap.c:139-141) ----
+        st["hw"] = jnp.where(do_stack,
+                             jnp.maximum(st["hw"], st["n_entries"]), st["hw"])
+        empty = st["n_entries"] == 0
+        over_cap = st["n_entries"] > max_entries
+        st["done"] = st["done"] | (do_stack & (empty | over_cap))
+        do_pop = do_stack & ~empty & ~over_cap
+
+        # ---- pop: min score then max seq (gap_pop order) ----
+        score_arr = jnp.where(st["live"], (st["info"] >> 21).astype(I32), BIG)
+        min_score = score_arr.min(axis=1)
+        seq_key = jnp.where(st["live"] & (score_arr == min_score[:, None]),
+                            st["seq"], I32(-1))
+        slot = jnp.argmax(seq_key, axis=1).astype(I32)
+        e_info = st["info"][b_idx, slot]
+        e_cnt = st["cnt"][b_idx, slot]
+        e_k = st["k"][b_idx, slot]
+        e_l = st["l"][b_idx, slot]
+        e_ldp = st["ldp"][b_idx, slot]
+        st["live"] = st["live"].at[b_idx, slot].set(
+            jnp.where(do_pop, False, st["live"][b_idx, slot]))
+        st["n_entries"] = st["n_entries"] - do_pop.astype(I32)
+        # free-list: return popped slot
+        fl_pos = jnp.clip(st["fl_n"], 0, S - 1)
+        st["fl"] = st["fl"].at[b_idx, fl_pos].set(
+            jnp.where(do_pop, slot, st["fl"][b_idx, fl_pos]))
+        st["fl_n"] = st["fl_n"] + do_pop.astype(I32)
+
+        e_score = (e_info >> 21).astype(I32)
+        e_a = ((e_info >> 20) & U32(1)).astype(I32)
+        e_i = (e_info & U32(0xFFFF)).astype(I32)
+        e_nmm = (e_cnt & U32(0xFF)).astype(I32)
+        e_go = ((e_cnt >> 8) & U32(0xFF)).astype(I32)
+        e_ge = ((e_cnt >> 16) & U32(0xFF)).astype(I32)
+        e_state = ((e_cnt >> 24) & U32(3)).astype(I32)
+
+        # ---- best-score stop (bwtgap.c:144) ----
+        if not nonstop:
+            brk = do_pop & (e_score > st["best_score"] + s_mm)
+            st["done"] = st["done"] | brk
+            do_pop = do_pop & ~brk
+
+        # ---- budget (bwtgap.c:146-148) ----
+        m = st["max_diff"] - (e_nmm + e_go)
+        if gape_mode:
+            m = m - e_ge
+        proc = do_pop & (m >= 0)
+
+        # ---- width lower bound (bwtgap.c:156) ----
+        bid_l = st["bid"].reshape(B, -1)
+        w_l = st["w"].reshape(B, -1)
+        LP1 = L + 1
+
+        def wb_idx(a_vec, pos):
+            return a_vec * LP1 + jnp.clip(pos, 0, LP1 - 1)
+
+        bid_im1 = bid_l[b_idx, wb_idx(e_a, e_i - 1)]
+        proc = proc & ~((e_i > 0) & (m < bid_im1))
+
+        # ---- hit / exact-path / expand split (bwtgap.c:158-164) ----
+        direct_hit = proc & (e_i == 0)
+        exact_ok = (e_state == STATE_M) | (e_ge == max_gape) if not gape_mode \
+            else jnp.ones(B, dtype=bool)
+        need_exact = proc & ~direct_hit & (m == 0) & exact_ok
+        expand = proc & ~direct_hit & ~need_exact
+
+        # enter pending-exact state
+        st["pend"] = st["pend"] | need_exact
+        for nm, val in (("pend_i", e_i), ("pend_k", e_k), ("pend_l", e_l),
+                        ("pend_a", e_a), ("pend_ldp", e_ldp),
+                        ("pend_cnt", e_cnt)):
+            st[nm] = jnp.where(need_exact, val, st[nm])
+
+        # ---- pending exact-match step (bwt_match_exact_alt, one base) ----
+        pc = get_seq(st["pend_a"], st["pend_i"] - 1)
+        cc = jnp.minimum(pc, 3)
+        cnt_pk = occ4_lane((st["pend_k"] - U32(1)), st["pend_a"])
+        cnt_pl = occ4_lane(st["pend_l"], st["pend_a"])
+        okk = jnp.take_along_axis(cnt_pk, cc[:, None], axis=1)[:, 0]
+        oll = jnp.take_along_axis(cnt_pl, cc[:, None], axis=1)[:, 0]
+        nk = l2[cc] + okk + U32(1)
+        nl = l2[cc] + oll
+        pfail = in_pend & ((pc > 3) | (nk > nl))
+        pstep = in_pend & ~pfail
+        st["pend_k"] = jnp.where(pstep, nk, st["pend_k"])
+        st["pend_l"] = jnp.where(pstep, nl, st["pend_l"])
+        st["pend_i"] = jnp.where(pstep, st["pend_i"] - 1, st["pend_i"])
+        pend_hit = pstep & (st["pend_i"] == 0)
+        st["pend"] = st["pend"] & ~(pend_hit | pfail)
+
+        # ---- hit processing (bwtgap.c:166-199) ----
+        hit_now = direct_hit | pend_hit
+        h_cnt = jnp.where(direct_hit, e_cnt, st["pend_cnt"])
+        h_nmm = (h_cnt & U32(0xFF)).astype(I32)
+        h_go = ((h_cnt >> 8) & U32(0xFF)).astype(I32)
+        h_ge = ((h_cnt >> 16) & U32(0xFF)).astype(I32)
+        h_a = jnp.where(direct_hit, e_a, st["pend_a"])
+        h_ldp = jnp.where(direct_hit, e_ldp, st["pend_ldp"])
+        h_k = jnp.where(direct_hit, e_k, st["pend_k"])
+        h_l = jnp.where(direct_hit, e_l, st["pend_l"])
+        h_score = aln_score(h_nmm, h_go, h_ge)
+
+        first_hit = hit_now & (st["n_aln"] == 0)
+        new_best_diff = h_nmm + h_go + (h_ge if gape_mode else 0)
+        st["best_score"] = jnp.where(first_hit, h_score, st["best_score"])
+        st["best_diff"] = jnp.where(first_hit, new_best_diff,
+                                    st["best_diff"])
+        if not nonstop:
+            st["max_diff"] = jnp.where(
+                first_hit, jnp.minimum(new_best_diff + 1, st["max_diff"]),
+                st["max_diff"])
+        eq_best = h_score == st["best_score"]
+        width_cnt = (h_l - h_k + U32(1)).astype(I32)
+        brk2 = hit_now & ~eq_best & (st["best_cnt"] > max_top2)
+        st["best_cnt"] = st["best_cnt"] + jnp.where(hit_now & eq_best,
+                                                    width_cnt, 0)
+        st["done"] = st["done"] | brk2
+        add_lane = hit_now & ~brk2
+        # tandem-repeat dedup (bwtgap.c:179-183)
+        in_hits = ((st["hit_k"] == h_k[:, None])
+                   & (st["hit_l"] == h_l[:, None])
+                   & (jnp.arange(H) < st["n_aln"][:, None])).any(axis=1)
+        do_add = add_lane & ~((h_go > 0) & in_hits)
+
+        # gap_shadow (bwtgap.c:81-91) on w[b, h_a, :]
+        wa = w_l.reshape(B, 2, LP1)[b_idx, h_a, :]
+        bida = bid_l.reshape(B, 2, LP1)[b_idx, h_a, :]
+        x = (h_l - h_k + U32(1))
+        shadow_mask = jnp.arange(LP1) < h_ldp[:, None]
+        eq = shadow_mask & (wa == x[:, None])
+        gt = shadow_mask & (wa > x[:, None])
+        jc = jnp.cumsum(eq.astype(U32), axis=1)
+        wa_new = jnp.where(gt, wa - x[:, None],
+                           jnp.where(eq, seq_len_u - jc, wa))
+        bida_new = jnp.where(eq, I32(1), bida)
+        upd = do_add
+        w3 = st["w"]
+        bid3 = st["bid"]
+        w3 = w3.at[b_idx, h_a, :].set(
+            jnp.where(upd[:, None], wa_new, w3[b_idx, h_a, :]))
+        bid3 = bid3.at[b_idx, h_a, :].set(
+            jnp.where(upd[:, None], bida_new, bid3[b_idx, h_a, :]))
+        st["w"] = w3
+        st["bid"] = bid3
+
+        # append hit
+        hof = do_add & (st["n_aln"] >= H)
+        st["overflow"] = st["overflow"] | hof
+        write_hit = do_add & ~hof
+        hslot = jnp.clip(st["n_aln"], 0, H - 1)
+        meta = (h_cnt & U32(0xFFFFFF)) | (h_a.astype(U32) << 24)
+        for nm, val in (("hit_meta", meta), ("hit_k", h_k), ("hit_l", h_l),
+                        ("hit_score", h_score)):
+            st[nm] = st[nm].at[b_idx, hslot].set(
+                jnp.where(write_hit, val, st[nm][b_idx, hslot]))
+        st["n_aln"] = st["n_aln"] + write_hit.astype(I32)
+
+        # ---- expansion (bwtgap.c:201-259) ----
+        i2 = e_i - 1
+        cnt_k4 = occ4_lane(e_k - U32(1), e_a)
+        cnt_l4 = occ4_lane(e_l, e_a)
+        occ_width = (e_l - e_k + U32(1)).astype(I32)
+
+        bid_i2m1 = bid_l[b_idx, wb_idx(e_a, i2 - 1)]
+        bid_i2 = bid_l[b_idx, wb_idx(e_a, i2)]
+        w_i2m1 = w_l[b_idx, wb_idx(e_a, i2 - 1)]
+        w_i2 = w_l[b_idx, wb_idx(e_a, i2)]
+        allow_diff = jnp.where(i2 > 0, ~(bid_i2m1 > m - 1),
+                               jnp.ones(B, dtype=bool))
+        allow_m = jnp.where(
+            i2 > 0,
+            ~((bid_i2m1 == m - 1) & (bid_i2 == m - 1) & (w_i2m1 == w_i2)),
+            jnp.ones(B, dtype=bool))
+        # seed bounds (bwtgap.c:210-214)
+        SL1 = seed_widths.shape[2]
+        sbid_l = seed_bids.reshape(B, -1)
+        sw_l = seed_widths.reshape(B, -1)
+        ii = jnp.where(has_seed, i2 - (lengths - seed_len), I32(-1))
+
+        def sb_idx(a_vec, pos):
+            return a_vec * SL1 + jnp.clip(pos, 0, SL1 - 1)
+
+        m_seed = max_seed_diff - (e_nmm + e_go) - (e_ge if gape_mode else 0)
+        sbid_iim1 = sbid_l[b_idx, sb_idx(e_a, ii - 1)]
+        sbid_ii = sbid_l[b_idx, sb_idx(e_a, ii)]
+        sw_iim1 = sw_l[b_idx, sb_idx(e_a, ii - 1)]
+        sw_ii = sw_l[b_idx, sb_idx(e_a, ii)]
+        seed_gate = (i2 > 0) & (ii > 0)
+        allow_diff = allow_diff & ~(seed_gate & (sbid_iim1 > m_seed - 1))
+        allow_m = allow_m & ~(seed_gate & (sbid_iim1 == m_seed - 1)
+                              & (sbid_ii == m_seed - 1)
+                              & (sw_iim1 == sw_ii))
+
+        # indel gating (bwtgap.c:217-218)
+        vsum = e_go + e_ge
+        if loggap:
+            tmp = _int_log2(vsum) // 2 + 1
+        else:
+            tmp = vsum
+        ind_ok = (allow_diff & (i2 >= indel_end_skip + tmp)
+                  & (lengths - i2 >= indel_end_skip + tmp))
+
+        # candidate pushes, exact C order: ins, del c=0..3, mm j=1..4
+        is_m = e_state == STATE_M
+        is_i = e_state == STATE_I
+        is_d = e_state == STATE_D
+        can_open = is_m & (e_go < max_gapo)
+        can_ext_i = is_i & (e_ge < max_gape)
+        can_ext_d = (is_d & (e_ge < max_gape)
+                     & ((e_go + e_ge < st["max_diff"])
+                        | (occ_width < max_del_occ)))
+
+        sc = get_seq(e_a, i2)
+
+        cand_valid = []
+        cand_i = []
+        cand_k = []
+        cand_l = []
+        cand_nmm = []
+        cand_go = []
+        cand_ge = []
+        cand_state = []
+        cand_diff = []
+        # slot 0: insertion open (state M) or extension (state I)
+        cand_valid.append(expand & ind_ok & (can_open | can_ext_i))
+        cand_i.append(i2)
+        cand_k.append(e_k)
+        cand_l.append(e_l)
+        cand_nmm.append(e_nmm)
+        cand_go.append(e_go + is_m.astype(I32))
+        cand_ge.append(e_ge + is_i.astype(I32))
+        cand_state.append(jnp.full(B, STATE_I, dtype=I32))
+        cand_diff.append(jnp.ones(B, dtype=bool))
+        # slots 1-4: deletion (open from M / extend from D) for bases 0..3
+        for j in range(4):
+            dk = l2[j] + cnt_k4[:, j] + U32(1)
+            dl = l2[j] + cnt_l4[:, j]
+            cand_valid.append(expand & ind_ok & (can_open | can_ext_d)
+                              & (dk <= dl))
+            cand_i.append(i2 + 1)
+            cand_k.append(dk)
+            cand_l.append(dl)
+            cand_nmm.append(e_nmm)
+            cand_go.append(e_go + is_m.astype(I32))
+            cand_ge.append(e_ge + is_d.astype(I32))
+            cand_state.append(jnp.full(B, STATE_D, dtype=I32))
+            cand_diff.append(jnp.ones(B, dtype=bool))
+        # slots 5-8: mismatch/match c=(sc+j)&3 for j=1..4
+        mm_all = allow_diff & allow_m
+        exact_only = ~mm_all & (sc < 4)
+        for j in range(1, 5):
+            c = (sc + j) & 3
+            is_mm = (jnp.full(B, j != 4, dtype=bool)) | (sc > 3)
+            mk = l2[c] + jnp.take_along_axis(cnt_k4, c[:, None], 1)[:, 0] + U32(1)
+            ml = l2[c] + jnp.take_along_axis(cnt_l4, c[:, None], 1)[:, 0]
+            ok_int = mk <= ml
+            v = expand & ok_int & (mm_all | (exact_only & (j == 4)))
+            cand_valid.append(v)
+            cand_i.append(i2)
+            cand_k.append(mk)
+            cand_l.append(ml)
+            cand_nmm.append(e_nmm + is_mm.astype(I32))
+            cand_go.append(e_go)
+            cand_ge.append(e_ge)
+            cand_state.append(jnp.full(B, STATE_M, dtype=I32))
+            cand_diff.append(is_mm)
+
+        valid = jnp.stack(cand_valid, axis=1)              # [B, 9]
+        ci = jnp.stack([jnp.broadcast_to(x, (B,)) for x in cand_i], axis=1)
+        ck = jnp.stack(cand_k, axis=1).astype(U32)
+        cl = jnp.stack(cand_l, axis=1).astype(U32)
+        cnmm = jnp.stack(cand_nmm, axis=1)
+        cgo = jnp.stack(cand_go, axis=1)
+        cge = jnp.stack(cand_ge, axis=1)
+        cstate = jnp.stack(cand_state, axis=1)
+        cdiff = jnp.stack(cand_diff, axis=1)
+
+        n_push = valid.sum(axis=1).astype(I32)
+        sovf = expand & (n_push > st["fl_n"])
+        st["overflow"] = st["overflow"] | sovf
+        st["done"] = st["done"] | sovf
+        valid = valid & ~sovf[:, None]
+
+        prefix = jnp.cumsum(valid.astype(I32), axis=1) - valid.astype(I32)
+        fl_pos2 = jnp.clip(st["fl_n"][:, None] - 1 - prefix, 0, S - 1)
+        slots9 = jnp.take_along_axis(st["fl"], fl_pos2, axis=1)
+        cscore = aln_score(cnmm, cgo, cge)
+        cinfo = (cscore.astype(U32) << 21) | (e_a[:, None].astype(U32) << 20) \
+            | ci.astype(U32)
+        ccnt = (cnmm.astype(U32) | (cgo.astype(U32) << 8)
+                | (cge.astype(U32) << 16) | (cstate.astype(U32) << 24))
+        cldp = jnp.where(cdiff, ci, 0).astype(I32)
+        cseq = st["seq_ctr"][:, None] + prefix
+
+        b9 = jnp.broadcast_to(b_idx[:, None], (B, 9))
+
+        def scat(dst, val):
+            return dst.at[b9, slots9].set(jnp.where(valid, val,
+                                                    dst[b9, slots9]))
+
+        st["info"] = scat(st["info"], cinfo)
+        st["cnt"] = scat(st["cnt"], ccnt)
+        st["k"] = scat(st["k"], ck)
+        st["l"] = scat(st["l"], cl)
+        st["ldp"] = scat(st["ldp"], cldp)
+        st["seq"] = scat(st["seq"], cseq)
+        st["live"] = scat(st["live"], jnp.ones((B, 9), dtype=bool))
+        n_pushed = valid.sum(axis=1).astype(I32)
+        st["n_entries"] = st["n_entries"] + n_pushed
+        st["fl_n"] = st["fl_n"] - n_pushed
+        st["seq_ctr"] = st["seq_ctr"] + n_pushed
+
+        st["iters"] = st["iters"] + 1
+        # iteration cap: flag leftover reads for host fallback
+        cap_hit = st["iters"] >= max_iters
+        st["overflow"] = st["overflow"] | jnp.where(cap_hit, ~st["done"],
+                                                    False)
+        st["done"] = st["done"] | cap_hit
+        return st
+
+    def cond(st):
+        return jnp.any(~st["done"])
+
+    final = jax.lax.while_loop(cond, body, st)
+    return {
+        "hit_meta": final["hit_meta"],
+        "hit_k": final["hit_k"],
+        "hit_l": final["hit_l"],
+        "hit_score": final["hit_score"],
+        "n_aln": final["n_aln"],
+        "hw": final["hw"],
+        "overflow": final["overflow"],
+        "iters": final["iters"],
+    }

@@ -21,28 +21,33 @@ _M55 = jnp.uint32(0x55555555)
 _FULL = jnp.uint32(0xFFFFFFFF)
 
 
-def gather_blocks(bwt, kk):
+def gather_blocks(bwt, kk, word_offset=None):
     """Gather the 12-word interleaved block for each (adjusted) position.
 
-    bwt: uint32 [n_words]; kk: uint32 [...]; returns uint32 [..., 12].
+    bwt: uint32 [n_words]; kk: uint32 [...]; word_offset: optional int32
+    [...] bank offset for concatenated fwd|rev indexes.  Returns uint32
+    [..., 12].
     """
     base = ((kk >> 7) * U32(12)).astype(jnp.int32)
+    if word_offset is not None:
+        base = base + word_offset
     idx = base[..., None] + jnp.arange(12, dtype=jnp.int32)
     return bwt[idx]
 
 
-def occ4(bwt, primary, seq_len, k):
+def occ4(bwt, primary, seq_len, k, word_offset=None):
     """Counts of each base in BWT[0..k] for a batch of rows.
 
-    k: uint32 [...]; returns uint32 [..., 4].  Mirrors bwt_occ4
-    (bwt.c:159-176) with the -1 edge from bwt_2occ4's delegation.
+    k: uint32 [...]; primary may be a scalar or per-lane vector; returns
+    uint32 [..., 4].  Mirrors bwt_occ4 (bwt.c:159-176) with the -1 edge from
+    bwt_2occ4's delegation.
     """
     k = k.astype(U32)
     is_neg1 = k == _FULL
     kk = jnp.where(k >= primary, k - U32(1), k)
     kk = jnp.where(is_neg1, U32(0), kk)
 
-    blk = gather_blocks(bwt, kk)
+    blk = gather_blocks(bwt, kk, word_offset)
     cnt = blk[..., :4]
     words = blk[..., 4:]
 
@@ -76,9 +81,9 @@ def occ4(bwt, primary, seq_len, k):
     return jnp.where(is_neg1[..., None], U32(0), out)
 
 
-def occ(bwt, l2, primary, seq_len, k, c):
+def occ(bwt, l2, primary, seq_len, k, c, word_offset=None):
     """Single-base occ (bwt_occ, bwt.c:92-115).  c: int32 [...] in 0..3."""
-    counts = occ4(bwt, primary, seq_len, k)
+    counts = occ4(bwt, primary, seq_len, k, word_offset)
     return jnp.take_along_axis(counts, c[..., None].astype(jnp.int32),
                                axis=-1)[..., 0]
 
