@@ -1,0 +1,278 @@
+"""Command-line interface mirroring the reference's subcommands
+(main.c:48-76): index, aln, samse, sampe, plus the format utilities
+(fa2pac, pac2bwt, bwtupdate, pac_rev, bwt2sa).  bwasw/bam2bam/worker are
+added as their engines land.
+
+Usage:  python -m nabwa_tpu <command> [options]
+"""
+
+import argparse
+import sys
+
+from .options import GapOpt, PeOpt
+from .constants import (BWA_MODE_LOGGAP, BWA_MODE_NONSTOP, BWA_MODE_GAPE,
+                        BWA_MODE_BAM, BWA_MODE_BAM_SE, BWA_MODE_BAM_READ1,
+                        BWA_MODE_BAM_READ2, BWA_MODE_IL13, BWA_MODE_CFY,
+                        BWA_MODE_COMPREAD, READ_CHUNK)
+
+
+def cmd_index(argv):
+    ap = argparse.ArgumentParser(prog="index")
+    ap.add_argument("-p", dest="prefix", default=None)
+    ap.add_argument("-a", dest="algo", default="is",
+                    choices=["is", "div", "bwtsw"])
+    ap.add_argument("fasta")
+    args = ap.parse_args(argv)
+    from .index.build import build_index
+    build_index(args.fasta, args.prefix)
+    return 0
+
+
+def _parse_aln_opts(argv):
+    ap = argparse.ArgumentParser(prog="aln")
+    ap.add_argument("-n", dest="n", default=None)
+    ap.add_argument("-o", dest="max_gapo", type=int, default=None)
+    ap.add_argument("-e", dest="max_gape", type=int, default=-1)
+    ap.add_argument("-i", dest="indel_end_skip", type=int, default=None)
+    ap.add_argument("-d", dest="max_del_occ", type=int, default=None)
+    ap.add_argument("-l", dest="seed_len", type=int, default=None)
+    ap.add_argument("-k", dest="max_seed_diff", type=int, default=None)
+    ap.add_argument("-m", dest="max_entries", type=int, default=None)
+    ap.add_argument("-t", dest="n_threads", type=int, default=None)
+    ap.add_argument("-M", dest="s_mm", type=int, default=None)
+    ap.add_argument("-O", dest="s_gapo", type=int, default=None)
+    ap.add_argument("-E", dest="s_gape", type=int, default=None)
+    ap.add_argument("-R", dest="max_top2", type=int, default=None)
+    ap.add_argument("-q", dest="trim_qual", type=int, default=None)
+    ap.add_argument("-B", dest="barcode_len", type=int, default=0)
+    ap.add_argument("-L", dest="loggap", action="store_true")
+    ap.add_argument("-N", dest="nonstop", action="store_true")
+    ap.add_argument("-I", dest="il13", action="store_true")
+    ap.add_argument("-Y", dest="cfy", action="store_true")
+    ap.add_argument("-f", dest="out", default=None)
+    ap.add_argument("prefix")
+    ap.add_argument("reads")
+    args = ap.parse_args(argv)
+    opt = GapOpt()
+    if args.n is not None:
+        if "." in args.n:
+            opt.fnr = float(args.n)
+            opt.max_diff = -1
+        else:
+            opt.max_diff = int(args.n)
+            opt.fnr = -1.0
+    for name in ("max_gapo", "indel_end_skip", "max_del_occ", "seed_len",
+                 "max_seed_diff", "max_entries", "n_threads", "s_mm",
+                 "s_gapo", "s_gape", "max_top2", "trim_qual"):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(opt, name, v)
+    if args.max_gape > 0:
+        opt.max_gape = args.max_gape
+        opt.mode &= ~BWA_MODE_GAPE
+    if args.loggap:
+        opt.mode |= BWA_MODE_LOGGAP
+    if args.nonstop:
+        opt.mode |= BWA_MODE_NONSTOP
+        opt.max_top2 = 0x7FFFFFFF
+    if args.il13:
+        opt.mode |= BWA_MODE_IL13
+    if args.cfy:
+        opt.mode |= BWA_MODE_CFY
+    if args.barcode_len:
+        opt.mode |= args.barcode_len << 24
+    return args, opt
+
+
+def cmd_aln(argv):
+    args, opt = _parse_aln_opts(argv)
+    from .index.fmindex import BwaIndex
+    from .models.aln import AlnEngine
+    from .io import fastq, sai
+
+    idx = BwaIndex.load(args.prefix)
+    eng = AlnEngine(idx, opt)
+    out = open(args.out, "wb") if args.out else sys.stdout.buffer
+    out.write(opt.pack())
+    it = fastq.iter_fastq(args.reads)
+    tot = 0
+    while True:
+        reads = fastq.read_fastq_batch(it, READ_CHUNK, mode=opt.mode,
+                                       trim_qual=opt.trim_qual)
+        if not reads:
+            break
+        results = eng.run_chunk(reads)
+        # records only — the gap_opt_t header was written once up front
+        import struct
+        import numpy as np
+        for alns, hw in results:
+            out.write(struct.pack("<i", len(alns)))
+            if alns:
+                recs = np.zeros(len(alns), dtype=sai.ALN_DTYPE)
+                for i, h in enumerate(alns):
+                    recs[i]["meta"] = ((h["n_mm"] & 0xFF)
+                                       | ((h["n_gapo"] & 0xFF) << 8)
+                                       | ((h["n_gape"] & 0xFF) << 16)
+                                       | ((h["a"] & 1) << 24))
+                    recs[i]["k"] = h["k"]
+                    recs[i]["l"] = h["l"]
+                    recs[i]["score"] = h["score"]
+                out.write(recs.tobytes())
+        tot += len(reads)
+        print(f"[aln] {tot} sequences processed", file=sys.stderr)
+    if args.out:
+        out.close()
+    return 0
+
+
+def cmd_samse(argv):
+    ap = argparse.ArgumentParser(prog="samse")
+    ap.add_argument("-n", dest="n_occ", type=int, default=3)
+    ap.add_argument("-f", dest="out", default=None)
+    ap.add_argument("-r", dest="rg", default=None)
+    ap.add_argument("prefix")
+    ap.add_argument("sai")
+    ap.add_argument("reads")
+    args = ap.parse_args(argv)
+    from .index.fmindex import BwaIndex
+    from .models.aln import AlnEngine
+    from .models import samse as se
+    from .io import fastq, sai
+    from .utils.rand48 import Rand48
+
+    opt, per_read = sai.read_sai(args.sai)
+    idx = BwaIndex.load(args.prefix)
+    eng = AlnEngine(idx, opt)
+    rng = Rand48(idx.bns.seed)
+    rg_line, rg_id = _parse_rg(args.rg)
+    out = open(args.out, "w") if args.out else sys.stdout
+    out.write(se.sam_header(idx.bns, rg_line=rg_line))
+    it = fastq.iter_fastq(args.reads)
+    off = 0
+    while True:
+        reads = fastq.read_fastq_batch(it, READ_CHUNK, mode=opt.mode,
+                                       trim_qual=opt.trim_qual)
+        if not reads:
+            break
+        alns = [sai.aln_records_to_dicts(r)
+                for r in per_read[off:off + len(reads)]]
+        off += len(reads)
+        for line in se.samse(eng, reads, alns, opt, n_occ=args.n_occ,
+                             rng=rng, rg_id=rg_id):
+            out.write(line + "\n")
+    if args.out:
+        out.close()
+    return 0
+
+
+def cmd_sampe(argv):
+    ap = argparse.ArgumentParser(prog="sampe")
+    ap.add_argument("-a", dest="max_isize", type=int, default=None)
+    ap.add_argument("-o", dest="max_occ", type=int, default=None)
+    ap.add_argument("-n", dest="n_multi", type=int, default=None)
+    ap.add_argument("-N", dest="N_multi", type=int, default=None)
+    ap.add_argument("-c", dest="ap_prior", type=float, default=None)
+    ap.add_argument("-f", dest="out", default=None)
+    ap.add_argument("-r", dest="rg", default=None)
+    ap.add_argument("-s", dest="no_sw", action="store_true")
+    ap.add_argument("-A", dest="force_isize", action="store_true")
+    ap.add_argument("-P", dest="preload", action="store_true")
+    ap.add_argument("prefix")
+    ap.add_argument("sai1")
+    ap.add_argument("sai2")
+    ap.add_argument("fq1")
+    ap.add_argument("fq2")
+    args = ap.parse_args(argv)
+    from .index.fmindex import BwaIndex
+    from .models.aln import AlnEngine
+    from .models import samse as se
+    from .models import sampe as pe
+    from .io import fastq, sai
+    from .utils.rand48 import Rand48
+
+    popt = PeOpt()
+    for name in ("max_isize", "max_occ", "n_multi", "N_multi", "ap_prior"):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(popt, name, v)
+    if args.no_sw:
+        popt.is_sw = 0
+    if args.force_isize:
+        popt.force_isize = 1
+
+    opt0, per_read0 = sai.read_sai(args.sai1)
+    opt, per_read1 = sai.read_sai(args.sai2)
+    idx = BwaIndex.load(args.prefix)
+    eng = AlnEngine(idx, opt)
+    rng = Rand48(idx.bns.seed)
+    rg_line, rg_id = _parse_rg(args.rg)
+    out = open(args.out, "w") if args.out else sys.stdout
+    out.write(se.sam_header(idx.bns, rg_line=rg_line))
+    it0 = fastq.iter_fastq(args.fq1)
+    it1 = fastq.iter_fastq(args.fq2)
+    off = 0
+    last_ii = None
+    memo = {}
+    while True:
+        reads0 = fastq.read_fastq_batch(it0, READ_CHUNK, mode=opt0.mode,
+                                        trim_qual=opt0.trim_qual)
+        if not reads0:
+            break
+        reads1 = fastq.read_fastq_batch(it1, READ_CHUNK, mode=opt.mode,
+                                        trim_qual=opt.trim_qual)
+        n = len(reads0)
+        alns0 = [sai.aln_records_to_dicts(r)
+                 for r in per_read0[off:off + n]]
+        alns1 = [sai.aln_records_to_dicts(r)
+                 for r in per_read1[off:off + n]]
+        off += n
+        lines, ii = pe.sampe(eng, (reads0, reads1), (alns0, alns1), opt,
+                             popt, rng, rg_id=rg_id, last_ii=last_ii,
+                             pos_memo=memo)
+        last_ii = ii
+        for line in lines:
+            out.write(line + "\n")
+    if args.out:
+        out.close()
+    return 0
+
+
+def _parse_rg(rg):
+    """bwa_set_rg (bwase.c:635-652)."""
+    if rg is None:
+        return None, None
+    if not rg.startswith("@RG"):
+        raise SystemExit("[samse/sampe] malformed @RG line")
+    line = rg.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
+    idp = line.find("\tID:")
+    if idp < 0:
+        raise SystemExit("[samse/sampe] malformed @RG line")
+    idp += 4
+    end = idp
+    while end < len(line) and line[end] not in "\t\n":
+        end += 1
+    return line, line[idp:end]
+
+
+COMMANDS = {
+    "index": cmd_index,
+    "aln": cmd_aln,
+    "samse": cmd_samse,
+    "sampe": cmd_sampe,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in COMMANDS:
+        prog = "nabwa_tpu"
+        print(f"Program: {prog} (TPU-native BWA-class aligner)",
+              file=sys.stderr)
+        print(f"Usage:   {prog} <command> [options]\n", file=sys.stderr)
+        print("Command: " + " ".join(COMMANDS), file=sys.stderr)
+        return 1
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,11 +24,12 @@ BARCODE_LOW_QUAL = 13  # bwaseqio.c:179
 @dataclasses.dataclass
 class Read:
     name: str
-    seq: np.ndarray      # reversed nt4 codes (len,)
-    rseq: np.ndarray     # reversed (complemented) codes
+    seq: np.ndarray      # reversed nt4 codes, trimmed length (len,)
+    rseq: np.ndarray     # reversed (complemented) codes, trimmed length
     qual: np.ndarray     # ascii quals (phred+33), ORIGINAL orientation, or None
     full_len: int
     clip_len: int
+    full_codes: np.ndarray = None   # untrimmed nt4 codes, original orientation
     bc: str = ""
 
     @property
@@ -80,7 +81,7 @@ def trim_read(trim_qual, codes, quals, full_len):
         return full_len
     s, mx, max_l = 0, 0, full_len - 1
     for l in range(full_len - 1, BWA_MIN_RDLEN - 2, -1):
-        s += trim_qual - (quals[l] - 33)
+        s += trim_qual - (int(quals[l]) - 33)
         if s < 0:
             break
         if s > mx:
@@ -130,7 +131,8 @@ def read_fastq_batch(it, n_needed, mode=BWA_MODE_COMPREAD, trim_qual=0):
         if len(sname) > 2 and sname[-2] == "/" and sname[-1] in "12":
             sname = sname[:-2]
         out.append(Read(name=sname, seq=fwd[::-1].copy(), rseq=rseq,
-                        qual=q, full_len=full_len, clip_len=ln, bc=bc))
+                        qual=q, full_len=full_len, clip_len=ln,
+                        full_codes=codes, bc=bc))
         if len(out) == n_needed:
             break
     return out

@@ -47,6 +47,8 @@ class AlnEngine:
         self.bwt_cat = jnp.concatenate([self.bwt_fwd, self.bwt_rev])
         self.rev_off = len(fwd.bwt)
         self.l2 = jnp.asarray(fwd.l2)
+        self.sa_fwd = jnp.asarray(fwd.sa)
+        self.sa_rev = jnp.asarray(rev.sa)
         self.primary_fwd = np.uint32(fwd.primary)
         self.primary_rev = np.uint32(rev.primary)
         self.seq_len = np.uint32(fwd.seq_len)

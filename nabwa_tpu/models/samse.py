@@ -1,0 +1,612 @@
+"""samse workflow — bwa_sai2sam_se_core semantics (bwase.c:654-721).
+
+Pipeline per chunk (0x40000 reads): hit selection + drand48 sampling (host,
+call-order faithful), SA→coordinate via the batched device sa_lookup,
+gapped refinement (banded global DP, host scalar for now — Pallas kernel
+later), MD/NM, SAM emission.  Output is byte-identical with the reference's
+`bwa samse`.
+"""
+
+import numpy as np
+
+from ..constants import (BWA_TYPE_NO_MATCH, BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT,
+                         BWA_TYPE_MATESW, BWA_AVG_ERR, BWA_MODE_COMPREAD,
+                         SAM_FSU, SAM_FMU, SAM_FSR, SAM_FMR, SAM_FPP)
+from ..refmodel.aln_scalar import cal_maxdiff
+from ..refmodel.stdaln_scalar import (aln_global_core, path2cigar32,
+                                      ALN_PARAM_BWA, FROM_M, FROM_I, FROM_D,
+                                      FROM_S)
+
+_NEG1 = 0xFFFFFFFF
+
+
+def make_g_log_n():
+    """g_log_n table (bwase_initialize, bwase.c:613-617)."""
+    import math
+    t = np.zeros(256, dtype=np.int32)
+    for i in range(1, 256):
+        t[i] = int(4.343 * math.log(i) + 0.5)
+    return t
+
+
+G_LOG_N = make_g_log_n()
+
+
+class SeqState:
+    """Mutable per-read alignment state (the bwa_seq_t fields samse uses)."""
+
+    __slots__ = ("read", "type", "c1", "c2", "n_mm", "n_gapo", "n_gape",
+                 "strand", "score", "sa", "pos", "mapQ", "seQ", "cigar",
+                 "md", "nm", "multi", "n_multi", "extra_flag", "len")
+
+    def __init__(self, read):
+        self.read = read
+        self.len = read.len
+        self.type = BWA_TYPE_NO_MATCH
+        self.c1 = self.c2 = 0
+        self.n_mm = self.n_gapo = self.n_gape = 0
+        self.strand = 0
+        self.score = 0
+        self.sa = 0
+        self.pos = 0
+        self.mapQ = self.seQ = 0
+        self.cigar = None          # list of (op, len) or None
+        self.md = None
+        self.nm = 0
+        self.multi = []
+        self.n_multi = 0
+        self.extra_flag = 0
+
+
+def aln2seq_core(alns, s, rng, set_main=True, n_multi=0):
+    """bwa_aln2seq_core (bwase.c:19-95): reservoir-sample the primary hit
+    among score ties (weighted by interval size), count c1/c2, optionally
+    enumerate multi-hits.  rng is the shared Rand48 stream — call order is
+    part of the output contract."""
+    if not alns:
+        s.type = BWA_TYPE_NO_MATCH
+        s.c1 = s.c2 = 0
+        return
+    if set_main:
+        best = alns[0]["score"]
+        cnt = 0
+        i = 0
+        while i < len(alns):
+            p = alns[i]
+            if p["score"] > best:
+                break
+            if rng.drand48() * (p["l"] - p["k"] + 1 + cnt) > float(cnt):
+                s.n_mm = p["n_mm"]
+                s.n_gapo = p["n_gapo"]
+                s.n_gape = p["n_gape"]
+                s.strand = p["a"]
+                s.score = p["score"]
+                s.sa = p["k"] + int((p["l"] - p["k"] + 1) * rng.drand48())
+            cnt += p["l"] - p["k"] + 1
+            i += 1
+        s.c1 = cnt
+        while i < len(alns):
+            cnt += alns[i]["l"] - alns[i]["k"] + 1
+            i += 1
+        s.c2 = cnt - s.c1
+        s.type = BWA_TYPE_REPEAT if s.c1 > 1 else BWA_TYPE_UNIQUE
+
+    if n_multi:
+        n_occ = sum(q["l"] - q["k"] + 1 for q in alns)
+        s.multi = []
+        s.n_multi = 0
+        if n_occ > n_multi + 1:  # too many -> none (bwase.c:54-57)
+            return
+        rest = n_occ
+        multi = []
+        for q in alns:
+            sz = q["l"] - q["k"] + 1
+            if sz <= rest:
+                for l in range(q["k"], q["l"] + 1):
+                    multi.append(dict(pos=l, gap=q["n_gapo"] + q["n_gape"],
+                                      mm=q["n_mm"], strand=q["a"],
+                                      cigar=None, n_cigar=0))
+                rest -= sz
+            else:
+                # unreachable given the cap above (bwase.c:75 comment)
+                break
+        multi = [m for m in multi if m["pos"] != s.sa]
+        s.multi = multi[:n_multi] if len(multi) >= n_multi else multi
+        s.n_multi = len(s.multi)
+
+
+def approx_mapQ(s, mm):
+    """bwa_approx_mapQ (bwase.c:113-122)."""
+    if s.c1 == 0:
+        return 23
+    if s.c1 > 1:
+        return 0
+    if s.n_mm == mm:
+        return 25
+    if s.c2 == 0:
+        return 37
+    n = 255 if s.c2 >= 255 else s.c2
+    return 0 if 23 < G_LOG_N[n] else 23 - G_LOG_N[n]
+
+
+def cal_pac_pos(engine, states, max_mm, fnr):
+    """bwa_cal_pac_pos (bwase.c:156-183) with batched device sa_lookup.
+
+    Reverse-strand primary hits and multis resolve on the forward BWT;
+    forward-strand ones on the reverse BWT with the seq_len-(sa+len) flip."""
+    import jax.numpy as jnp
+    from ..ops.sa_lookup import sa_lookup
+
+    fwd, rev = engine.index.fwd, engine.index.rev
+    jobs_f, jobs_r = [], []  # (state_idx, 'p'|('m',j), sa_row)
+    for si, s in enumerate(states):
+        matched = s.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)
+        if matched and s.strand:
+            jobs_f.append((si, -1, s.sa))
+        if matched and not s.strand:
+            jobs_r.append((si, -1, s.sa))
+        for j, m in enumerate(s.multi):
+            (jobs_f if m["strand"] else jobs_r).append((si, j, m["pos"]))
+
+    def run(jobs, fm, bwt_dev, sa_dev):
+        if not jobs:
+            return np.zeros(0, dtype=np.uint32)
+        rows = np.array([t[2] for t in jobs], dtype=np.uint32)
+        out = sa_lookup(bwt_dev, jnp.asarray(fm.l2), np.uint32(fm.primary),
+                        np.uint32(fm.seq_len), sa_dev, fm.sa_intv,
+                        jnp.asarray(rows))
+        return np.asarray(out)
+
+    res_f = run(jobs_f, fwd, engine.bwt_fwd, engine.sa_fwd)
+    res_r = run(jobs_r, rev, engine.bwt_rev, engine.sa_rev)
+
+    for (si, j, _), v in zip(jobs_f, res_f):
+        s = states[si]
+        if j < 0:
+            s.pos = int(v)
+        else:
+            s.multi[j]["pos"] = int(v)
+    for (si, j, _), v in zip(jobs_r, res_r):
+        s = states[si]
+        if j < 0:
+            s.pos = (rev.seq_len - (int(v) + s.len)) & _NEG1
+        else:
+            s.multi[j]["pos"] = (rev.seq_len - (int(v) + s.len)) & _NEG1
+
+    for s in states:
+        if s.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT):
+            max_diff = cal_maxdiff(s.len, BWA_AVG_ERR, fnr) if fnr > 0.0 \
+                else max_mm
+            s.seQ = s.mapQ = approx_mapQ(s, max_diff)
+
+
+def refine_gapped_core(l_pac, pac, seq_codes, pos, ext, is_end_correct=True):
+    """refine_gapped_core (bwase.c:189-237).  seq_codes: forward-oriented
+    read codes vs the reference strand.  Returns (cigar list, new_pos)."""
+    length = len(seq_codes)
+    # uint32 pos past l_pac is a wrapped negative (bwase.c:197)
+    pos_u = pos & _NEG1
+    __pos = pos_u if pos_u <= l_pac else int(np.int32(np.uint32(pos_u)))
+    ref_len = length + abs(ext)
+    if ext > 0:
+        lo = __pos
+        hi = min(__pos + ref_len, l_pac)
+    else:
+        x = __pos + (length if is_end_correct else ref_len)
+        lo = max(x - ref_len, 0)
+        hi = min(x, l_pac)
+    ref_seq = pac[lo:hi] if hi > lo else np.zeros(0, dtype=np.uint8)
+
+    _, path = aln_global_core(ref_seq, np.asarray(seq_codes), ALN_PARAM_BWA)
+    cigar = path2cigar32(path)
+    n_cigar = len(cigar)
+    if n_cigar == 0:
+        return [], __pos
+
+    if ext < 0 and is_end_correct:  # fix forward-strand coordinate
+        ll = 0
+        for op, ln in cigar:
+            if op == FROM_D:
+                ll -= ln
+            elif op == FROM_I:
+                ll += ln
+        __pos += ll
+
+    if cigar[0][0] == FROM_D:  # 5' deletion
+        __pos += cigar[0][1]
+        cigar = cigar[1:]
+    if cigar and cigar[-1][0] == FROM_D:  # 3' deletion
+        cigar = cigar[:-1]
+    # I at either end becomes S (bwase.c:230-232)
+    if cigar and cigar[-1][0] == FROM_I:
+        cigar[-1] = (FROM_S, cigar[-1][1])
+    if cigar and cigar[0][0] == FROM_I:
+        cigar[0] = (FROM_S, cigar[0][1])
+    return cigar, __pos
+
+
+def cal_md1(cigar, seq_codes, pos, bns, pac):
+    """bwa_cal_md1 (bwase.c:253-315): MD string and NM, walking pac with
+    ambiguity holes overriding the packed (randomized) bases."""
+    holes = bns.ambs
+    n_holes = len(holes)
+    # find first hole ending after pos (binary search, bwase.c:263-268)
+    left, right = 0, n_holes
+    while left < right:
+        mid = left + ((right - left) >> 1)
+        h = holes[mid]
+        if pos >= h.offset + h.length:
+            left = mid + 1
+        elif pos < h.offset:
+            right = mid
+        else:
+            left = right = mid
+    ridx = right  # index of current/next hole
+
+    out = []
+    nm = 0
+    u = 0
+    p = pos
+    l_pac = bns.l_pac
+
+    def get_ref():
+        if ridx < n_holes and p >= holes[ridx].offset:
+            return ord(holes[ridx].amb)  # the raw ambiguity character
+        return int(pac[p])
+
+    def advance():
+        nonlocal p, ridx
+        p += 1
+        if ridx < n_holes and p >= holes[ridx].offset + holes[ridx].length:
+            ridx += 1
+
+    if cigar:
+        y = 0
+        for op, ln in cigar:
+            if op == FROM_M:
+                for _ in range(ln):
+                    if p >= l_pac:
+                        break
+                    c = get_ref()
+                    if c > 3 or seq_codes[y] > 3 or c != seq_codes[y]:
+                        out.append(str(u))
+                        out.append(chr(c) if c > 3 else "ACGT"[c])
+                        nm += 1
+                        u = 0
+                    else:
+                        u += 1
+                    advance()
+                    y += 1
+            elif op in (FROM_I, FROM_S):
+                y += ln
+                if op == FROM_I:
+                    nm += ln
+            elif op == FROM_D:
+                out.append(str(u))
+                out.append("^")
+                for _ in range(ln):
+                    if p >= l_pac:
+                        break
+                    c = get_ref()
+                    out.append(chr(c) if c > 3 else "ACGT"[c])
+                    advance()
+                u = 0
+                nm += ln
+    else:
+        for z in range(len(seq_codes)):
+            c = get_ref()
+            if c > 3 or seq_codes[z] > 3 or c != seq_codes[z]:
+                out.append(str(u))
+                out.append(chr(c) if c > 3 else "ACGT"[c])
+                nm += 1
+                u = 0
+            else:
+                u += 1
+            advance()
+    out.append(str(u))
+    return "".join(out), nm
+
+
+def correct_trimmed(s):
+    """bwa_correct_trimmed (bwase.c:320-354)."""
+    r = s.read
+    if s.len == r.full_len:
+        return
+    extra = r.full_len - s.len
+    if s.strand == 0:
+        if s.cigar and s.cigar[-1][0] == FROM_S:
+            s.cigar[-1] = (FROM_S, s.cigar[-1][1] + extra)
+        else:
+            if s.cigar is None:
+                s.cigar = [(FROM_M, s.len)]
+            s.cigar = list(s.cigar) + [(FROM_S, extra)]
+    else:
+        if s.cigar and s.cigar[0][0] == FROM_S:
+            s.cigar[0] = (FROM_S, s.cigar[0][1] + extra)
+        else:
+            if s.cigar is None:
+                s.cigar = [(FROM_M, s.len)]
+            s.cigar = [(FROM_S, extra)] + list(s.cigar)
+    s.len = r.full_len
+
+
+def refine_gapped(bns, pac, states):
+    """bwa_refine_gapped (bwase.c:356-423) minus color space."""
+    for s in states:
+        r = s.read
+        # s.seq was stored reversed; forward orientation for DP/MD
+        fwd_codes = r.seq[::-1]
+        for m in s.multi:
+            if m["gap"] == 0:
+                continue
+            seqc = r.rseq if m["strand"] else fwd_codes
+            cig, newpos = refine_gapped_core(
+                bns.l_pac, pac, seqc, m["pos"],
+                (1 if m["strand"] else -1) * m["gap"])
+            m["cigar"] = cig
+            m["n_cigar"] = len(cig)
+            m["pos"] = newpos
+        if s.type in (BWA_TYPE_NO_MATCH, BWA_TYPE_MATESW) or s.n_gapo == 0:
+            continue
+        seqc = r.rseq if s.strand else fwd_codes
+        s.cigar, s.pos = refine_gapped_core(
+            bns.l_pac, pac, seqc, s.pos,
+            (1 if s.strand else -1) * (s.n_gapo + s.n_gape))
+        if not s.cigar:
+            s.cigar = None
+
+    for s in states:
+        if s.type != BWA_TYPE_NO_MATCH:
+            r = s.read
+            seqc = r.rseq if s.strand else r.seq[::-1]
+            s.md, s.nm = cal_md1(s.cigar, seqc, s.pos, bns, pac)
+
+    for s in states:
+        correct_trimmed(s)
+
+
+def pos_end(s):
+    """bwase.c:425-436."""
+    if s.cigar:
+        x = s.pos
+        for op, ln in s.cigar:
+            if op in (FROM_M, FROM_D):
+                x += ln
+        return x
+    return s.pos + s.len
+
+
+def pos_end_multi(m, length):
+    if m["cigar"]:
+        x = m["pos"]
+        for op, ln in m["cigar"]:
+            if op in (FROM_M, FROM_D):
+                x += ln
+        return x
+    return m["pos"] + length
+
+
+def pos_5(s):
+    if s.type != BWA_TYPE_NO_MATCH:
+        return pos_end(s) if s.strand else s.pos
+    return -1
+
+
+def coor_pac2real(bns, pac_coor, length):
+    """bns_coor_pac2real (bntseq.c:272-306): (seqid, nn)."""
+    anns = bns.anns
+    left, mid, right = 0, 0, bns.n_seqs
+    while left < right:
+        mid = (left + right) >> 1
+        if pac_coor >= anns[mid].offset:
+            if mid == bns.n_seqs - 1:
+                break
+            if pac_coor < anns[mid + 1].offset:
+                break
+            left = mid + 1
+        else:
+            right = mid
+    seqid = mid
+    # hole overlap count (single overlapping hole, as in the reference)
+    left, right = 0, bns.n_holes
+    nn = 0
+    holes = bns.ambs
+    while left < right:
+        hmid = (left + right) >> 1
+        h = holes[hmid]
+        if pac_coor >= h.offset + h.length:
+            left = hmid + 1
+        elif pac_coor + length <= h.offset:
+            right = hmid
+        else:
+            if pac_coor >= h.offset:
+                nn += (h.offset + h.length - pac_coor
+                       if h.offset + h.length < pac_coor + length else length)
+            else:
+                nn += (h.length if h.offset + h.length < pac_coor + length
+                       else length - (h.offset - pac_coor))
+            break
+    return seqid, nn
+
+
+CIGAR_CHR = "MIDS"
+_FWD_BASES = "ACGTN"
+_REV_BASES = "TGCAN"
+
+
+def print_sam1(bns, s, mate, mode, max_top2, rg_id=None):
+    """bwa_print_sam1 (bwase.c:458-592) — returns one SAM line (no \\n)."""
+    r = s.read
+    out = []
+    if s.type != BWA_TYPE_NO_MATCH or (mate and mate.type != BWA_TYPE_NO_MATCH):
+        flag = s.extra_flag
+        if s.type == BWA_TYPE_NO_MATCH:
+            s.pos = mate.pos
+            s.strand = mate.strand
+            flag |= SAM_FSU
+            flag &= ~SAM_FPP
+            j = 1
+        else:
+            j = pos_end(s) - s.pos
+        seqid, nn = coor_pac2real(bns, s.pos, j)
+        if (s.type != BWA_TYPE_NO_MATCH
+                and s.pos + j - bns.anns[seqid].offset > bns.anns[seqid].length):
+            flag |= SAM_FSU  # bridges two reference sequences
+            flag &= ~SAM_FPP
+            s.mapQ = 0
+        if s.strand:
+            flag |= SAM_FSR
+        m_seqid = -1
+        am = 0
+        if mate:
+            if mate.type != BWA_TYPE_NO_MATCH:
+                m_seqid, m_nn = coor_pac2real(bns, mate.pos, mate.len)
+                nn += m_nn
+                m_j = pos_end(mate) - mate.pos
+                if (mate.pos + m_j - bns.anns[m_seqid].offset
+                        > bns.anns[m_seqid].length):
+                    flag |= SAM_FMU
+                    flag &= ~SAM_FPP
+                if mate.strand:
+                    flag |= SAM_FMR
+            else:
+                flag |= SAM_FMU
+                flag &= ~SAM_FPP
+        out.append("%s\t%d\t%s\t" % (r.name, flag, bns.anns[seqid].name))
+        out.append("%d\t%d\t" % (s.pos - bns.anns[seqid].offset + 1, s.mapQ))
+        if s.cigar:
+            out.append("".join("%d%c" % (ln, CIGAR_CHR[op])
+                               for op, ln in s.cigar))
+        elif s.type == BWA_TYPE_NO_MATCH:
+            out.append("*")
+        else:
+            out.append("%dM" % s.len)
+        if mate and mate.type != BWA_TYPE_NO_MATCH:
+            am = min(mate.seQ, s.seQ)
+            out.append("\t%s\t" % ("=" if seqid == m_seqid
+                                   else bns.anns[m_seqid].name))
+            isize = pos_5(mate) - pos_5(s) if seqid == m_seqid else 0
+            if s.type == BWA_TYPE_NO_MATCH:
+                isize = 0
+            out.append("%d\t%d\t" % (mate.pos - bns.anns[m_seqid].offset + 1,
+                                     isize))
+        elif mate:
+            out.append("\t=\t%d\t0\t" % (s.pos - bns.anns[seqid].offset + 1))
+        else:
+            out.append("\t*\t0\t0\t")
+        # sequence & quality: seq codes were restored to original orientation
+        full = r.full_codes
+        if s.strand == 0:
+            out.append("".join(_FWD_BASES[c] for c in full))
+        else:
+            out.append("".join(_REV_BASES[full[len(full) - 1 - i]]
+                               for i in range(len(full))))
+        out.append("\t")
+        out.append(_qual_str(s))
+        if rg_id:
+            out.append("\tRG:Z:%s" % rg_id)
+        if r.bc:
+            out.append("\tBC:Z:%s" % r.bc)
+        if r.clip_len < r.full_len:
+            out.append("\tXC:i:%d" % r.clip_len)
+        if s.type != BWA_TYPE_NO_MATCH:
+            xt = "NURM"[s.type]
+            if nn > 10:
+                xt = "N"
+            out.append("\tXT:A:%c\t%s:i:%d"
+                       % (xt, "NM" if mode & BWA_MODE_COMPREAD else "CM",
+                          s.nm))
+            if nn:
+                out.append("\tXN:i:%d" % nn)
+            if mate:
+                out.append("\tSM:i:%d\tAM:i:%d" % (s.seQ, am))
+            if s.type != BWA_TYPE_MATESW:
+                out.append("\tX0:i:%d" % s.c1)
+                if s.c1 <= max_top2:
+                    out.append("\tX1:i:%d" % s.c2)
+            out.append("\tXM:i:%d\tXO:i:%d\tXG:i:%d"
+                       % (s.n_mm, s.n_gapo, s.n_gapo + s.n_gape))
+            if s.md:
+                out.append("\tMD:Z:%s" % s.md)
+            if s.n_multi:
+                out.append("\tXA:Z:")
+                for m in s.multi:
+                    jj = pos_end_multi(m, s.len) - m["pos"]
+                    sid, _ = coor_pac2real(bns, m["pos"], jj)
+                    out.append("%s,%c%d," % (bns.anns[sid].name,
+                                             "-" if m["strand"] else "+",
+                                             m["pos"] - bns.anns[sid].offset + 1))
+                    if m["cigar"]:
+                        out.append("".join("%d%c" % (ln, CIGAR_CHR[op])
+                                           for op, ln in m["cigar"]))
+                    else:
+                        out.append("%dM" % s.len)
+                    out.append(",%d;" % (m["gap"] + m["mm"]))
+    else:  # no match at all
+        flag = s.extra_flag | SAM_FSU
+        if mate and mate.type == BWA_TYPE_NO_MATCH:
+            flag |= SAM_FMU
+        out.append("%s\t%d\t*\t0\t0\t*\t*\t0\t0\t" % (r.name, flag))
+        # p->seq was reversed back to original orientation by refine_gapped
+        # and len restored to full_len by correct_trimmed (bwase.c:570-575)
+        seqc = (np.where(r.full_codes < 4, 3 - r.full_codes, r.full_codes)[::-1]
+                if s.strand else r.full_codes)
+        out.append("".join(_FWD_BASES[c] for c in seqc[:s.len]))
+        out.append("\t")
+        out.append(_qual_str(s))
+        if rg_id:
+            out.append("\tRG:Z:%s" % rg_id)
+        if r.bc:
+            out.append("\tBC:Z:%s" % r.bc)
+        if r.clip_len < r.full_len:
+            out.append("\tXC:i:%d" % r.clip_len)
+        if mate and mate.type != BWA_TYPE_NO_MATCH:
+            _, nn = coor_pac2real(bns, mate.pos, mate.len)
+            if nn:
+                out.append("\tXN:i:%d" % nn)
+    return "".join(out)
+
+
+def _qual_str(s):
+    """Quality emission incl. the reference's reverse-first-len-only
+    behaviour for trimmed reverse-strand reads (bwase.c:528-531)."""
+    r = s.read
+    if r.qual is None:
+        return "*"
+    q = bytearray(r.qual)
+    if s.strand:
+        # seq_reverse(p->len, p->qual, 0): reverse only the first len chars
+        # (len may have been restored to full_len by correct_trimmed)
+        n = min(s.len, len(q))
+        q[:n] = q[:n][::-1]
+    return q.decode("latin1")
+
+
+def sam_header(bns, rg_line=None, version="0.5.10-evan.6.3-nabwa"):
+    lines = []
+    for a in bns.anns:
+        lines.append("@SQ\tSN:%s\tLN:%d" % (a.name, a.length))
+    if rg_line:
+        lines.append(rg_line)
+    lines.append("@PG\tID:bwa\tPN:bwa\tVN:%s" % version)
+    return "\n".join(lines) + "\n"
+
+
+def samse(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
+          rg_id=None):
+    """Core of samse for one chunk: returns list of SAM lines."""
+    from ..utils.rand48 import Rand48
+
+    bns = engine.index.bns
+    pac = engine.index.pac
+    if rng is None:
+        rng = Rand48(bns.seed)
+    states = []
+    for r, alns in zip(reads, per_read_alns):
+        s = SeqState(r)
+        aln2seq_core(alns, s, rng, set_main=True, n_multi=n_occ)
+        states.append(s)
+    cal_pac_pos(engine, states, opt.max_diff, opt.fnr)
+    refine_gapped(bns, pac, states)
+    return [print_sam1(bns, s, None, opt.mode, opt.max_top2, rg_id=rg_id)
+            for s in states]

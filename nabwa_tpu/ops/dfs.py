@@ -79,14 +79,18 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
     seq_len_u = U32(seq_len) if isinstance(seq_len, int) else seq_len.astype(U32)
 
     # --- initial state ---
+    # Stack arrays carry one extra dummy column (index S): invalid push
+    # candidates are scattered there so a single .at[].set never writes the
+    # same (row, slot) twice — duplicate-index scatter order is unspecified
+    # and would otherwise drop valid pushes.
     st = dict(
-        info=jnp.zeros((B, S), dtype=U32),
-        cnt=jnp.zeros((B, S), dtype=U32),
-        k=jnp.zeros((B, S), dtype=U32),
-        l=jnp.zeros((B, S), dtype=U32),
-        ldp=jnp.zeros((B, S), dtype=I32),
-        seq=jnp.zeros((B, S), dtype=I32),
-        live=jnp.zeros((B, S), dtype=bool),
+        info=jnp.zeros((B, S + 1), dtype=U32),
+        cnt=jnp.zeros((B, S + 1), dtype=U32),
+        k=jnp.zeros((B, S + 1), dtype=U32),
+        l=jnp.zeros((B, S + 1), dtype=U32),
+        ldp=jnp.zeros((B, S + 1), dtype=I32),
+        seq=jnp.zeros((B, S + 1), dtype=I32),
+        live=jnp.zeros((B, S + 1), dtype=bool),
         fl=jnp.broadcast_to(jnp.arange(S, dtype=I32), (B, S)),
         fl_n=jnp.full(B, S, dtype=I32),
         n_entries=jnp.zeros(B, dtype=I32),
@@ -442,6 +446,7 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         prefix = jnp.cumsum(valid.astype(I32), axis=1) - valid.astype(I32)
         fl_pos2 = jnp.clip(st["fl_n"][:, None] - 1 - prefix, 0, S - 1)
         slots9 = jnp.take_along_axis(st["fl"], fl_pos2, axis=1)
+        slots9 = jnp.where(valid, slots9, I32(S))  # dummy column for invalid
         cscore = aln_score(cnmm, cgo, cge)
         cinfo = (cscore.astype(U32) << 21) | (e_a[:, None].astype(U32) << 20) \
             | ci.astype(U32)

@@ -1,0 +1,185 @@
+"""Scalar model of aln_local_core (stdaln.c:529-761) — banded local SW with
+the packed h/e rows, the `f` freeze-across-zero-cells behaviour, the reverse
+banded pass, and the bandwidth-doubling global-DP path recovery.  Exact
+semantics (C array indices kept literally); oracle for the Pallas
+mate-rescue kernel.
+
+C's eh[] packs (h << 16 | e); here split into eh_h/eh_e with the same
+indices.  In the forward pass, eh[i-1] is written with (h of current row at
+column i-1, e of current row at column i) — the offset storage the C pointer
+walk produces.
+"""
+
+import numpy as np
+
+from .stdaln_scalar import aln_global_core, AlnParam, FROM_M, FROM_I, FROM_D
+
+LOCAL_OVERFLOW_THRESHOLD = 32000
+LOCAL_OVERFLOW_REDUCE = 16000
+
+
+def aln_local_core(seq1, seq2, ap, _thres=1, want_subo=False):
+    """Returns (score, path, subo).  path is last-to-first [(ctype, i, j)]
+    from the global re-alignment (only when _thres > 0), or None when below
+    threshold / no local match.
+    """
+    len1, len2 = len(seq1), len(seq2)
+    if len1 == 0 or len2 == 0:
+        return -1, None, 0
+    q = ap.gap_open
+    r = ap.gap_ext
+    qr = q + r
+    mat = ap.matrix
+    thres = _thres if _thres > 0 else -_thres
+    max_score = int(mat.max())
+
+    s1 = np.concatenate(([0], np.asarray(seq1, dtype=np.int64)))
+    s2 = np.concatenate(([0], np.asarray(seq2, dtype=np.int64)))
+    prof = mat[:, s1]  # prof[c][i] = mat[c, seq1[i]] (1-based i)
+
+    tmp_len = len1 + 1
+    eh_h = [0] * tmp_len
+    eh_e = [0] * tmp_len
+    suba = [0] * (len2 + 1)
+
+    # scores stay far below the C overflow threshold for short-read inputs;
+    # the rebase path (stdaln.c:587-606) is therefore not modelled
+    assert 11 * max(len2, 1) < LOCAL_OVERFLOW_THRESHOLD
+
+    score_f = 0
+    end_i = end_j = 0
+    for j in range(1, len2 + 1):
+        subo = 0
+        last_h = f = 0
+        sa_row = prof[s2[j]]
+        for i in range(1, tmp_len):
+            # s = eh + i - 1
+            curr_h = eh_h[i - 1] + int(sa_row[i])
+            if curr_h < 0:
+                curr_h = 0
+            if last_h > 0:
+                f = f - r if f > last_h - q else last_h - qr
+                if curr_h < f:
+                    curr_h = f
+            if eh_h[i] > qr:  # packed *(s+1) >= (qr+1)<<16
+                curr_last_h = eh_h[i]
+                e = eh_e[i - 1] - r if eh_e[i - 1] > curr_last_h - q \
+                    else curr_last_h - qr
+                if curr_h < e:
+                    curr_h = e
+                eh_h[i - 1] = last_h
+                eh_e[i - 1] = e
+            else:
+                eh_h[i - 1] = last_h
+                eh_e[i - 1] = 0
+            last_h = curr_h
+            if subo < curr_h:
+                subo = curr_h
+            if score_f < curr_h:
+                score_f = curr_h
+                end_i, end_j = i, j
+        eh_h[tmp_len - 1] = last_h
+        eh_e[tmp_len - 1] = 0
+        suba[j] = subo
+
+    if score_f < thres:
+        return score_f, None, 0
+
+    # reverse banded DP (stdaln.c:639-696)
+    for i in range(end_i, -1, -1):
+        eh_h[i] = 0
+        eh_e[i] = 0
+    if end_i == 0 or end_j == 0:
+        return score_f, None, 0
+    score_r = int(mat[s1[end_i], s2[end_j]])
+    start_i, start_j = end_i, end_j
+    eh_h[end_i] = qr + score_r
+    eh_e[end_i] = 0
+    start = end_i - 1
+    end = max(end_i - 3, 0)
+
+    j = end_j - 1
+    while j != 0:
+        last_h = f = 0
+        sa_row = prof[s2[j]]
+        i = start
+        broke = False
+        while i != end:
+            # s = eh + i + 1
+            curr_h = eh_h[i + 1] + int(sa_row[i])
+            if curr_h < 0:
+                curr_h = 0
+            if last_h > 0:
+                f = f - r if f > last_h - q else last_h - qr
+                if curr_h < f:
+                    curr_h = f
+            curr_last_h = eh_h[i]
+            e = eh_e[i + 1] - r if eh_e[i + 1] > curr_last_h - q \
+                else curr_last_h - qr
+            if e < 0:
+                e = 0
+            if curr_h < e:
+                curr_h = e
+            eh_h[i + 1] = last_h
+            eh_e[i + 1] = e
+            last_h = curr_h
+            if score_r < curr_h:
+                score_r = curr_h
+                start_i, start_j = i, j
+                if score_r - qr == score_f:
+                    broke = True
+                    break
+            i -= 1
+        # the statement after the inner loop (stdaln.c:690) runs in both the
+        # normal-exit and break cases, at the current s position
+        eh_h[i + 1] = last_h
+        eh_e[i + 1] = 0
+        if broke:
+            break
+        # band boundaries (stdaln.c:692-695), using the current j
+        if eh_h[start] <= qr:
+            start -= 1
+        if start <= 0:
+            start = 0
+        end = start_i - (start_j - j) - \
+            (score_r + (start_j - j) * max_score) // r - 1
+        if end <= 0:
+            end = 0
+        j -= 1
+
+    subo_out = 0
+    if want_subo:
+        tmp2 = 0
+        tmp = int(start_j - .33 * (end_j - start_j) + .499)
+        for jj in range(1, tmp + 1):
+            tmp2 = max(tmp2, suba[jj])
+        tmp = int(end_j + .33 * (end_j - start_j) + .499)
+        for jj in range(tmp, len2 + 1):
+            tmp2 = max(tmp2, suba[jj])
+        subo_out = tmp2
+
+    score_r -= qr
+
+    if _thres > 0:
+        # bandwidth-doubling global DP for the path (stdaln.c:723-745)
+        jmax = max(end_i - start_i, end_j - start_j) + 1
+        i_band = ap.band_width
+        path = None
+        while True:
+            ap_real = AlnParam(ap.gap_open, ap.gap_ext, -1, ap.matrix,
+                               ap.row, i_band)
+            score_g, path = aln_global_core(
+                np.asarray(seq1)[start_i - 1:end_i],
+                np.asarray(seq2)[start_j - 1:end_j], ap_real)
+            if score_g == score_r or score_f == score_g:
+                break
+            if i_band > jmax:
+                break
+            i_band <<= 1
+        if score_r > score_g and score_f > score_g:
+            return -1, None, subo_out
+        score_f = score_g
+        path = [(ct, i + start_i - 1, j + start_j - 1) for ct, i, j in path]
+        return score_f, path, subo_out
+    return score_f, [(FROM_M, end_i, end_j), (FROM_M, start_i, start_j)], \
+        subo_out

@@ -3,7 +3,9 @@ import sys
 
 # Force CPU with 8 virtual devices BEFORE jax import: kernels are validated
 # on a virtual mesh; real-TPU runs happen via bench.py / the driver.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (the environment may carry JAX_PLATFORMS=axon for the real TPU;
+# tests must run on the virtual CPU mesh).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -55,7 +55,7 @@ def sample_reads(genome_seq, n_reads, read_len, seed=42, err_rate=0.0,
                 r.insert(pos, BASES[int(rng.integers(0, 4))])
                 del r[-1]
         if revcomp and rng.random() < 0.5:
-            r = bytearray(comp[b] for b in reversed(r))
+            r = bytearray(comp.get(b, b) for b in reversed(r))
         qual = bytes([33 + int(q) for q in rng.integers(20, 40, read_len)])
         lines.append(b"@read%d\n%s\n+\n%s\n" % (i, bytes(r), qual))
     return b"".join(lines)
