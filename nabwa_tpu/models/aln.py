@@ -18,9 +18,14 @@ import jax.numpy as jnp
 
 from ..constants import BWA_AVG_ERR
 from ..ops import occ as occ_ops
-from ..ops.dfs import dfs_match_gap
+from ..ops.dfs import aln_device_step
 from ..refmodel.aln_scalar import cal_maxdiff, aln_batch as scalar_aln_batch
 from ..refmodel.fm_scalar import ScalarFm
+
+
+def _i32(v):
+    """uint32 value → int32 bit pattern scalar."""
+    return np.array([v], dtype=np.uint32).view(np.int32)[0]
 
 
 def _maxdiff_table(fnr, max_len=1024):
@@ -42,16 +47,17 @@ class AlnEngine:
         self.max_iters = max_iters
         fwd, rev = index.fwd, index.rev
         assert np.array_equal(fwd.l2, rev.l2), "L2 must match for fwd/rev"
-        self.bwt_fwd = jnp.asarray(fwd.bwt)
-        self.bwt_rev = jnp.asarray(rev.bwt)
+        # device arrays are int32 bit patterns (ops.u32 rationale)
+        self.bwt_fwd = jnp.asarray(fwd.bwt.view(np.int32))
+        self.bwt_rev = jnp.asarray(rev.bwt.view(np.int32))
         self.bwt_cat = jnp.concatenate([self.bwt_fwd, self.bwt_rev])
         self.rev_off = len(fwd.bwt)
-        self.l2 = jnp.asarray(fwd.l2)
-        self.sa_fwd = jnp.asarray(fwd.sa)
-        self.sa_rev = jnp.asarray(rev.sa)
-        self.primary_fwd = np.uint32(fwd.primary)
-        self.primary_rev = np.uint32(rev.primary)
-        self.seq_len = np.uint32(fwd.seq_len)
+        self.l2 = jnp.asarray(fwd.l2.view(np.int32))
+        self.sa_fwd = jnp.asarray(fwd.sa.view(np.int32))
+        self.sa_rev = jnp.asarray(rev.sa.view(np.int32))
+        self.primary_fwd = _i32(fwd.primary)
+        self.primary_rev = _i32(rev.primary)
+        self.seq_len = _i32(fwd.seq_len)
         self._scalar_fms = None
 
     def scalar_fms(self):
@@ -105,18 +111,8 @@ class AlnEngine:
             seqs[i, 0, :r.len] = r.seq
             seqs[i, 1, :r.len] = r.rseq
             lengths[i] = r.len
-        seqs_j = jnp.asarray(seqs)
-        lengths_j = jnp.asarray(lengths)
-
-        # widths on the OPPOSITE bwt (bwtaln.c:123-124): strand 0 -> fwd bwt
-        w0, bid0 = occ_ops.cal_width(self.bwt_fwd, self.l2, self.primary_fwd,
-                                     self.seq_len, seqs_j[:, 0, :], lengths_j)
-        w1, bid1 = occ_ops.cal_width(self.bwt_rev, self.l2, self.primary_rev,
-                                     self.seq_len, seqs_j[:, 1, :], lengths_j)
-        widths = jnp.stack([w0, w1], axis=1)
-        bids = jnp.stack([bid0, bid1], axis=1)
-
-        # seed widths over the last seed_len bases (bwtaln.c:127-130)
+        # seed-suffix extraction (last seed_len bases, bwtaln.c:127-130) on
+        # host; everything device-side runs in ONE fused jit call
         has_seed = lengths > local.seed_len if local.seed_len < 0x7FFFFFFF \
             else np.zeros(B, dtype=bool)
         has_seed = np.asarray(has_seed, dtype=bool)
@@ -124,23 +120,24 @@ class AlnEngine:
                                             if local.seed_len < 0x7FFFFFFF
                                             else 0), 0)
         gather_idx = np.minimum(seed_starts[:, None] + np.arange(SL), L - 1)
-        sseq0 = np.take_along_axis(seqs[:, 0, :], gather_idx, axis=1)
-        sseq1 = np.take_along_axis(seqs[:, 1, :], gather_idx, axis=1)
+        sseq = np.stack([np.take_along_axis(seqs[:, 0, :], gather_idx, 1),
+                         np.take_along_axis(seqs[:, 1, :], gather_idx, 1)],
+                        axis=1)
         slen = np.where(has_seed, min(local.seed_len, SL), 0).astype(np.int32)
-        sw0, sbid0 = occ_ops.cal_width(self.bwt_fwd, self.l2,
-                                       self.primary_fwd, self.seq_len,
-                                       jnp.asarray(sseq0), jnp.asarray(slen))
-        sw1, sbid1 = occ_ops.cal_width(self.bwt_rev, self.l2,
-                                       self.primary_rev, self.seq_len,
-                                       jnp.asarray(sseq1), jnp.asarray(slen))
-        seed_widths = jnp.stack([sw0, sw1], axis=1)
-        seed_bids = jnp.stack([sbid0, sbid1], axis=1)
 
-        out = dfs_match_gap(
-            self.bwt_cat, self.rev_off, self.primary_fwd, self.primary_rev,
-            self.l2, self.seq_len, seqs_j, lengths_j, widths, bids,
-            seed_widths, seed_bids, jnp.asarray(has_seed),
-            jnp.asarray(maxdiff),
+        # stack bins sized like gap_init_stack (bwtgap.c:18) from the
+        # batch-level local options; bucket to 16s for compile reuse
+        n_bins = ((local.max_diff + 1) * local.s_mm
+                  + (local.max_gapo + 1) * local.s_gapo
+                  + (local.max_gape + 1) * local.s_gape)
+        n_bins = -(-n_bins // 16) * 16
+
+        out = aln_device_step(
+            self.bwt_cat, self.bwt_fwd, self.bwt_rev, self.rev_off,
+            self.primary_fwd, self.primary_rev, self.l2, self.seq_len,
+            jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(sseq),
+            jnp.asarray(slen), jnp.asarray(has_seed), jnp.asarray(maxdiff),
+            n_bins=n_bins,
             s_mm=local.s_mm, s_gapo=local.s_gapo, s_gape=local.s_gape,
             max_gape=local.max_gape, max_gapo=local.max_gapo,
             indel_end_skip=local.indel_end_skip,
@@ -151,9 +148,9 @@ class AlnEngine:
             max_iters=self.max_iters)
 
         n_aln = np.asarray(out["n_aln"])
-        hit_meta = np.asarray(out["hit_meta"])
-        hit_k = np.asarray(out["hit_k"])
-        hit_l = np.asarray(out["hit_l"])
+        hit_meta = np.asarray(out["hit_meta"]).view(np.uint32)
+        hit_k = np.asarray(out["hit_k"]).view(np.uint32)
+        hit_l = np.asarray(out["hit_l"]).view(np.uint32)
         hit_score = np.asarray(out["hit_score"])
         hw = np.asarray(out["hw"])
         overflow = np.asarray(out["overflow"])

@@ -454,19 +454,21 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
         rows_r = [(i, t) for i, t in enumerate(jobs) if t[0] == 0]
         out = np.zeros(len(jobs), dtype=np.uint32)
         if rows_f:
-            arr = np.array([t[1] for _, t in rows_f], dtype=np.uint32)
+            arr = np.array([t[1] for _, t in rows_f],
+                           dtype=np.uint32).view(np.int32)
             res = np.asarray(sa_lookup(
-                engine.bwt_fwd, engine.l2, np.uint32(fwd.primary),
-                np.uint32(fwd.seq_len), engine.sa_fwd, fwd.sa_intv,
-                jnp.asarray(arr)))
+                engine.bwt_fwd, engine.l2, engine.primary_fwd,
+                engine.seq_len, engine.sa_fwd, fwd.sa_intv,
+                jnp.asarray(arr))).view(np.uint32)
             for (i, t), v in zip(rows_f, res):
                 out[i] = v
         if rows_r:
-            arr = np.array([t[1] for _, t in rows_r], dtype=np.uint32)
+            arr = np.array([t[1] for _, t in rows_r],
+                           dtype=np.uint32).view(np.int32)
             res = np.asarray(sa_lookup(
-                engine.bwt_rev, engine.l2, np.uint32(rev.primary),
-                np.uint32(rev.seq_len), engine.sa_rev, rev.sa_intv,
-                jnp.asarray(arr)))
+                engine.bwt_rev, engine.l2, engine.primary_rev,
+                engine.seq_len, engine.sa_rev, rev.sa_intv,
+                jnp.asarray(arr))).view(np.uint32)
             for (i, t), v in zip(rows_r, res):
                 out[i] = (rev.seq_len - (int(v) + t[2])) & _NEG1
         return out

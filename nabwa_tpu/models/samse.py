@@ -148,17 +148,19 @@ def cal_pac_pos(engine, states, max_mm, fnr):
         for j, m in enumerate(s.multi):
             (jobs_f if m["strand"] else jobs_r).append((si, j, m["pos"]))
 
-    def run(jobs, fm, bwt_dev, sa_dev):
+    def run(jobs, fm, bwt_dev, sa_dev, primary):
         if not jobs:
             return np.zeros(0, dtype=np.uint32)
-        rows = np.array([t[2] for t in jobs], dtype=np.uint32)
-        out = sa_lookup(bwt_dev, jnp.asarray(fm.l2), np.uint32(fm.primary),
-                        np.uint32(fm.seq_len), sa_dev, fm.sa_intv,
-                        jnp.asarray(rows))
-        return np.asarray(out)
+        rows = np.array([t[2] for t in jobs],
+                        dtype=np.uint32).view(np.int32)
+        out = sa_lookup(bwt_dev, engine.l2, primary, engine.seq_len,
+                        sa_dev, fm.sa_intv, jnp.asarray(rows))
+        return np.asarray(out).view(np.uint32)
 
-    res_f = run(jobs_f, fwd, engine.bwt_fwd, engine.sa_fwd)
-    res_r = run(jobs_r, rev, engine.bwt_rev, engine.sa_rev)
+    res_f = run(jobs_f, fwd, engine.bwt_fwd, engine.sa_fwd,
+                engine.primary_fwd)
+    res_r = run(jobs_r, rev, engine.bwt_rev, engine.sa_rev,
+                engine.primary_rev)
 
     for (si, j, _), v in zip(jobs_f, res_f):
         s = states[si]

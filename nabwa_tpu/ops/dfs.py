@@ -7,17 +7,24 @@ iteration pops (or advances the zero-budget exact-match fast path of) exactly
 one entry per live read, entirely as masked vector ops:
 
 - per-read explicit stacks live in HBM as [B, S] SoA arrays with a free-list
-  allocator; pop = (min score, then max push-sequence) reduction, which
-  reproduces the C stack's LIFO-within-score-bin order exactly (gap_pop,
-  bwtgap.c:66-79) — that order decides which hit drand48 picks downstream;
+  allocator.  Priority order uses the C's own structure (gap_stack_t,
+  bwtgap.c:13-79): per-score-bin linked lists via a per-entry `prev` pointer
+  and a [B, n_bins] top-pointer table; pop = argmin over the (tiny) bin
+  table then one pointer chase — O(n_bins) per read instead of an O(S)
+  reduction, and LIFO-within-bin order is exact by construction;
+- every scatter routes masked-off lanes to a dummy slot/column instead of
+  read-modify-writing, so XLA can update the stack buffers in place inside
+  the while loop (a single .at[].set also never writes one address twice —
+  duplicate-scatter order is unspecified);
 - both strands search within one stack (two seeds pushed, bwtgap.c:127-128);
   strand selects the fwd/rev BWT bank in one concatenated HBM array;
 - the zero-budget bwt_match_exact_alt call (bwtgap.c:162) becomes a per-read
-  "pending exact" lane state advancing one base per outer iteration, so
-  lockstep never stalls on the nested loop;
+  "pending exact" lane state advancing one base per outer iteration;
 - gap_shadow's width rewrite (bwtgap.c:81-91) is a masked prefix-sum update;
-- all stop rules (best-score cutoff, max_entries cap, top-2 behaviour,
-  max_top2) are per-lane `done` conditions.
+- all stop rules are per-lane `done` conditions.
+
+SA positions are int32 bit patterns with unsigned semantics (ops.u32) — the
+axon TPU backend scalarizes uint32-fed loop fusions.
 
 Reads that overflow the device stack or hit caps are flagged and re-run on
 the scalar host model (refmodel.dfs_scalar) — same semantics, no limits.
@@ -28,11 +35,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .occ import occ4, U32, _FULL
+from .u32 import I32, ult, ule, ugt, uge, ushr
+from .occ import occ4, select_base
 from ..constants import (STATE_M, STATE_I, STATE_D, BWA_MODE_GAPE,
                          BWA_MODE_LOGGAP, BWA_MODE_NONSTOP)
-
-I32 = jnp.int32
 
 
 def _int_log2(v):
@@ -46,55 +52,93 @@ def _int_log2(v):
     static_argnames=("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
                      "indel_end_skip", "max_del_occ", "max_entries",
                      "max_top2", "max_seed_diff", "seed_len", "mode",
-                     "stack_cap", "hits_cap", "max_iters"))
+                     "n_bins", "stack_cap", "hits_cap", "max_iters",
+                     "rev_word_offset"))
+def aln_device_step(bwt_cat, bwt_fwd, bwt_rev, rev_word_offset, primary_fwd,
+                    primary_rev, l2, seq_len, seqs, lengths, seed_seqs,
+                    seed_lengths, has_seed, max_diff, **statics):
+    """One fused device step: cal_width (both strands + seed suffixes) then
+    the DFS — everything under a single jit so no eager dispatch or
+    throwaway scan compiles happen per batch (bwa_cal_sa_reg_gap's per-read
+    width+search loop, bwtaln.c:111-138, as one compiled program)."""
+    from .occ import cal_width
+
+    w0, b0 = cal_width(bwt_fwd, l2, primary_fwd, seq_len,
+                       seqs[:, 0, :], lengths)
+    w1, b1 = cal_width(bwt_rev, l2, primary_rev, seq_len,
+                       seqs[:, 1, :], lengths)
+    widths = jnp.stack([w0, w1], axis=1)
+    bids = jnp.stack([b0, b1], axis=1)
+    sw0, sb0 = cal_width(bwt_fwd, l2, primary_fwd, seq_len,
+                         seed_seqs[:, 0, :], seed_lengths)
+    sw1, sb1 = cal_width(bwt_rev, l2, primary_rev, seq_len,
+                         seed_seqs[:, 1, :], seed_lengths)
+    seed_widths = jnp.stack([sw0, sw1], axis=1)
+    seed_bids = jnp.stack([sb0, sb1], axis=1)
+    return dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev,
+                         l2, seq_len, seqs, lengths, widths, bids,
+                         seed_widths, seed_bids, has_seed, max_diff,
+                         **statics)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
+                     "indel_end_skip", "max_del_occ", "max_entries",
+                     "max_top2", "max_seed_diff", "seed_len", "mode",
+                     "n_bins", "stack_cap", "hits_cap", "max_iters",
+                     "rev_word_offset"))
 def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
                   seq_len, seqs, lengths, widths, bids, seed_widths,
                   seed_bids, has_seed, max_diff, *, s_mm, s_gapo, s_gape,
                   max_gape, max_gapo, indel_end_skip, max_del_occ,
                   max_entries, max_top2, max_seed_diff, seed_len, mode,
-                  stack_cap=2048, hits_cap=64, max_iters=200000):
+                  n_bins=128, stack_cap=2048, hits_cap=64,
+                  max_iters=200000):
     """Run the DFS for a batch.
 
-    bwt_cat: uint32 [Wf+Wr], forward then reverse interleaved BWT.
+    bwt_cat: int32 [Wf+Wr], forward then reverse interleaved BWT.
     seqs: int32 [B, 2, L] (seq / rseq codes, reversed-read orientation).
-    lengths: int32 [B]; widths/bids: [B, 2, L+1]; seed_*: [B, 2, SL+1].
-    max_diff: int32 [B] per-read budget (max_gapo is the batch-clamped
-    scalar, bwtaln.c:105).
+    lengths: int32 [B]; widths/bids: int32 [B, 2, L+1]; seed_*: [B, 2, SL+1].
+    max_diff: int32 [B] per-read budget; max_gapo is the batch-clamped
+    scalar (bwtaln.c:105); n_bins must exceed every pushable score —
+    aln_score(batch_max_diff+1, max_gapo+1, max_gape+1) like gap_init_stack
+    (bwtgap.c:18).  primary_*/seq_len are int32 uint32-bit-patterns.
 
-    Returns dict with hit arrays [B, H], n_aln, hw (max_entries high-water),
-    and overflow flags (reads needing the host fallback).
+    Returns dict with hit arrays [B, H] (k/l as uint32 bit patterns),
+    n_aln, hw (max_entries high-water), and overflow flags.
     """
     B, _, L = seqs.shape
     S = stack_cap
     H = hits_cap
+    NB = n_bins
     b_idx = jnp.arange(B, dtype=I32)
     gape_mode = bool(mode & BWA_MODE_GAPE)
     nonstop = bool(mode & BWA_MODE_NONSTOP)
     loggap = bool(mode & BWA_MODE_LOGGAP)
     BIG = I32(0x7FFFFFF)
+    seq_len_i = I32(seq_len) if isinstance(seq_len, int) else \
+        seq_len.astype(I32)
 
     def aln_score(m, o, e):
         return m * s_mm + o * s_gapo + e * s_gape
 
-    seq_len_u = U32(seq_len) if isinstance(seq_len, int) else seq_len.astype(U32)
-
     # --- initial state ---
-    # Stack arrays carry one extra dummy column (index S): invalid push
-    # candidates are scattered there so a single .at[].set never writes the
-    # same (row, slot) twice — duplicate-index scatter order is unspecified
-    # and would otherwise drop valid pushes.
+    # Entry arrays carry one dummy slot (index S); the bin table a dummy
+    # bin (index NB); widths a dummy strand plane (index 2); hits a dummy
+    # slot (index H).  All masked-off scatter lanes are routed there.
     st = dict(
-        info=jnp.zeros((B, S + 1), dtype=U32),
-        cnt=jnp.zeros((B, S + 1), dtype=U32),
-        k=jnp.zeros((B, S + 1), dtype=U32),
-        l=jnp.zeros((B, S + 1), dtype=U32),
+        info=jnp.zeros((B, S + 1), dtype=I32),
+        cnt=jnp.zeros((B, S + 1), dtype=I32),
+        k=jnp.zeros((B, S + 1), dtype=I32),
+        l=jnp.zeros((B, S + 1), dtype=I32),
         ldp=jnp.zeros((B, S + 1), dtype=I32),
-        seq=jnp.zeros((B, S + 1), dtype=I32),
-        live=jnp.zeros((B, S + 1), dtype=bool),
-        fl=jnp.broadcast_to(jnp.arange(S, dtype=I32), (B, S)),
+        prev=jnp.full((B, S + 1), -1, dtype=I32),
+        live_any=None,  # replaced below
+        bin_top=jnp.full((B, NB + 1), -1, dtype=I32),
+        fl=jnp.broadcast_to(jnp.arange(S + 1, dtype=I32), (B, S + 1)),
         fl_n=jnp.full(B, S, dtype=I32),
         n_entries=jnp.zeros(B, dtype=I32),
-        seq_ctr=jnp.zeros(B, dtype=I32),
         best_score=aln_score(max_diff + 1, max_gapo + 1, max_gape + 1),
         best_diff=max_diff + 1,
         best_cnt=jnp.zeros(B, dtype=I32),
@@ -105,19 +149,22 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         hw=jnp.zeros(B, dtype=I32),
         pend=jnp.zeros(B, dtype=bool),
         pend_i=jnp.zeros(B, dtype=I32),
-        pend_k=jnp.zeros(B, dtype=U32),
-        pend_l=jnp.zeros(B, dtype=U32),
-        pend_cnt=jnp.zeros(B, dtype=U32),   # n_mm|gapo<<8|gape<<16
+        pend_k=jnp.zeros(B, dtype=I32),
+        pend_l=jnp.zeros(B, dtype=I32),
+        pend_cnt=jnp.zeros(B, dtype=I32),   # n_mm|gapo<<8|gape<<16
         pend_a=jnp.zeros(B, dtype=I32),
         pend_ldp=jnp.zeros(B, dtype=I32),
-        w=widths.astype(U32),
-        bid=bids.astype(I32),
-        hit_meta=jnp.zeros((B, H), dtype=U32),
-        hit_k=jnp.zeros((B, H), dtype=U32),
-        hit_l=jnp.zeros((B, H), dtype=U32),
-        hit_score=jnp.zeros((B, H), dtype=I32),
+        w=jnp.concatenate([widths.astype(I32),
+                           jnp.zeros((B, 1, L + 1), I32)], axis=1),
+        bid=jnp.concatenate([bids.astype(I32),
+                             jnp.zeros((B, 1, L + 1), I32)], axis=1),
+        hit_meta=jnp.zeros((B, H + 1), dtype=I32),
+        hit_k=jnp.zeros((B, H + 1), dtype=I32),
+        hit_l=jnp.zeros((B, H + 1), dtype=I32),
+        hit_score=jnp.zeros((B, H + 1), dtype=I32),
         iters=jnp.zeros((), dtype=I32),
     )
+    del st["live_any"]
 
     # too many Ns in seq[0] → no search at all (bwtgap.c:118-123)
     n_count = ((seqs[:, 0, :] > 3)
@@ -125,30 +172,32 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
     st["done"] = n_count > max_diff
 
     # push the two strand seeds (bwtgap.c:127-128): slots S-1 (a=0), S-2
-    # (a=1); LIFO pop takes a=1 first like the C bins.
+    # (a=1); both in bin 0, a=1 at the head so it pops first like the C.
     empty_read = lengths <= 0
     st["done"] = st["done"] | empty_read
     seedable = ~st["done"]
-    for a in (0, 1):
-        slot = S - 1 - a
-        st["info"] = st["info"].at[:, slot].set(
-            jnp.where(seedable, U32(a << 20) | lengths.astype(U32), 0))
-        st["l"] = st["l"].at[:, slot].set(jnp.where(seedable, seq_len_u, 0))
-        st["seq"] = st["seq"].at[:, slot].set(a)
-        st["live"] = st["live"].at[:, slot].set(seedable)
+    st["info"] = st["info"].at[:, S - 1].set(
+        jnp.where(seedable, lengths, 0))
+    st["info"] = st["info"].at[:, S - 2].set(
+        jnp.where(seedable, I32(1 << 20) | lengths, 0))
+    for slot in (S - 1, S - 2):
+        st["l"] = st["l"].at[:, slot].set(jnp.where(seedable, seq_len_i, 0))
+    st["prev"] = st["prev"].at[:, S - 2].set(
+        jnp.where(seedable, S - 1, -1))
+    st["bin_top"] = st["bin_top"].at[:, 0].set(
+        jnp.where(seedable, S - 2, -1))
     st["fl_n"] = jnp.where(seedable, S - 2, S)
     st["n_entries"] = jnp.where(seedable, 2, 0)
-    st["seq_ctr"] = jnp.where(seedable, 2, 0)
 
     seqs_flat = seqs.reshape(B, 2 * L)
-    w_shape = widths.shape  # [B, 2, L+1]
+    bin_ids = jnp.arange(NB + 1, dtype=I32)
 
     def occ4_lane(k_vec, a_vec):
         """occ4 against bwts[1-a] per lane (bwtgap.c:149): a=0 → reverse
         bank, a=1 → forward bank."""
         offs = jnp.where(a_vec == 0, rev_word_offset, 0).astype(I32)
-        prim = jnp.where(a_vec == 0, primary_rev, primary_fwd).astype(U32)
-        return occ4(bwt_cat, prim, seq_len_u, k_vec, word_offset=offs)
+        prim = jnp.where(a_vec == 0, primary_rev, primary_fwd).astype(I32)
+        return occ4(bwt_cat, prim, seq_len_i, k_vec, word_offset=offs)
 
     def get_seq(a_vec, pos):
         idx = a_vec * L + jnp.clip(pos, 0, L - 1)
@@ -168,33 +217,32 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         st["done"] = st["done"] | (do_stack & (empty | over_cap))
         do_pop = do_stack & ~empty & ~over_cap
 
-        # ---- pop: min score then max seq (gap_pop order) ----
-        score_arr = jnp.where(st["live"], (st["info"] >> 21).astype(I32), BIG)
-        min_score = score_arr.min(axis=1)
-        seq_key = jnp.where(st["live"] & (score_arr == min_score[:, None]),
-                            st["seq"], I32(-1))
-        slot = jnp.argmax(seq_key, axis=1).astype(I32)
+        # ---- pop from the lowest nonempty bin (gap_pop, bwtgap.c:66-79) --
+        nonempty = st["bin_top"][:, :NB] >= 0
+        e_score = jnp.where(nonempty, bin_ids[:NB], BIG).min(axis=1)
+        bin_sel = jnp.clip(e_score, 0, NB - 1)
+        slot = st["bin_top"][b_idx, bin_sel]
+        slot = jnp.clip(slot, 0, S)         # safe when no entry
         e_info = st["info"][b_idx, slot]
         e_cnt = st["cnt"][b_idx, slot]
         e_k = st["k"][b_idx, slot]
         e_l = st["l"][b_idx, slot]
         e_ldp = st["ldp"][b_idx, slot]
-        st["live"] = st["live"].at[b_idx, slot].set(
-            jnp.where(do_pop, False, st["live"][b_idx, slot]))
+        e_prev = st["prev"][b_idx, slot]
+        st["bin_top"] = st["bin_top"].at[
+            b_idx, jnp.where(do_pop, bin_sel, NB)].set(e_prev)
         st["n_entries"] = st["n_entries"] - do_pop.astype(I32)
         # free-list: return popped slot
-        fl_pos = jnp.clip(st["fl_n"], 0, S - 1)
-        st["fl"] = st["fl"].at[b_idx, fl_pos].set(
-            jnp.where(do_pop, slot, st["fl"][b_idx, fl_pos]))
+        fl_pos = jnp.where(do_pop, jnp.clip(st["fl_n"], 0, S), S)
+        st["fl"] = st["fl"].at[b_idx, fl_pos].set(slot)
         st["fl_n"] = st["fl_n"] + do_pop.astype(I32)
 
-        e_score = (e_info >> 21).astype(I32)
-        e_a = ((e_info >> 20) & U32(1)).astype(I32)
-        e_i = (e_info & U32(0xFFFF)).astype(I32)
-        e_nmm = (e_cnt & U32(0xFF)).astype(I32)
-        e_go = ((e_cnt >> 8) & U32(0xFF)).astype(I32)
-        e_ge = ((e_cnt >> 16) & U32(0xFF)).astype(I32)
-        e_state = ((e_cnt >> 24) & U32(3)).astype(I32)
+        e_a = ushr(e_info, 20) & I32(1)
+        e_i = e_info & I32(0xFFFF)
+        e_nmm = e_cnt & I32(0xFF)
+        e_go = ushr(e_cnt, 8) & I32(0xFF)
+        e_ge = ushr(e_cnt, 16) & I32(0xFF)
+        e_state = ushr(e_cnt, 24) & I32(3)
 
         # ---- best-score stop (bwtgap.c:144) ----
         if not nonstop:
@@ -209,9 +257,9 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         proc = do_pop & (m >= 0)
 
         # ---- width lower bound (bwtgap.c:156) ----
+        LP1 = L + 1
         bid_l = st["bid"].reshape(B, -1)
         w_l = st["w"].reshape(B, -1)
-        LP1 = L + 1
 
         def wb_idx(a_vec, pos):
             return a_vec * LP1 + jnp.clip(pos, 0, LP1 - 1)
@@ -236,13 +284,13 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         # ---- pending exact-match step (bwt_match_exact_alt, one base) ----
         pc = get_seq(st["pend_a"], st["pend_i"] - 1)
         cc = jnp.minimum(pc, 3)
-        cnt_pk = occ4_lane((st["pend_k"] - U32(1)), st["pend_a"])
+        cnt_pk = occ4_lane(st["pend_k"] - I32(1), st["pend_a"])
         cnt_pl = occ4_lane(st["pend_l"], st["pend_a"])
-        okk = jnp.take_along_axis(cnt_pk, cc[:, None], axis=1)[:, 0]
-        oll = jnp.take_along_axis(cnt_pl, cc[:, None], axis=1)[:, 0]
-        nk = l2[cc] + okk + U32(1)
+        okk = select_base(cnt_pk, cc)
+        oll = select_base(cnt_pl, cc)
+        nk = l2[cc] + okk + I32(1)
         nl = l2[cc] + oll
-        pfail = in_pend & ((pc > 3) | (nk > nl))
+        pfail = in_pend & ((pc > 3) | ugt(nk, nl))
         pstep = in_pend & ~pfail
         st["pend_k"] = jnp.where(pstep, nk, st["pend_k"])
         st["pend_l"] = jnp.where(pstep, nl, st["pend_l"])
@@ -253,9 +301,9 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         # ---- hit processing (bwtgap.c:166-199) ----
         hit_now = direct_hit | pend_hit
         h_cnt = jnp.where(direct_hit, e_cnt, st["pend_cnt"])
-        h_nmm = (h_cnt & U32(0xFF)).astype(I32)
-        h_go = ((h_cnt >> 8) & U32(0xFF)).astype(I32)
-        h_ge = ((h_cnt >> 16) & U32(0xFF)).astype(I32)
+        h_nmm = h_cnt & I32(0xFF)
+        h_go = ushr(h_cnt, 8) & I32(0xFF)
+        h_ge = ushr(h_cnt, 16) & I32(0xFF)
         h_a = jnp.where(direct_hit, e_a, st["pend_a"])
         h_ldp = jnp.where(direct_hit, e_ldp, st["pend_ldp"])
         h_k = jnp.where(direct_hit, e_k, st["pend_k"])
@@ -272,56 +320,50 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
                 first_hit, jnp.minimum(new_best_diff + 1, st["max_diff"]),
                 st["max_diff"])
         eq_best = h_score == st["best_score"]
-        width_cnt = (h_l - h_k + U32(1)).astype(I32)
+        width_cnt = h_l - h_k + I32(1)
         brk2 = hit_now & ~eq_best & (st["best_cnt"] > max_top2)
         st["best_cnt"] = st["best_cnt"] + jnp.where(hit_now & eq_best,
                                                     width_cnt, 0)
         st["done"] = st["done"] | brk2
         add_lane = hit_now & ~brk2
         # tandem-repeat dedup (bwtgap.c:179-183)
-        in_hits = ((st["hit_k"] == h_k[:, None])
-                   & (st["hit_l"] == h_l[:, None])
+        in_hits = ((st["hit_k"][:, :H] == h_k[:, None])
+                   & (st["hit_l"][:, :H] == h_l[:, None])
                    & (jnp.arange(H) < st["n_aln"][:, None])).any(axis=1)
         do_add = add_lane & ~((h_go > 0) & in_hits)
 
-        # gap_shadow (bwtgap.c:81-91) on w[b, h_a, :]
-        wa = w_l.reshape(B, 2, LP1)[b_idx, h_a, :]
-        bida = bid_l.reshape(B, 2, LP1)[b_idx, h_a, :]
-        x = (h_l - h_k + U32(1))
+        # gap_shadow (bwtgap.c:81-91) on w[b, h_a, :]; masked lanes write
+        # the dummy strand plane 2
+        h_a_w = jnp.where(do_add, h_a, I32(2))
+        wa = st["w"][b_idx, h_a_w, :]
+        bida = st["bid"][b_idx, h_a_w, :]
+        x = h_l - h_k + I32(1)
         shadow_mask = jnp.arange(LP1) < h_ldp[:, None]
         eq = shadow_mask & (wa == x[:, None])
-        gt = shadow_mask & (wa > x[:, None])
-        jc = jnp.cumsum(eq.astype(U32), axis=1)
+        gt = shadow_mask & ugt(wa, x[:, None])
+        jc = jnp.cumsum(eq.astype(I32), axis=1)
         wa_new = jnp.where(gt, wa - x[:, None],
-                           jnp.where(eq, seq_len_u - jc, wa))
+                           jnp.where(eq, seq_len_i - jc, wa))
         bida_new = jnp.where(eq, I32(1), bida)
-        upd = do_add
-        w3 = st["w"]
-        bid3 = st["bid"]
-        w3 = w3.at[b_idx, h_a, :].set(
-            jnp.where(upd[:, None], wa_new, w3[b_idx, h_a, :]))
-        bid3 = bid3.at[b_idx, h_a, :].set(
-            jnp.where(upd[:, None], bida_new, bid3[b_idx, h_a, :]))
-        st["w"] = w3
-        st["bid"] = bid3
+        st["w"] = st["w"].at[b_idx, h_a_w, :].set(wa_new)
+        st["bid"] = st["bid"].at[b_idx, h_a_w, :].set(bida_new)
 
-        # append hit
+        # append hit (dummy slot H when masked)
         hof = do_add & (st["n_aln"] >= H)
         st["overflow"] = st["overflow"] | hof
         write_hit = do_add & ~hof
-        hslot = jnp.clip(st["n_aln"], 0, H - 1)
-        meta = (h_cnt & U32(0xFFFFFF)) | (h_a.astype(U32) << 24)
+        hslot = jnp.where(write_hit, jnp.clip(st["n_aln"], 0, H - 1), H)
+        meta = (h_cnt & I32(0xFFFFFF)) | (h_a << 24)
         for nm, val in (("hit_meta", meta), ("hit_k", h_k), ("hit_l", h_l),
                         ("hit_score", h_score)):
-            st[nm] = st[nm].at[b_idx, hslot].set(
-                jnp.where(write_hit, val, st[nm][b_idx, hslot]))
+            st[nm] = st[nm].at[b_idx, hslot].set(val)
         st["n_aln"] = st["n_aln"] + write_hit.astype(I32)
 
         # ---- expansion (bwtgap.c:201-259) ----
         i2 = e_i - 1
-        cnt_k4 = occ4_lane(e_k - U32(1), e_a)
+        cnt_k4 = occ4_lane(e_k - I32(1), e_a)
         cnt_l4 = occ4_lane(e_l, e_a)
-        occ_width = (e_l - e_k + U32(1)).astype(I32)
+        occ_width = e_l - e_k + I32(1)
 
         bid_i2m1 = bid_l[b_idx, wb_idx(e_a, i2 - 1)]
         bid_i2 = bid_l[b_idx, wb_idx(e_a, i2)]
@@ -370,7 +412,7 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         can_ext_i = is_i & (e_ge < max_gape)
         can_ext_d = (is_d & (e_ge < max_gape)
                      & ((e_go + e_ge < st["max_diff"])
-                        | (occ_width < max_del_occ)))
+                        | ult(occ_width, I32(max_del_occ))))
 
         sc = get_seq(e_a, i2)
 
@@ -395,10 +437,10 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         cand_diff.append(jnp.ones(B, dtype=bool))
         # slots 1-4: deletion (open from M / extend from D) for bases 0..3
         for j in range(4):
-            dk = l2[j] + cnt_k4[:, j] + U32(1)
+            dk = l2[j] + cnt_k4[:, j] + I32(1)
             dl = l2[j] + cnt_l4[:, j]
             cand_valid.append(expand & ind_ok & (can_open | can_ext_d)
-                              & (dk <= dl))
+                              & ule(dk, dl))
             cand_i.append(i2 + 1)
             cand_k.append(dk)
             cand_l.append(dl)
@@ -413,9 +455,9 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         for j in range(1, 5):
             c = (sc + j) & 3
             is_mm = (jnp.full(B, j != 4, dtype=bool)) | (sc > 3)
-            mk = l2[c] + jnp.take_along_axis(cnt_k4, c[:, None], 1)[:, 0] + U32(1)
-            ml = l2[c] + jnp.take_along_axis(cnt_l4, c[:, None], 1)[:, 0]
-            ok_int = mk <= ml
+            mk = l2[c] + select_base(cnt_k4, c) + I32(1)
+            ml = l2[c] + select_base(cnt_l4, c)
+            ok_int = ule(mk, ml)
             v = expand & ok_int & (mm_all | (exact_only & (j == 4)))
             cand_valid.append(v)
             cand_i.append(i2)
@@ -429,8 +471,8 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
 
         valid = jnp.stack(cand_valid, axis=1)              # [B, 9]
         ci = jnp.stack([jnp.broadcast_to(x, (B,)) for x in cand_i], axis=1)
-        ck = jnp.stack(cand_k, axis=1).astype(U32)
-        cl = jnp.stack(cand_l, axis=1).astype(U32)
+        ck = jnp.stack(cand_k, axis=1)
+        cl = jnp.stack(cand_l, axis=1)
         cnmm = jnp.stack(cand_nmm, axis=1)
         cgo = jnp.stack(cand_go, axis=1)
         cge = jnp.stack(cand_ge, axis=1)
@@ -444,34 +486,49 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         valid = valid & ~sovf[:, None]
 
         prefix = jnp.cumsum(valid.astype(I32), axis=1) - valid.astype(I32)
-        fl_pos2 = jnp.clip(st["fl_n"][:, None] - 1 - prefix, 0, S - 1)
+        fl_pos2 = jnp.clip(st["fl_n"][:, None] - 1 - prefix, 0, S)
         slots9 = jnp.take_along_axis(st["fl"], fl_pos2, axis=1)
-        slots9 = jnp.where(valid, slots9, I32(S))  # dummy column for invalid
+        slots9 = jnp.where(valid, slots9, I32(S))  # dummy slot for invalid
         cscore = aln_score(cnmm, cgo, cge)
-        cinfo = (cscore.astype(U32) << 21) | (e_a[:, None].astype(U32) << 20) \
-            | ci.astype(U32)
-        ccnt = (cnmm.astype(U32) | (cgo.astype(U32) << 8)
-                | (cge.astype(U32) << 16) | (cstate.astype(U32) << 24))
-        cldp = jnp.where(cdiff, ci, 0).astype(I32)
-        cseq = st["seq_ctr"][:, None] + prefix
+        cbin = jnp.clip(cscore, 0, NB - 1)
+        cinfo = (cscore << 21) | (e_a[:, None] << 20) | ci
+        ccnt = cnmm | (cgo << 8) | (cge << 16) | (cstate << 24)
+        cldp = jnp.where(cdiff, ci, 0)
+
+        # per-bin linked-list pushes: candidate j's prev is the last earlier
+        # valid candidate in the same bin, else the current bin top
+        prev9 = jnp.take_along_axis(st["bin_top"], cbin, axis=1)
+        for j in range(1, 9):
+            pj = prev9[:, j]
+            for jj in range(j):
+                same = valid[:, jj] & (cbin[:, jj] == cbin[:, j])
+                pj = jnp.where(same, slots9[:, jj], pj)
+            prev9 = prev9.at[:, j].set(pj)
+        # bin_top update: only the LAST valid candidate of each bin writes
+        is_last = valid
+        for j in range(9):
+            later_same = jnp.zeros(B, dtype=bool)
+            for jj in range(j + 1, 9):
+                later_same = later_same | (valid[:, jj]
+                                           & (cbin[:, jj] == cbin[:, j]))
+            is_last = is_last.at[:, j].set(valid[:, j] & ~later_same)
+        bin_w = jnp.where(is_last, cbin, I32(NB))
 
         b9 = jnp.broadcast_to(b_idx[:, None], (B, 9))
+        st["bin_top"] = st["bin_top"].at[b9, bin_w].set(slots9)
 
         def scat(dst, val):
-            return dst.at[b9, slots9].set(jnp.where(valid, val,
-                                                    dst[b9, slots9]))
+            return dst.at[b9, slots9].set(val)
 
         st["info"] = scat(st["info"], cinfo)
         st["cnt"] = scat(st["cnt"], ccnt)
         st["k"] = scat(st["k"], ck)
         st["l"] = scat(st["l"], cl)
         st["ldp"] = scat(st["ldp"], cldp)
-        st["seq"] = scat(st["seq"], cseq)
-        st["live"] = scat(st["live"], jnp.ones((B, 9), dtype=bool))
+        st["prev"] = scat(st["prev"], prev9)
         n_pushed = valid.sum(axis=1).astype(I32)
         st["n_entries"] = st["n_entries"] + n_pushed
         st["fl_n"] = st["fl_n"] - n_pushed
-        st["seq_ctr"] = st["seq_ctr"] + n_pushed
 
         st["iters"] = st["iters"] + 1
         # iteration cap: flag leftover reads for host fallback
@@ -486,10 +543,10 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
 
     final = jax.lax.while_loop(cond, body, st)
     return {
-        "hit_meta": final["hit_meta"],
-        "hit_k": final["hit_k"],
-        "hit_l": final["hit_l"],
-        "hit_score": final["hit_score"],
+        "hit_meta": final["hit_meta"][:, :H],
+        "hit_k": final["hit_k"][:, :H],
+        "hit_l": final["hit_l"][:, :H],
+        "hit_score": final["hit_score"][:, :H],
         "n_aln": final["n_aln"],
         "hw": final["hw"],
         "overflow": final["overflow"],

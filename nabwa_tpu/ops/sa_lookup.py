@@ -3,54 +3,57 @@
 bwt_sa (bwt.c:72-81) is a variable-length invPsi pointer-chase until a
 sampled row; batched here as a lockstep while-loop with a per-lane done
 mask (expected ~sa_intv/2 steps, terminates at a sampled row or row 0).
+int32 bit-pattern arithmetic throughout (see ops.u32).
 """
 
 import jax
 import jax.numpy as jnp
 
-from .occ import occ, U32, _FULL
+from .u32 import I32, NEG1, ugt, uge, ushr
+from .occ import occ
 
 
 def b0_string(bwt, pos):
     """Base at string position pos of the $-removed BWT (bwt_B0, bwt.h:66)."""
-    word_idx = ((pos >> 7) * U32(12) + U32(4) + ((pos >> 4) & U32(7))
-                ).astype(jnp.int32)
+    word_idx = ushr(pos, 7) * I32(12) + I32(4) + (ushr(pos, 4) & I32(7))
     w = bwt[word_idx]
-    return ((w >> (((~pos) & U32(15)) << U32(1))) & U32(3)).astype(jnp.int32)
+    return ushr(w, ((~pos) & I32(15)) << 1) & I32(3)
 
 
 def inv_psi(bwt, l2, primary, seq_len, k):
     """Batched invPsi (bwt.h:71-75)."""
     is_primary = k == primary
-    strpos = jnp.where(k > primary, k - U32(1), k)
-    strpos = jnp.where(is_primary, U32(0), strpos)  # safe index
+    strpos = jnp.where(ugt(k, primary), k - I32(1), k)
+    strpos = jnp.where(is_primary, I32(0), strpos)  # safe index
     c = b0_string(bwt, strpos)
     o = occ(bwt, l2, primary, seq_len, k, c)
     out = l2[c] + o
-    return jnp.where(is_primary, U32(0), out)
+    return jnp.where(is_primary, I32(0), out)
 
 
 def sa_lookup(bwt, l2, primary, seq_len, sa_arr, sa_intv, k):
-    """Batched bwt_sa (bwt.c:72-81).  k: uint32 [...] rows; returns uint32
-    text positions (callers treat result relative to the BWT's own
-    orientation, bwase.c:139-154)."""
-    intv = U32(sa_intv) if not hasattr(sa_intv, "dtype") else sa_intv
+    """Batched bwt_sa (bwt.c:72-81).  k: int32 [...] rows (uint32 bits);
+    returns int32 text positions (uint32 bit patterns)."""
+    intv = int(sa_intv)
+    assert intv & (intv - 1) == 0, "sa_intv must be a power of two on device"
+    mask = I32(intv - 1)
+    shift = intv.bit_length() - 1
 
     def cond(state):
         k, s = state
-        return jnp.any(k % intv != 0)
+        return jnp.any((k & mask) != 0)
 
     def body(state):
         k, s = state
-        live = k % intv != 0
+        live = (k & mask) != 0
         nk = inv_psi(bwt, l2, primary, seq_len, k)
         k = jnp.where(live, nk, k)
-        s = jnp.where(live, s + U32(1), s)
+        s = jnp.where(live, s + I32(1), s)
         return k, s
 
-    k = k.astype(U32)
+    k = k.astype(I32)
     s0 = jnp.zeros_like(k)
     k, s = jax.lax.while_loop(cond, body, (k, s0))
-    kk = (k // intv).astype(jnp.int32)
-    base = jnp.where(kk == 0, _FULL, sa_arr[kk])
-    return s + base  # uint32 wraparound matches `sa + (-1)` (bwt.c:80)
+    kk = ushr(k, shift)
+    base = jnp.where(kk == 0, NEG1, sa_arr[kk])
+    return s + base  # int32 wraparound matches `sa + (-1)` (bwt.c:80)

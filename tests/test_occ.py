@@ -20,11 +20,11 @@ def small_fm():
     sa_samp = samod.cal_sa_sample(sa_full, len(codes), 32)
     fm = ScalarFm(inter, primary, l2, len(codes), sa=sa_samp, sa_intv=32)
     dev = {
-        "bwt": jnp.asarray(inter),
-        "l2": jnp.asarray(l2),
-        "primary": jnp.uint32(primary),
-        "seq_len": jnp.uint32(len(codes)),
-        "sa": jnp.asarray(sa_samp),
+        "bwt": jnp.asarray(inter.view(np.int32)),
+        "l2": jnp.asarray(l2.view(np.int32)),
+        "primary": np.int32(primary),
+        "seq_len": np.int32(len(codes)),
+        "sa": jnp.asarray(sa_samp.view(np.int32)),
     }
     return codes, fm, dev
 
@@ -120,6 +120,6 @@ def test_sa_lookup(small_fm):
     ks = rng.integers(0, fm.seq_len + 1, size=128).astype(np.uint32)
     got = np.asarray(sa_lookup(dev["bwt"], dev["l2"], dev["primary"],
                                dev["seq_len"], dev["sa"], 32,
-                               jnp.asarray(ks)))
+                               jnp.asarray(ks))).view(np.uint32)
     want = np.array([fm.sa(int(k)) for k in ks], dtype=np.uint32)
     np.testing.assert_array_equal(got, want)
