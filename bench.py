@@ -1,0 +1,97 @@
+"""Benchmark: aligned reads/s/chip for the aln engine on real TPU hardware,
+vs the reference C bwa single-thread on the same host and data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": R}
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
+WORK = pathlib.Path("/tmp/nabwa_bench")
+GLEN = 2_000_000
+N_READS = 8192
+READ_LEN = 100
+DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "1024"))
+STACK_CAP = int(os.environ.get("NABWA_BENCH_STACK", "256"))
+
+
+def setup_data():
+    from tests import genomes
+    from nabwa_tpu.index.build import build_index
+
+    WORK.mkdir(exist_ok=True)
+    fa_path = WORK / "g.fa"
+    fq_path = WORK / "r.fq"
+    if not (WORK / "g.fa.bwt").exists():
+        fa, seqs = genomes.random_genome(GLEN, seed=99)
+        fa_path.write_bytes(fa)
+        build_index(str(fa_path))
+    if not fq_path.exists():
+        fa_txt = fa_path.read_bytes()
+        seq = b"".join(l for l in fa_txt.split(b"\n")
+                       if not l.startswith(b">"))
+        from tests import genomes as g2
+        fq = g2.sample_reads(seq, N_READS, READ_LEN, seed=100, err_rate=0.01)
+        fq_path.write_bytes(fq)
+    return fa_path, fq_path
+
+
+def bench_ours(fa_path, fq_path):
+    from nabwa_tpu.index.fmindex import BwaIndex
+    from nabwa_tpu.models.aln import AlnEngine
+    from nabwa_tpu.io import fastq
+    from nabwa_tpu.options import GapOpt
+
+    idx = BwaIndex.load(str(fa_path))
+    reads = fastq.read_fastq_batch(fastq.iter_fastq(str(fq_path)), 1 << 22)
+    eng = AlnEngine(idx, GapOpt(), stack_cap=STACK_CAP)
+    # warm-up / compile
+    eng.run_chunk(reads[:DEVICE_BATCH], device_batch=DEVICE_BATCH)
+    t0 = time.time()
+    res = eng.run_chunk(reads, device_batch=DEVICE_BATCH)
+    dt = time.time() - t0
+    n_hit = sum(1 for a, hw in res if a)
+    return len(reads) / dt, n_hit
+
+
+def bench_reference(fa_path, fq_path):
+    """Single-thread reference `bwa aln` wall time on the same data."""
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
+    from tests.refbin import ensure_bwa
+
+    bwa = ensure_bwa()
+    ref_fa = WORK / "ref_g.fa"
+    if not (WORK / "ref_g.fa.bwt").exists():
+        ref_fa.write_bytes(fa_path.read_bytes())
+        subprocess.run([bwa, "index", str(ref_fa)], check=True,
+                       capture_output=True)
+    t0 = time.time()
+    subprocess.run([bwa, "aln", str(ref_fa), str(fq_path), "-f",
+                    str(WORK / "ref.sai")], check=True, capture_output=True)
+    dt = time.time() - t0
+    return N_READS / dt
+
+
+def main():
+    fa_path, fq_path = setup_data()
+    ref_rps = bench_reference(fa_path, fq_path)
+    ours_rps, n_hit = bench_ours(fa_path, fq_path)
+    print(json.dumps({
+        "metric": "aln_reads_per_sec_per_chip",
+        "value": round(ours_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(ours_rps / ref_rps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

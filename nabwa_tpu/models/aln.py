@@ -38,12 +38,20 @@ def _maxdiff_table(fnr, max_len=1024):
 class AlnEngine:
     """Holds device arrays + compiled DFS for one index."""
 
-    def __init__(self, index, opt, stack_cap=8192, hits_cap=64,
-                 max_iters=2_000_000):
+    def __init__(self, index, opt, stack_cap=256, hits_cap=32,
+                 max_iters=2_000_000, retry_stack_cap=4096,
+                 retry_hits_cap=128):
+        """stack_cap is deliberately small: per-DFS-iteration cost on TPU is
+        dominated by whole-stack-array traffic, and the observed per-read
+        stack high-water is ~250 typical / ~1000 for hard reads.  Reads that
+        overflow retry once with retry_stack_cap, then fall back to the
+        scalar host model."""
         self.index = index
         self.opt = opt
         self.stack_cap = stack_cap
         self.hits_cap = hits_cap
+        self.retry_stack_cap = retry_stack_cap
+        self.retry_hits_cap = retry_hits_cap
         self.max_iters = max_iters
         fwd, rev = index.fwd, index.rev
         assert np.array_equal(fwd.l2, rev.l2), "L2 must match for fwd/rev"
@@ -68,36 +76,71 @@ class AlnEngine:
                 ScalarFm(r.bwt, r.primary, r.l2, r.seq_len, r.sa, r.sa_intv))
         return self._scalar_fms
 
-    def run_chunk(self, reads, device_batch=512):
+    def run_chunk(self, reads, device_batch=1024, per_read_semantics=False):
         """Process one reference-chunk of reads; returns list of
-        (alns, max_entries) in read order."""
+        (alns, max_entries) in read order.
+
+        per_read_semantics=True mirrors bam2bam's per-record
+        bwa_cal_sa_reg_gap calls (bam2bam.c:616,676): the batch-level
+        max_gapo clamp (bwtaln.c:105) applies per READ; reads are grouped
+        by their clamped max_gapo so each group runs with matching statics.
+        """
         opt = self.opt
         if not reads:
             return []
         max_len = max(r.len for r in reads)
-        local = copy.copy(opt)
-        if opt.fnr > 0.0:
-            local.max_diff = cal_maxdiff(max_len, BWA_AVG_ERR, opt.fnr)
-        if local.max_diff < local.max_gapo:
-            local.max_gapo = local.max_diff
         if opt.fnr > 0.0:
             tab = _maxdiff_table(opt.fnr, max(max_len, 64))
             per_read_maxdiff = np.array([tab[r.len] for r in reads],
                                         dtype=np.int32)
         else:
-            per_read_maxdiff = np.full(len(reads), local.max_diff,
+            per_read_maxdiff = np.full(len(reads), opt.max_diff,
                                        dtype=np.int32)
 
         results = [None] * len(reads)
-        for start in range(0, len(reads), device_batch):
-            part = reads[start:start + device_batch]
-            self._run_device(part, per_read_maxdiff[start:start + len(part)],
-                             local, results, start, max_len)
+        if not per_read_semantics:
+            local = copy.copy(opt)
+            if opt.fnr > 0.0:
+                local.max_diff = cal_maxdiff(max_len, BWA_AVG_ERR, opt.fnr)
+            if local.max_diff < local.max_gapo:
+                local.max_gapo = local.max_diff
+            for start in range(0, len(reads), device_batch):
+                part = reads[start:start + device_batch]
+                self._run_device(part,
+                                 per_read_maxdiff[start:start + len(part)],
+                                 local, results, start, max_len)
+            return results
+
+        # group by per-read clamped max_gapo (identical almost always)
+        groups = {}
+        for i, r in enumerate(reads):
+            mg = min(opt.max_gapo, per_read_maxdiff[i]) \
+                if opt.fnr > 0.0 else \
+                (opt.max_gapo if opt.max_diff >= opt.max_gapo
+                 else opt.max_diff)
+            groups.setdefault(mg, []).append(i)
+        for mg, idxs in groups.items():
+            local = copy.copy(opt)
+            local.max_gapo = int(mg)
+            local.max_diff = int(per_read_maxdiff[idxs].max())
+            sub_reads = [reads[i] for i in idxs]
+            sub_md = per_read_maxdiff[idxs]
+            sub_res = [None] * len(idxs)
+            sub_maxlen = max(r.len for r in sub_reads)
+            for start in range(0, len(sub_reads), device_batch):
+                part = sub_reads[start:start + device_batch]
+                self._run_device(part, sub_md[start:start + len(part)],
+                                 local, sub_res, start, sub_maxlen)
+            for i, res in zip(idxs, sub_res):
+                results[i] = res
         return results
 
-    def _run_device(self, reads, maxdiff, local, results, base, max_len):
+    def _run_device(self, reads, maxdiff, local, results, base, max_len,
+                    stack_cap=None, hits_cap=None, tier=0):
         # Bucket shapes (B to 64s, L to 32s) so recurring batch geometries
         # reuse compiled kernels; padding lanes are len-0 (done immediately).
+        stack_cap = stack_cap or self.stack_cap
+        hits_cap = hits_cap or self.hits_cap
         B = max(64, -(-len(reads) // 64) * 64)
         L = max(32, -(-max_len // 32) * 32)
         nreads = len(reads)
@@ -144,7 +187,7 @@ class AlnEngine:
             max_del_occ=local.max_del_occ, max_entries=local.max_entries,
             max_top2=local.max_top2, max_seed_diff=local.max_seed_diff,
             seed_len=local.seed_len, mode=local.mode,
-            stack_cap=self.stack_cap, hits_cap=self.hits_cap,
+            stack_cap=stack_cap, hits_cap=hits_cap,
             max_iters=self.max_iters)
 
         n_aln = np.asarray(out["n_aln"])
@@ -169,6 +212,19 @@ class AlnEngine:
                                  l=int(hit_l[i, h]),
                                  score=int(hit_score[i, h])))
             results[base + i] = (alns, int(hw[i]))
+
+        if fallback and tier == 0 and self.retry_stack_cap > stack_cap:
+            # second device pass with the big stack for overflow reads only
+            fb_reads = [reads[i] for i in fallback]
+            fb_maxdiff = np.asarray([maxdiff[i] for i in fallback],
+                                    dtype=np.int32)
+            sub_results = [None] * len(fb_reads)
+            self._run_device(fb_reads, fb_maxdiff, local, sub_results, 0,
+                             max_len, stack_cap=self.retry_stack_cap,
+                             hits_cap=self.retry_hits_cap, tier=1)
+            for i, res in zip(fallback, sub_results):
+                results[base + i] = res
+            return
 
         if fallback:
             fms = self.scalar_fms()

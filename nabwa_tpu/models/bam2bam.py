@@ -1,0 +1,680 @@
+"""bam2bam workflow — the fork's flagship BAM→BAM pipeline (bam2bam.c),
+single-host path.
+
+Two-pass structure exactly like the sequential loop (bam2bam.c:1143-1219,
+1761-1779): pass 1 aligns + positions every logical record (singleton or
+pair) and accumulates per-read-group insert-size histograms
+(insert_size.c:141-165); after the barrier (infer_all_isizes) pass 2 runs
+pairing + mate rescue + gapped refinement and splices the new alignment back
+into the ORIGINAL BAM records (bwa_update_bam1, bam2bam.c:430-593).
+
+The device batch engine replaces the per-record bwa_cal_sa_reg_gap calls;
+drand48 consumption stays in record order because sampling happens on host
+after the batched search.  The ZeroMQ distribution of this pipeline maps to
+chunk sharding over hosts + an isize-histogram reduction at the barrier
+(SURVEY §2.7); this module is the single-host core those shards run.
+"""
+
+import math
+import struct
+
+import numpy as np
+
+from ..constants import (BWA_TYPE_NO_MATCH, BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT,
+                         BWA_TYPE_MATESW, BWA_AVG_ERR, SAM_FPD, SAM_FR1,
+                         SAM_FR2, SAM_FPP, SAM_FSU, SAM_FMU, SAM_FSR,
+                         SAM_FSC, SAM_FMR, SAM_FQC, SAM_FDP,
+                         BWA_MODE_COMPREAD)
+from ..io import bam as bamio
+from ..io.bam import (BamRec, BAM_FPAIRED, BAM_FREAD1, BAM_FREAD2,
+                      BAM_FUNMAP, REVCOM1, reg2bin)
+from ..io.fastq import Read, trim_read
+from ..refmodel.aln_scalar import cal_maxdiff
+from ..refmodel.stdaln_scalar import FROM_M, FROM_I, FROM_D, FROM_S
+from . import samse as se
+from . import sampe as pe
+
+MAX_ISIZE = 100000  # insert_size.c:47
+
+EOF_KIND, SINGLETON, PROPER_PAIR = 0, 1, 2
+PRISTINE, ALIGNED, POSITIONED, FINISHED = 0, 1, 2, 3
+
+
+class Pair:
+    """bam_pair_t (bwtaln.h:124-130)."""
+
+    __slots__ = ("recno", "kind", "phase", "recs", "states", "alns", "hw")
+
+    def __init__(self, kind, recs):
+        self.kind = kind
+        self.recs = recs
+        self.phase = PRISTINE
+        self.states = [None, None]
+        self.alns = [None, None]
+        self.hw = [0, 0]
+
+
+def bam1_to_read(rec: BamRec, is_comp=True, trim_qual=0):
+    """bam1_to_seq (bwaseqio.c:272-307) → io.fastq.Read."""
+    codes = rec.seq_nt4().copy()
+    quals = np.minimum(rec.quals().astype(np.int32) + 33, 126).astype(
+        np.uint8)
+    if rec.flag & SAM_FSR:  # stored reverse-complemented; recover the read
+        codes = codes[::-1]
+        codes = np.where(codes < 4, 3 - codes, codes).astype(np.uint8)
+        quals = quals[::-1].copy()
+    full_len = len(codes)
+    ln = trim_read(trim_qual, codes, quals, full_len) if trim_qual >= 1 \
+        else full_len
+    fwd = codes[:ln]
+    rseq = fwd[::-1].copy()
+    if is_comp:
+        rseq = np.where(rseq < 4, 3 - rseq, rseq).astype(np.uint8)
+    return Read(name=rec.qname, seq=fwd[::-1].copy(), rseq=rseq, qual=quals,
+                full_len=full_len, clip_len=ln, full_codes=codes, bc="")
+
+
+def read_bam_pairs(reader, allow_broken=False, drop_aligned=False):
+    """read_bam_pair loop (bwaseqio.c:345-494).  Yields Pair objects."""
+    pending = None
+    while True:
+        rec = pending if pending is not None else reader.read1()
+        pending = None
+        if rec is None:
+            return
+        if not (rec.flag & BAM_FPAIRED):
+            p = Pair(SINGLETON, [rec, None])
+        else:
+            mate = reader.read1()
+            if mate is None:
+                if allow_broken:
+                    return
+                raise IOError("got a paired read and hit EOF")
+            f1 = rec.flag & (BAM_FPAIRED | BAM_FREAD1 | BAM_FREAD2)
+            f2 = mate.flag & (BAM_FPAIRED | BAM_FREAD1 | BAM_FREAD2)
+            if rec.qname == mate.qname:
+                if f1 == (BAM_FPAIRED | BAM_FREAD1) and \
+                        f2 == (BAM_FPAIRED | BAM_FREAD2):
+                    p = Pair(PROPER_PAIR, [rec, mate])
+                elif f2 == (BAM_FPAIRED | BAM_FREAD1) and \
+                        f1 == (BAM_FPAIRED | BAM_FREAD2):
+                    p = Pair(PROPER_PAIR, [mate, rec])
+                elif allow_broken:
+                    rec.flag = (rec.flag & ~BAM_FREAD2) | BAM_FPAIRED \
+                        | BAM_FREAD1
+                    mate.flag = (mate.flag & ~BAM_FREAD1) | BAM_FPAIRED \
+                        | BAM_FREAD2
+                    p = Pair(PROPER_PAIR, [rec, mate])
+                else:
+                    raise IOError("pair flags wrong for %s" % rec.qname)
+            else:
+                # lone mate: discard first, retry with second
+                if not allow_broken:
+                    raise IOError("lone mate %s" % rec.qname)
+                pending = mate
+                continue
+        if drop_aligned:
+            # skip while either end is already aligned (bwaseqio.c:469-473)
+            aligned0 = not (p.recs[0].flag & BAM_FUNMAP)
+            aligned1 = p.kind == PROPER_PAIR and \
+                not (p.recs[1].flag & BAM_FUNMAP)
+            if aligned0 or aligned1:
+                continue
+        # QC-fail propagation (bwaseqio.c:486-489)
+        if p.kind == PROPER_PAIR:
+            p.recs[0].flag |= p.recs[1].flag & SAM_FQC
+            p.recs[1].flag |= p.recs[0].flag & SAM_FQC
+        for i in range(p.kind):
+            erase_unwanted_tags(p.recs[i])
+        yield p
+
+
+def erase_unwanted_tags(rec: BamRec):
+    """erase_unwanted_tags (bwaseqio.c:413-464): drop AM NM CM SM MD X0 X1
+    XA XC XG XM XN XO XT YQ."""
+    d = rec.data
+    p = rec.aux_off()
+    out = bytearray(d[:p])
+    n = len(d)
+    while p < n:
+        keep = True
+        a, b = d[p], d[p + 1]
+        if a in b"ASCN" and b == ord("M"):
+            keep = False
+        elif a == ord("M") and b == ord("D"):
+            keep = False
+        elif a == ord("X") and chr(b) in "01ACGMNOT":
+            keep = False
+        elif a == ord("Y") and b == ord("Q"):
+            keep = False
+        q = bamio._skip_tag(d, p)
+        if keep:
+            out += d[p:q]
+        p = q
+    rec.data = out
+
+
+def unique(p, skip_duplicates):
+    """bam2bam.c:595-606."""
+    if not skip_duplicates:
+        return True
+    if p.kind == SINGLETON:
+        return not (p.recs[0].flag & SAM_FDP)
+    return not (p.recs[0].flag & SAM_FDP) and \
+        not (p.recs[1].flag & SAM_FDP)
+
+
+def revcom_bam1(rec: BamRec):
+    """revcom_bam1 (bam2bam.c:335-362)."""
+    rec.flag ^= SAM_FSR
+    off = rec.seq_off()
+    nb = (rec.l_qseq + 1) // 2
+    seg = bytes(rec.data[off:off + nb])
+    rc = bytes(REVCOM1[b] for b in reversed(seg))
+    rc = bytearray(rc)
+    if rec.l_qseq & 1:  # shift by one nybble
+        out = bytearray(nb)
+        for i in range(nb - 1):
+            out[i] = ((rc[i] & 0x0F) << 4) | ((rc[i + 1] & 0xF0) >> 4)
+        out[nb - 1] = (rc[nb - 1] & 0x0F) << 4
+        rc = out
+    rec.data[off:off + nb] = rc
+    qoff = rec.qual_off()
+    rec.data[qoff:qoff + rec.l_qseq] = \
+        rec.data[qoff:qoff + rec.l_qseq][::-1]
+
+
+def resize_cigar(rec: BamRec, n_cigar):
+    """bam_resize_cigar (bam2bam.c:407-414)."""
+    off = rec.cigar_off()
+    old_end = off + 4 * rec.n_cigar
+    tail = rec.data[old_end:]
+    rec.data = rec.data[:off] + bytearray(4 * n_cigar) + tail
+    rec.n_cigar = n_cigar
+
+
+def push_int(rec, u, v, x):
+    rec.data += bytes([ord(u), ord(v), ord("i")]) + struct.pack(
+        "<I", x & 0xFFFFFFFF)
+
+
+def push_char(rec, u, v, c):
+    rec.data += bytes([ord(u), ord(v), ord("A"), ord(c)])
+
+
+def push_string(rec, u, v, s):
+    rec.data += bytes([ord(u), ord(v), ord("Z")]) + s.encode() + b"\x00"
+
+
+_CIG_BAM_OP = [0, 1, 2, 4]  # "\000\001\002\004" (bam2bam.c:469)
+
+
+def update_bam1(out: BamRec, bns, s, mate, mode, max_top2, debug_bam=False):
+    """bwa_update_bam1 (bam2bam.c:430-593)."""
+    r = s.read
+    if r.clip_len < r.full_len:
+        push_int(out, "X", "C", r.clip_len)
+    if getattr(s, "max_entries", 0) and debug_bam:
+        push_int(out, "Y", "Q", s.max_entries)
+
+    if s.type != BWA_TYPE_NO_MATCH or (mate and
+                                       mate.type != BWA_TYPE_NO_MATCH):
+        am = 0
+        if s.type == BWA_TYPE_NO_MATCH:
+            s.pos = mate.pos
+            s.strand = mate.strand
+            s.extra_flag |= SAM_FSU
+            j = 1
+        else:
+            j = se.pos_end(s) - s.pos
+
+        if s.strand != ((out.flag & SAM_FSR) != 0):
+            revcom_bam1(out)
+        out.flag &= ~(SAM_FPP | SAM_FSU | SAM_FMU | SAM_FSC | SAM_FMR)
+        out.flag |= s.extra_flag
+
+        seqid, nn = se.coor_pac2real(bns, s.pos, j)
+        if s.type != BWA_TYPE_NO_MATCH and \
+                s.pos + j - bns.anns[seqid].offset > bns.anns[seqid].length:
+            out.flag |= SAM_FSU
+            out.flag &= ~SAM_FPP
+            s.mapQ = 0
+
+        out.tid = seqid
+        out.pos = s.pos - bns.anns[seqid].offset
+        out.bin = reg2bin(s.pos - bns.anns[seqid].offset,
+                          se.pos_end(s) - bns.anns[seqid].offset)
+        out.qual = s.mapQ
+
+        if s.cigar:
+            resize_cigar(out, len(s.cigar))
+            off = out.cigar_off()
+            for i, (op, ln) in enumerate(s.cigar):
+                struct.pack_into("<I", out.data, off + 4 * i,
+                                 (ln << 4) | _CIG_BAM_OP[op])
+        elif s.type == BWA_TYPE_NO_MATCH:
+            resize_cigar(out, 0)
+        else:
+            resize_cigar(out, 1)
+            struct.pack_into("<I", out.data, out.cigar_off(), s.len << 4)
+
+        if mate and mate.type != BWA_TYPE_NO_MATCH:
+            am = min(mate.seQ, s.seQ)
+            m_seqid, m_nn = se.coor_pac2real(bns, mate.pos, mate.len)
+            nn += m_nn
+            m_j = se.pos_end(mate) - mate.pos
+            if mate.pos + m_j - bns.anns[m_seqid].offset \
+                    > bns.anns[m_seqid].length:
+                out.flag |= SAM_FMU
+                out.flag &= ~SAM_FPP
+            if mate.strand:
+                out.flag |= SAM_FMR
+            out.mtid = m_seqid
+            out.mpos = mate.pos - bns.anns[m_seqid].offset
+            if s.type == BWA_TYPE_NO_MATCH:
+                out.isize = 0
+            else:
+                out.isize = (se.pos_5(mate) - se.pos_5(s)) \
+                    if seqid == m_seqid else 0
+        elif mate:
+            out.flag |= SAM_FMU
+            out.flag &= ~SAM_FPP
+            out.mtid = seqid
+            out.mpos = s.pos - bns.anns[seqid].offset
+            out.isize = 0
+        else:
+            out.mtid = -1
+            out.mpos = -1
+            out.isize = 0
+
+        if s.type != BWA_TYPE_NO_MATCH:
+            xt = "NURM"[s.type]
+            if nn > 10:
+                xt = "N"
+            push_char(out, "X", "T", xt)
+            if mode & BWA_MODE_COMPREAD:
+                push_int(out, "N", "M", s.nm)
+            else:
+                push_int(out, "C", "M", s.nm)
+            if nn:
+                push_int(out, "X", "N", nn)
+            if mate:
+                push_int(out, "S", "M", s.seQ)
+                push_int(out, "A", "M", am)
+            if s.type != BWA_TYPE_MATESW:
+                push_int(out, "X", "0", s.c1)
+                if s.c1 <= max_top2:
+                    push_int(out, "X", "1", s.c2)
+            push_int(out, "X", "M", s.n_mm)
+            push_int(out, "X", "O", s.n_gapo)
+            push_int(out, "X", "G", s.n_gapo + s.n_gape)
+            if s.md:
+                push_string(out, "M", "D", s.md)
+            if s.n_multi:
+                parts = []
+                for m in s.multi:
+                    jj = se.pos_end_multi(m, s.len) - m["pos"]
+                    sid, _ = se.coor_pac2real(bns, m["pos"], jj)
+                    parts.append("%s,%c%d," % (
+                        bns.anns[sid].name, "-" if m["strand"] else "+",
+                        m["pos"] - bns.anns[sid].offset + 1))
+                    if m["cigar"]:
+                        parts.append("".join(
+                            "%d%c" % (ln, se.CIGAR_CHR[op])
+                            for op, ln in m["cigar"]))
+                    else:
+                        parts.append("%dM" % s.len)
+                    parts.append(",%d;" % (m["gap"] + m["mm"]))
+                push_string(out, "X", "A", "".join(parts))
+    else:  # no match at all
+        out.tid = -1
+        out.pos = -1
+        out.bin = 0
+        out.qual = 0
+        out.mtid = -1
+        out.mpos = -1
+        out.isize = 0
+        out.flag &= ~(SAM_FPP | SAM_FMU | SAM_FSC)
+        out.flag |= SAM_FSU
+        if mate and mate.type == BWA_TYPE_NO_MATCH:
+            out.flag |= SAM_FMU
+        resize_cigar(out, 0)
+        if mate and mate.type != BWA_TYPE_NO_MATCH:
+            _, nn = se.coor_pac2real(bns, mate.pos, mate.len)
+            if nn:
+                push_int(out, "X", "N", nn)
+
+
+def infer_isize_hist(hist, ap_prior, L):
+    """infer_isize_hist (insert_size.c:50-139).  hist: int array MAX_ISIZE.
+    Returns IsizeInfo or None (unusable)."""
+    ii = pe.IsizeInfo()
+    tot = int(hist.sum())
+    if tot < 20:
+        return None
+    cum = 0
+    p25 = p50 = p75 = 0
+    for i in range(MAX_ISIZE):
+        cum2 = cum + int(hist[i])
+        if cum <= tot * 0.25 + 0.5 < cum2:
+            p25 = i
+        if cum <= tot * 0.50 + 0.5 < cum2:
+            p50 = i
+        if cum <= tot * 0.75 + 0.5 < cum2:
+            p75 = i
+        cum = cum2
+    tmp = int(p25 - pe.OUTLIER_BOUND * (p75 - p25) + .499)
+    ii.low = tmp if tmp > 1 else 1
+    ii.high = int(p75 + pe.OUTLIER_BOUND * (p75 - p25) + .499)
+    n = 0
+    x = 0
+    for i in range(MAX_ISIZE):
+        if ii.low <= i <= ii.high:
+            n += int(hist[i])
+            x += int(hist[i]) * i
+    ii.avg = x / n
+    std_acc = -1.0  # ii->std initialised to -1.0 (insert_size.c:60,100)
+    skew = kurt = 0.0
+    for i in range(MAX_ISIZE):
+        if ii.low <= i <= ii.high and hist[i]:
+            t = (i - ii.avg) * (i - ii.avg)
+            std_acc += t * int(hist[i])
+            skew += t * (i - ii.avg) * int(hist[i])
+            kurt += t * t * int(hist[i])
+    ii.std = math.sqrt(std_acc / n)
+    y = 1.0
+    while y < 10.0:
+        if .5 * math.erfc(y / math.sqrt(2)) < ap_prior / L * (
+                y * ii.std + ii.avg):
+            break
+        y += 0.01
+    ii.high_bayesian = int(y * ii.std + ii.avg + .499)
+    n_ap = int(hist[ii.high_bayesian + 1:].sum()) \
+        if ii.high_bayesian + 1 < MAX_ISIZE else 0
+    ii.ap_prior = .01 * (n_ap + .01) / tot
+    if ii.ap_prior < ap_prior:
+        ii.ap_prior = ap_prior
+    if math.isnan(ii.std) or p75 > MAX_ISIZE:
+        return None
+    return ii
+
+
+class NullIsize(pe.IsizeInfo):
+    """static null_ii — zero-initialised (bam2bam.c globals)."""
+
+    def __init__(self):
+        super().__init__()
+        self.avg = 0.0
+        self.std = 0.0
+        self.ap_prior = 0.0
+
+
+def improve_isize_est(hists, p, ap_prior, L):
+    """improve_isize_est (insert_size.c:141-165)."""
+    s = p.states
+    if p.kind < 1 or s[0].mapQ < 20:
+        return
+    if p.kind > 1 and s[1].mapQ < 20:
+        return
+    if p.kind == 1:
+        ln = s[0].len
+    elif s[0].pos < s[1].pos:
+        ln = s[1].pos + s[1].len - s[0].pos
+    else:
+        ln = s[0].pos + s[0].len - s[1].pos
+    if ln < 0 or ln >= MAX_ISIZE:
+        return
+    rg = p.recs[0].get_rg()
+    h = hists.get(rg)
+    if h is None:
+        h = np.zeros(MAX_ISIZE, dtype=np.int64)
+        hists[rg] = h
+    h[ln] += 1
+
+
+def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
+            version="ref", only_aligned=False, broken_input=False,
+            skip_duplicates=False, drop_aligned=False, debug_bam=False):
+    """Sequential two-pass bam2bam (bwa_bam2bam_core simple loop)."""
+    bns = engine.index.bns
+    pac = engine.index.pac
+    reader = bamio.BamReader(in_bam)
+
+    pairs = list(read_bam_pairs(reader, allow_broken=broken_input,
+                                drop_aligned=drop_aligned))
+
+    # ---- PASS 1: align (batched) ----
+    jobs = []   # (pair, end) in record order for the device engine
+    for p in pairs:
+        if not unique(p, skip_duplicates):
+            p.phase = POSITIONED
+            for j in range(p.kind):
+                p.states[j] = se.SeqState(bam1_to_read(
+                    p.recs[j], True, gopt.trim_qual))
+                p.alns[j] = []
+            continue
+        for j in range(p.kind):
+            rd = bam1_to_read(p.recs[j], True, gopt.trim_qual)
+            p.states[j] = se.SeqState(rd)
+            jobs.append((p, j, rd))
+
+    reads = [rd for _, _, rd in jobs]
+    results = engine.run_chunk(reads, per_read_semantics=True)
+    for (p, j, rd), (alns, hw) in zip(jobs, results):
+        p.alns[j] = alns
+        p.hw[j] = hw
+        p.states[j].max_entries = hw
+
+    # posn phase in record order (drand48 order contract) + batched SA
+    posn_jobs = []
+    for p in pairs:
+        if not unique(p, skip_duplicates):
+            continue
+        if p.kind == SINGLETON:
+            s = p.states[0]
+            se.aln2seq_core(p.alns[0], s, rng, set_main=True,
+                            n_multi=popt.max_occ_se)
+        else:
+            for j in range(2):
+                s = p.states[j]
+                s.n_multi = 0
+                s.multi = []
+                se.aln2seq_core(p.alns[j], s, rng, set_main=True, n_multi=0)
+    # positions (batched, no rng involved)
+    se.cal_pac_pos(engine, [p.states[j] for p in pairs
+                            if unique(p, skip_duplicates)
+                            for j in range(p.kind)],
+                   gopt.max_diff, gopt.fnr)
+    # per-RG isize histograms in record order (insert_size.c)
+    hists = {}
+    for p in pairs:
+        if unique(p, skip_duplicates):
+            improve_isize_est(hists, p, popt.ap_prior, engine.index.fwd.seq_len)
+        p.phase = POSITIONED
+
+    # ---- barrier: infer_all_isizes ----
+    iinfos = {}
+    for rg, h in hists.items():
+        ii = infer_isize_hist(h, popt.ap_prior, engine.index.fwd.seq_len)
+        if ii is not None:
+            iinfos[rg] = ii
+    null_ii = NullIsize()
+
+    # ---- PASS 2: finish ----
+    # interval expansion for pairing, batched like sampe (position memo
+    # persists for the whole run like g_hash / my_hash)
+    pos_memo = {}
+    counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+    out_records = []
+    for p in pairs:
+        if unique(p, skip_duplicates):
+            if p.kind == SINGLETON:
+                _finish_singleton(engine, bns, pac, p)
+            else:
+                _finish_pair(engine, bns, pac, p, gopt, popt, iinfos,
+                             null_ii, pos_memo, counters)
+        p.phase = FINISHED
+        if only_aligned and any(p.recs[i].flag & SAM_FSU
+                                for i in range(p.kind)):
+            continue
+        for i in range(p.kind):
+            out_records.append(p.recs[i])
+
+    # ---- output BAM ----
+    header_text = print_header_text(bns, reader.text, argv or [], version)
+    refs = [(a.name, a.length) for a in bns.anns]
+    bamio.make_bam(out_bam, refs, out_records, text=header_text)
+    return counters
+
+
+def _finish_singleton(engine, bns, pac, p):
+    s = p.states[0]
+    se.refine_gapped(bns, pac, [s])
+    update_bam1(p.recs[0], bns, s, None, engine.opt.mode,
+                engine.opt.max_top2)
+
+
+def _finish_pair(engine, bns, pac, p, gopt, popt, iinfos, null_ii, pos_memo,
+                 counters):
+    s = p.states
+    rg = p.recs[0].get_rg()
+    ii = iinfos.get(rg, null_ii)
+
+    both = all(x.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT) for x in s)
+    if both:
+        n_occ = [sum(h["l"] - h["k"] + 1 for h in p.alns[j])
+                 for j in range(2)]
+        if n_occ[0] <= popt.max_occ and n_occ[1] <= popt.max_occ:
+            d_arr = []
+            import jax.numpy as jnp
+            from ..ops.sa_lookup import sa_lookup
+            for j in range(2):
+                for ki, h in enumerate(p.alns[j]):
+                    width = h["l"] - h["k"] + 1
+                    key = (h["k"], h["l"])
+                    if width >= pe.MIN_HASH_WIDTH and key in pos_memo:
+                        positions = pos_memo[key]
+                    else:
+                        rows = np.arange(h["k"], h["l"] + 1,
+                                         dtype=np.uint32).view(np.int32)
+                        if h["a"]:
+                            res = np.asarray(sa_lookup(
+                                engine.bwt_fwd, engine.l2,
+                                engine.primary_fwd, engine.seq_len,
+                                engine.sa_fwd, engine.index.fwd.sa_intv,
+                                jnp.asarray(rows))).view(np.uint32)
+                            positions = res
+                        else:
+                            res = np.asarray(sa_lookup(
+                                engine.bwt_rev, engine.l2,
+                                engine.primary_rev, engine.seq_len,
+                                engine.sa_rev, engine.index.rev.sa_intv,
+                                jnp.asarray(rows))).view(np.uint32)
+                            positions = (np.uint32(engine.index.rev.seq_len)
+                                         - (res + np.uint32(s[j].len)))
+                        if width >= pe.MIN_HASH_WIDTH:
+                            pos_memo[key] = positions
+                    for v in positions:
+                        d_arr.append((int(v) << 32) | (ki << 1) | j)
+            d_arr = np.sort(np.asarray(d_arr, dtype=np.uint64))
+            pe.pairing((s[0], s[1]), d_arr, (p.alns[0], p.alns[1]), popt,
+                       gopt.s_mm, ii)
+
+    if popt.N_multi or popt.n_multi:
+        for j in range(2):
+            if s[j].type != BWA_TYPE_NO_MATCH:
+                if (not (s[j].extra_flag & SAM_FPP)
+                        and s[1 - j].type != BWA_TYPE_NO_MATCH):
+                    nm = popt.n_multi \
+                        if s[j].c1 + s[j].c2 - 1 > popt.N_multi \
+                        else popt.N_multi
+                else:
+                    nm = popt.n_multi
+                se.aln2seq_core(p.alns[j], s[j], None, set_main=False,
+                                n_multi=nm)
+        # multi positions
+        import jax.numpy as jnp
+        jobs = []
+        refs = []
+        for j in range(2):
+            for m in s[j].multi:
+                jobs.append((m["strand"], m["pos"], s[j].len))
+                refs.append(m)
+        if jobs:
+            from ..models.sampe import sampe as _unused  # noqa
+            vals = _batch_positions(engine, jobs)
+            for m, v in zip(refs, vals):
+                m["pos"] = int(v)
+
+    pe.paired_sw1(bns, pac, (s[0], s[1]), popt, ii, counters)
+    se.refine_gapped(bns, pac, [s[0]])
+    se.refine_gapped(bns, pac, [s[1]])
+    update_bam1(p.recs[0], bns, s[0], s[1], gopt.mode, gopt.max_top2)
+    update_bam1(p.recs[1], bns, s[1], s[0], gopt.mode, gopt.max_top2)
+
+
+def _batch_positions(engine, jobs):
+    import jax.numpy as jnp
+    from ..ops.sa_lookup import sa_lookup
+
+    fwd, rev = engine.index.fwd, engine.index.rev
+    out = np.zeros(len(jobs), dtype=np.uint32)
+    for strand_val, bwt_dev, sa_dev, prim in (
+            (1, engine.bwt_fwd, engine.sa_fwd, engine.primary_fwd),
+            (0, engine.bwt_rev, engine.sa_rev, engine.primary_rev)):
+        sel = [(i, t) for i, t in enumerate(jobs) if t[0] == strand_val]
+        if not sel:
+            continue
+        arr = np.array([t[1] for _, t in sel], dtype=np.uint32).view(np.int32)
+        res = np.asarray(sa_lookup(bwt_dev, engine.l2, prim, engine.seq_len,
+                                   sa_dev, fwd.sa_intv,
+                                   jnp.asarray(arr))).view(np.uint32)
+        for (i, t), v in zip(sel, res):
+            if strand_val:
+                out[i] = v
+            else:
+                out[i] = (np.uint32(rev.seq_len) - (v + np.uint32(t[2])))
+    return out
+
+
+def find_pp_tag(header_text):
+    """find_pp_tag (bam2bam.c:212-271): (pp, id)."""
+    present = []
+    linked = []
+    for line in header_text.split("\n"):
+        if line.startswith("@PG"):
+            for field in line.split("\t"):
+                if field.startswith("ID:"):
+                    present.append(field[3:])
+                elif field.startswith("PP:"):
+                    linked.append(field[3:])
+    pp = None
+    for k in present:
+        if k not in linked:
+            pp = k
+            break
+    myid = "bwa"
+    n = 1
+    while myid in present:
+        myid = "bwa-%d" % n
+        n += 1
+    return pp, myid
+
+
+def print_header_text(bns, oldhdr, argv, version):
+    """bwa_print_header_text (bam2bam.c:164-200)."""
+    pp, myid = find_pp_tag(oldhdr)
+    out = ["@HD\tVN:1.4\n@PG\tID:%s%s\tPN:bwa\tVN:%s%s" % (
+        myid, ("\tPP:" + pp) if pp else "", version,
+        "\tCL:" if argv else "")]
+    for i, a in enumerate(argv):
+        out.append("%s%c" % (a, "\n" if i == len(argv) - 1 else " "))
+    for a in bns.anns:
+        out.append("@SQ\tSN:%s\tLN:%d\n" % (a.name, a.length))
+    for line in oldhdr.split("\n"):
+        if not line:
+            continue
+        if line.startswith("@SQ") or line.startswith("@HD"):
+            continue
+        out.append(line + "\n")
+    return "".join(out)

@@ -42,6 +42,19 @@ def hash_64(key):
     return key
 
 
+def _clog(x):
+    """C log(): log(0) = -inf instead of raising."""
+    return -math.inf if x == 0.0 else math.log(x)
+
+
+def _cint(x):
+    """C (int) conversion of a double on x86: out-of-range/inf/nan
+    saturate to INT_MIN via cvttsd2si."""
+    if math.isnan(x) or math.isinf(x) or not (-2**31 <= x < 2**31):
+        return -2**31
+    return int(x)
+
+
 class IsizeInfo:
     """isize_info_t (bwape.h:16-20)."""
 
@@ -371,7 +384,10 @@ def paired_sw1(bns, pac, p, popt, ii, counters):
             s_new = int((((cnt[k] >> 16) * 9 + ((cnt[k] >> 8) & 0xFF) * 13
                           + (cnt[k] & 0xFF) * 2 + clip * 3) / 3. * 8.)
                         + .499)
-            s_old += int(-4.343 * math.log(ii.ap_prior / bns.l_pac))
+            # C adds the raw double to the int accumulator; ap_prior may be
+            # 0 in bam2bam's null_ii (log(0) = -inf, x86 int conversion
+            # saturates to INT_MIN)
+            s_old = _cint(s_old + (-4.343 * _clog(ii.ap_prior / bns.l_pac)))
             s_new += int(-4.343 * math.log(.5 * math.erfc(1.5 / math.sqrt(2))
                                            + .499))
             if s_old < s_new:

@@ -37,7 +37,8 @@ class SeqState:
 
     __slots__ = ("read", "type", "c1", "c2", "n_mm", "n_gapo", "n_gape",
                  "strand", "score", "sa", "pos", "mapQ", "seQ", "cigar",
-                 "md", "nm", "multi", "n_multi", "extra_flag", "len")
+                 "md", "nm", "multi", "n_multi", "extra_flag", "len",
+                 "max_entries")
 
     def __init__(self, read):
         self.read = read
@@ -56,6 +57,7 @@ class SeqState:
         self.multi = []
         self.n_multi = 0
         self.extra_flag = 0
+        self.max_entries = 0
 
 
 def aln2seq_core(alns, s, rng, set_main=True, n_multi=0):

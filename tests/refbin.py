@@ -38,7 +38,7 @@ _ZMQ_STUB = r"""
 #define ZMQ_SUBSCRIBE 6
 #define ZMQ_POLLIN 1
 #define ZMQ_POLLOUT 2
-typedef struct { unsigned char _[64]; } zmq_msg_t;
+typedef struct { void *ptr; size_t len; } zmq_msg_t;
 typedef struct { void *socket; int fd; short events; short revents; } zmq_pollitem_t;
 static void zmq_stub_die(void) { fprintf(stderr, "[zmq stub] networking unavailable\n"); abort(); }
 static inline void *zmq_init(int n) { (void)n; return malloc(1); }
@@ -48,12 +48,12 @@ static inline int zmq_close(void *s) { (void)s; return 0; }
 static inline int zmq_bind(void *s, const char *a) { (void)s; (void)a; zmq_stub_die(); return -1; }
 static inline int zmq_connect(void *s, const char *a) { (void)s; (void)a; zmq_stub_die(); return -1; }
 static inline int zmq_setsockopt(void *s, int o, const void *v, size_t l) { (void)s;(void)o;(void)v;(void)l; return 0; }
-static inline int zmq_msg_init(zmq_msg_t *m) { memset(m, 0, sizeof *m); return 0; }
-static inline int zmq_msg_init_size(zmq_msg_t *m, size_t n) { (void)m; (void)n; zmq_stub_die(); return -1; }
-static inline int zmq_msg_init_data(zmq_msg_t *m, void *d, size_t n, void (*ff)(void*,void*), void *h) { (void)m;(void)d;(void)n;(void)ff;(void)h; zmq_stub_die(); return -1; }
-static inline int zmq_msg_close(zmq_msg_t *m) { (void)m; return 0; }
-static inline void *zmq_msg_data(zmq_msg_t *m) { (void)m; return 0; }
-static inline size_t zmq_msg_size(zmq_msg_t *m) { (void)m; return 0; }
+static inline int zmq_msg_init(zmq_msg_t *m) { m->ptr = 0; m->len = 0; return 0; }
+static inline int zmq_msg_init_size(zmq_msg_t *m, size_t n) { m->ptr = malloc(n); m->len = n; return 0; }
+static inline int zmq_msg_init_data(zmq_msg_t *m, void *d, size_t n, void (*ff)(void*,void*), void *h) { (void)ff; (void)h; m->ptr = malloc(n); m->len = n; memcpy(m->ptr, d, n); if(ff) ff(d, h); return 0; }
+static inline int zmq_msg_close(zmq_msg_t *m) { free(m->ptr); m->ptr = 0; m->len = 0; return 0; }
+static inline void *zmq_msg_data(zmq_msg_t *m) { return m->ptr; }
+static inline size_t zmq_msg_size(zmq_msg_t *m) { return m->len; }
 static inline int zmq_msg_send(zmq_msg_t *m, void *s, int f) { (void)m;(void)s;(void)f; zmq_stub_die(); return -1; }
 static inline int zmq_msg_recv(zmq_msg_t *m, void *s, int f) { (void)m;(void)s;(void)f; zmq_stub_die(); return -1; }
 static inline int zmq_send(void *s, const void *b, size_t n, int f) { (void)s;(void)b;(void)n;(void)f; zmq_stub_die(); return -1; }
