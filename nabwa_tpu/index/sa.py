@@ -13,12 +13,19 @@ from ..constants import OCC_INTERVAL, SA_INTERVAL
 
 
 def suffix_array(codes):
-    """Suffix array of codes (values 0..3) by prefix doubling (O(n log^2 n)).
+    """Suffix array of codes (values 0..3).
 
-    Suffix comparison semantics: plain lexicographic with the shorter suffix
-    smaller on prefix ties — identical to SA-IS over T without a sentinel
-    (is.c:187-196 prepends the virtual sentinel as SA[0]=n separately).
+    Uses the native C++ SA-IS (native/sais.cpp, O(n)) when available, else
+    NumPy prefix doubling (O(n log^2 n)).  Suffix comparison semantics:
+    plain lexicographic with the shorter suffix smaller on prefix ties —
+    identical to SA-IS over T without a sentinel (is.c:187-196 prepends the
+    virtual sentinel as SA[0]=n separately).
     """
+    from .native import suffix_array_native
+
+    sa = suffix_array_native(codes)
+    if sa is not None:
+        return sa
     s = np.asarray(codes, dtype=np.int64)
     n = len(s)
     if n == 0:
