@@ -254,11 +254,133 @@ def _parse_rg(rg):
     return line, line[idp:end]
 
 
+def cmd_bwasw(argv):
+    ap = argparse.ArgumentParser(prog="bwasw")
+    ap.add_argument("-a", dest="a", type=int, default=None)
+    ap.add_argument("-b", dest="b", type=int, default=None)
+    ap.add_argument("-q", dest="q", type=int, default=None)
+    ap.add_argument("-r", dest="r", type=int, default=None)
+    ap.add_argument("-t", dest="t", type=int, default=None)
+    ap.add_argument("-w", dest="bw", type=int, default=None)
+    ap.add_argument("-z", dest="z", type=int, default=None)
+    ap.add_argument("-s", dest="is_", type=int, default=None)
+    ap.add_argument("-N", dest="t_seeds", type=int, default=None)
+    ap.add_argument("-c", dest="coef", type=float, default=None)
+    ap.add_argument("-m", dest="mask_level", type=float, default=None)
+    ap.add_argument("-H", dest="hard_clip", action="store_true")
+    ap.add_argument("-f", dest="out", default=None)
+    ap.add_argument("prefix")
+    ap.add_argument("reads")
+    args = ap.parse_args(argv)
+    from .index.fmindex import BwaIndex
+    from .models.bwasw import bwasw, Bsw2Opt
+    from .io import fastq
+    import numpy as np
+
+    opt = Bsw2Opt()
+    for name in ("a", "b", "q", "r", "t", "bw", "z", "is_", "t_seeds",
+                 "coef"):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(opt, name, v)
+    if args.mask_level is not None:
+        opt.mask_level = np.float32(args.mask_level)
+    if args.hard_clip:
+        opt.hard_clip = 1
+    opt.qr = opt.q + opt.r
+    idx = BwaIndex.load(args.prefix)
+    reads = []
+    for name, comment, seq, qual in fastq.iter_fastq(args.reads):
+        reads.append((name, seq.decode(),
+                      qual.decode() if qual else None))
+    out = open(args.out, "w") if args.out else sys.stdout
+    out.write(bwasw(idx, reads, opt))
+    if args.out:
+        out.close()
+    return 0
+
+
+def cmd_bam2bam(argv):
+    ap = argparse.ArgumentParser(prog="bam2bam")
+    ap.add_argument("-g", "--genome", dest="prefix", required=True)
+    ap.add_argument("-f", "--output", dest="out", required=True)
+    ap.add_argument("-n", dest="n", default=None)
+    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("--only-aligned", action="store_true")
+    ap.add_argument("--broken-input", action="store_true")
+    ap.add_argument("--skip-duplicates", action="store_true")
+    ap.add_argument("--drop-aligned", action="store_true")
+    ap.add_argument("--debug-bam", action="store_true")
+    ap.add_argument("in_bam")
+    args = ap.parse_args(argv)
+    from .index.fmindex import BwaIndex
+    from .models.aln import AlnEngine
+    from .models.bam2bam import bam2bam
+    from .utils.rand48 import Rand48
+
+    opt = GapOpt()
+    popt = PeOpt()
+    if args.n is not None:
+        if "." in args.n:
+            opt.fnr = float(args.n)
+            opt.max_diff = -1
+        else:
+            opt.max_diff = int(args.n)
+            opt.fnr = -1.0
+    idx = BwaIndex.load(args.prefix)
+    eng = AlnEngine(idx, opt)
+    bam2bam(eng, args.in_bam, args.out, opt, popt, Rand48(idx.bns.seed),
+            argv=["bam2bam"] + argv, only_aligned=args.only_aligned,
+            broken_input=args.broken_input,
+            skip_duplicates=args.skip_duplicates,
+            drop_aligned=args.drop_aligned, debug_bam=args.debug_bam)
+    return 0
+
+
+def cmd_xa2multi(argv):
+    from .scripts import xa2multi
+    src = open(argv[0]) if argv else sys.stdin
+    sys.stdout.write(xa2multi(src))
+    return 0
+
+
+def cmd_qualfa2fq(argv):
+    from .scripts import qualfa2fq
+    qualfa2fq(argv[0], argv[1])
+    return 0
+
+
+def cmd_solid2fastq(argv):
+    from .scripts import solid2fastq
+    solid2fastq(argv[0], argv[1])
+    return 0
+
+
+def cmd_fa2pac(argv):
+    from .index.pack import fasta_to_pac
+    fasta_to_pac(argv[0], argv[1] if len(argv) > 1 else argv[0])
+    return 0
+
+
+def cmd_pac_rev(argv):
+    # argv: <in_prefix_with_pac> (writes .rpac beside it)
+    from .index.pack import reverse_pac
+    reverse_pac(argv[0].removesuffix(".pac"))
+    return 0
+
+
 COMMANDS = {
     "index": cmd_index,
     "aln": cmd_aln,
     "samse": cmd_samse,
     "sampe": cmd_sampe,
+    "bwasw": cmd_bwasw,
+    "bam2bam": cmd_bam2bam,
+    "xa2multi": cmd_xa2multi,
+    "qualfa2fq": cmd_qualfa2fq,
+    "solid2fastq": cmd_solid2fastq,
+    "fa2pac": cmd_fa2pac,
+    "pac_rev": cmd_pac_rev,
 }
 
 

@@ -3,9 +3,9 @@ import sys
 
 # Force CPU with 8 virtual devices BEFORE jax import: kernels are validated
 # on a virtual mesh; real-TPU runs happen via bench.py / the driver.
-# Hard-set (the environment may carry JAX_PLATFORMS=axon for the real TPU;
-# tests must run on the virtual CPU mesh).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force the virtual CPU mesh.  NOTE: the axon sitecustomize imports jax and
+# pins the platform at interpreter start, so env vars (JAX_PLATFORMS) are
+# ignored — only jax.config.update('jax_platforms', ...) wins.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,9 @@ import numpy as np
 import pytest
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 # Persistent compilation cache: the DFS while-loop body is expensive to
 # compile; cache it across test processes.
