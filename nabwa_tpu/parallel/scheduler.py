@@ -1,0 +1,137 @@
+"""Elastic work distribution: chunk leases with at-least-once redelivery.
+
+The TPU-native replacement for the reference's ZeroMQ I/O multiplexor
+(run_io_multiplexor, bam2bam.c:1462-1715).  The reference keeps a 512k-record
+ring with cursors next_output ≤ next_undone ≤ next_resend ≤ next_send ≤
+next_free, sends fresh work in order, re-sends unacknowledged records
+round-robin when idle, drops duplicate/stale results by recno, and restores
+input order for the writer.  Here the unit is a CHUNK of records (a device
+batch) instead of a single read, and workers are host processes driving
+chips; the semantics carried over 1:1:
+
+- at-least-once: an expired lease re-issues the chunk to the next idle
+  worker (worker crash, network loss and stragglers are all this one case);
+- idempotent dedup: the first completed copy of a chunk wins, later
+  duplicates are counted and dropped (bam2bam.c:1620-1647);
+- ordered output: results release to the writer strictly in chunk order
+  (the recno ring, bam2bam.c:1551-1574);
+- determinism: chunk payloads are pure functions of the chunk id, and the
+  per-read RNG is derived from absolute record numbers, so redelivered work
+  reproduces byte-identical results (unlike the reference, whose networked
+  drand48 stream is order-dependent — SURVEY §2.7 determinism caveat).
+"""
+
+import threading
+import time
+from collections import deque
+
+
+class ChunkScheduler:
+    """Lease-tracked scheduler over a fixed sequence of chunk ids."""
+
+    def __init__(self, n_chunks, lease_timeout=90.0, window=512):
+        """lease_timeout mirrors the worker idle timeout (bam2bam.c:10);
+        window bounds in-flight chunks like the ring size."""
+        self.n_chunks = n_chunks
+        self.lease_timeout = lease_timeout
+        self.window = window
+        self.lock = threading.Lock()
+        self.next_fresh = 0          # next never-issued chunk
+        self.next_output = 0         # next chunk the writer needs
+        self.done = {}               # chunk id -> result (until released)
+        self.completed = set()       # chunk ids finished (forever)
+        self.leases = {}             # chunk id -> (deadline, count)
+        self.total_resends = 0
+        self.total_dups = 0
+
+    def acquire(self, now=None):
+        """Next chunk to work on, or None.  Fresh chunks go out in order;
+        when none fit the window, the oldest expired lease is re-issued
+        (the mux resend sweep, bam2bam.c:1577-1601)."""
+        now = time.monotonic() if now is None else now
+        with self.lock:
+            if (self.next_fresh < self.n_chunks
+                    and self.next_fresh - self.next_output < self.window):
+                cid = self.next_fresh
+                self.next_fresh += 1
+                self.leases[cid] = (now + self.lease_timeout, 1)
+                return cid
+            # re-issue expired leases, lowest chunk id first
+            expired = [cid for cid, (dl, _) in self.leases.items()
+                       if dl <= now and cid not in self.completed]
+            if expired:
+                cid = min(expired)
+                dl, cnt = self.leases[cid]
+                self.leases[cid] = (now + self.lease_timeout, cnt + 1)
+                self.total_resends += 1
+                return cid
+            return None
+
+    def complete(self, cid, result):
+        """Submit a result.  Returns False for duplicates (dropped)."""
+        with self.lock:
+            if cid in self.completed:
+                self.total_dups += 1
+                return False
+            self.completed.add(cid)
+            self.done[cid] = result
+            self.leases.pop(cid, None)
+            return True
+
+    def release_ready(self):
+        """Results ready for the writer, strictly in order."""
+        out = []
+        with self.lock:
+            while self.next_output in self.done:
+                out.append((self.next_output, self.done.pop(self.next_output)))
+                self.next_output += 1
+        return out
+
+    @property
+    def finished(self):
+        with self.lock:
+            return self.next_output == self.n_chunks
+
+
+def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
+                    writer=None, worker_wrapper=None):
+    """Drive chunks through worker threads (each typically owning a device
+    or remote host) with redelivery; returns ordered results.
+
+    work_fn(chunk_id, payload) -> result.  worker_wrapper lets tests inject
+    failures/delays around work_fn per worker.
+    """
+    sched = ChunkScheduler(len(chunks), lease_timeout=lease_timeout)
+    results = [None] * len(chunks)
+
+    def worker(wid):
+        fn = worker_wrapper(wid, work_fn) if worker_wrapper else work_fn
+        while not sched.finished:
+            cid = sched.acquire()
+            if cid is None:
+                if sched.finished:
+                    return
+                time.sleep(0.01)
+                continue
+            try:
+                res = fn(cid, chunks[cid])
+            except Exception:
+                continue  # lease expires; chunk will be re-issued
+            if res is not None:
+                sched.complete(cid, res)
+            for oid, r in sched.release_ready():
+                results[oid] = r
+                if writer:
+                    writer(oid, r)
+
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(n_workers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for oid, r in sched.release_ready():
+        results[oid] = r
+        if writer:
+            writer(oid, r)
+    return results, sched

@@ -1,0 +1,80 @@
+"""Chunk-lease scheduler: redelivery, dedup and ordering invariants (the
+mux protocol checks of bam2bam.c:1507-1650 re-expressed for chunk leases)."""
+
+import random
+import threading
+import time
+
+from nabwa_tpu.parallel.scheduler import ChunkScheduler, run_distributed
+
+
+def test_happy_path_ordering():
+    chunks = list(range(50))
+    results, sched = run_distributed(
+        chunks, lambda cid, payload: payload * 2, n_workers=8,
+        lease_timeout=5.0)
+    assert results == [c * 2 for c in chunks]
+    assert sched.total_dups == 0
+    assert sched.finished
+
+
+def test_redelivery_on_worker_loss():
+    """Workers that silently drop ~30% of chunks (crash mid-work): every
+    chunk must still complete exactly once via lease reissue."""
+    chunks = list(range(40))
+    rng = random.Random(7)
+    drop_lock = threading.Lock()
+    dropped_once = set()
+
+    def wrapper(wid, fn):
+        def wrapped(cid, payload):
+            with drop_lock:
+                first = cid not in dropped_once
+                if first and rng.random() < 0.3:
+                    dropped_once.add(cid)
+                    return None  # vanish: lease must expire and re-issue
+            return fn(cid, payload)
+        return wrapped
+
+    results, sched = run_distributed(
+        chunks, lambda cid, p: p + 100, n_workers=6, lease_timeout=0.2,
+        worker_wrapper=wrapper)
+    assert results == [c + 100 for c in chunks]
+    assert sched.total_resends >= len(dropped_once) > 0
+
+
+def test_duplicate_results_dropped():
+    """Slow duplicate completions (the redelivered copy finishing after
+    the original) are counted and dropped — first copy wins."""
+    chunks = list(range(30))
+    slow = set(range(0, 30, 5))
+
+    def wrapper(wid, fn):
+        def wrapped(cid, payload):
+            if cid in slow:
+                time.sleep(0.35)  # beyond the lease; a twin will also run
+            return fn(cid, payload)
+        return wrapped
+
+    results, sched = run_distributed(
+        chunks, lambda cid, p: ("r", p), n_workers=6, lease_timeout=0.15,
+        worker_wrapper=wrapper)
+    assert results == [("r", c) for c in chunks]
+    assert sched.total_dups > 0 or sched.total_resends > 0
+
+
+def test_windowed_in_order_release():
+    sched = ChunkScheduler(10, lease_timeout=10.0, window=4)
+    first = [sched.acquire() for _ in range(4)]
+    assert first == [0, 1, 2, 3]
+    # window full, no expiries -> nothing to hand out
+    assert sched.acquire(now=time.monotonic()) is None
+    # completing out of order releases nothing until chunk 0 lands
+    sched.complete(2, "c2")
+    assert sched.release_ready() == []
+    sched.complete(0, "c0")
+    assert sched.release_ready() == [(0, "c0")]
+    sched.complete(1, "c1")
+    assert sched.release_ready() == [(1, "c1"), (2, "c2")]
+    # window slides
+    assert sched.acquire() == 4
