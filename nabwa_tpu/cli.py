@@ -84,17 +84,67 @@ def _parse_aln_opts(argv):
     return args, opt
 
 
+def _attempt_recovery(fn, opt):
+    """attempt_recovery (bwtaln.c:259-297): scan an existing .sai, truncate
+    to the last complete record, restore the checkpointed options, and
+    return (file, n_records_to_skip)."""
+    import os
+    from .options import GapOpt, GAP_OPT_SIZE
+
+    try:
+        f = open(fn, "rb")
+    except FileNotFoundError:
+        return open(fn, "wb"), 0, opt
+    hdr = f.read(GAP_OPT_SIZE)
+    if len(hdr) < GAP_OPT_SIZE:
+        f.close()
+        return open(fn, "wb"), 0, opt
+    print(f"[aln] {fn} exists, attempting recovery.", file=sys.stderr)
+    opt = GapOpt.unpack(hdr)
+    skip = 0
+    last_good = f.tell()
+    while True:
+        last_good = f.tell()
+        n = f.read(4)
+        if len(n) < 4:
+            break
+        (naln,) = __import__("struct").unpack("<i", n)
+        body = f.read(16 * naln)
+        if len(body) < 16 * naln:
+            break
+        skip += 1
+    f.close()
+    out = open(fn, "rb+")
+    out.seek(last_good)
+    out.truncate()
+    print(f"[aln] {skip} records up to position {last_good}.",
+          file=sys.stderr)
+    return out, skip, opt
+
+
 def cmd_aln(argv):
     args, opt = _parse_aln_opts(argv)
     from .index.fmindex import BwaIndex
     from .models.aln import AlnEngine
     from .io import fastq, sai
 
+    skip = 0
+    if args.out:
+        out, skip, opt = _attempt_recovery(args.out, opt)
+    else:
+        out = sys.stdout.buffer
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
-    out = open(args.out, "wb") if args.out else sys.stdout.buffer
-    out.write(opt.pack())
+    if skip == 0:
+        out.write(opt.pack())
     it = fastq.iter_fastq(args.reads)
+    while skip > 0:
+        n = len(fastq.read_fastq_batch(it, min(skip, READ_CHUNK),
+                                       mode=opt.mode,
+                                       trim_qual=opt.trim_qual))
+        if n == 0:
+            raise SystemExit("[aln] EOF while skipping done work.")
+        skip -= n
     tot = 0
     while True:
         reads = fastq.read_fastq_batch(it, READ_CHUNK, mode=opt.mode,
