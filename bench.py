@@ -64,19 +64,28 @@ def bench_ours(fa_path, fq_path):
 
 
 def bench_reference(fa_path, fq_path):
-    """Single-thread reference `bwa aln` wall time on the same data."""
+    """Single-thread reference `bwa aln` wall time on the same data.
+
+    The output .sai is always unlinked first: a stale file from a previous
+    run would trigger the reference's recovery mode (attempt_recovery,
+    bwtaln.c:259-297), which either aborts ("EOF while skipping done work")
+    or times a recovery-skip run instead of a real alignment run — this is
+    what left round 1 with no recorded benchmark number.
+    """
     sys.path.insert(0, str(pathlib.Path(__file__).parent / "tests"))
     from tests.refbin import ensure_bwa
 
     bwa = ensure_bwa()
     ref_fa = WORK / "ref_g.fa"
+    ref_sai = WORK / "ref.sai"
     if not (WORK / "ref_g.fa.bwt").exists():
         ref_fa.write_bytes(fa_path.read_bytes())
         subprocess.run([bwa, "index", str(ref_fa)], check=True,
                        capture_output=True)
+    ref_sai.unlink(missing_ok=True)
     t0 = time.time()
     subprocess.run([bwa, "aln", str(ref_fa), str(fq_path), "-f",
-                    str(WORK / "ref.sai")], check=True, capture_output=True)
+                    str(ref_sai)], check=True, capture_output=True)
     dt = time.time() - t0
     return N_READS / dt
 

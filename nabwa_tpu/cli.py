@@ -28,7 +28,7 @@ def cmd_index(argv):
     return 0
 
 
-def _parse_aln_opts(argv):
+def _parse_aln_args(argv):
     ap = argparse.ArgumentParser(prog="aln")
     ap.add_argument("-n", dest="n", default=None)
     ap.add_argument("-o", dest="max_gapo", type=int, default=None)
@@ -52,8 +52,16 @@ def _parse_aln_opts(argv):
     ap.add_argument("-f", dest="out", default=None)
     ap.add_argument("prefix")
     ap.add_argument("reads")
-    args = ap.parse_args(argv)
-    opt = GapOpt()
+    return ap.parse_args(argv)
+
+
+def _apply_aln_cli_opts(args, opt):
+    """Apply explicitly-given CLI options onto `opt` (which may hold options
+    recovered from a checkpoint header).  Mirrors the reference's getopt
+    ordering where options after -f override the recovered header
+    (bwtaln.c:330) — argparse can't see positions, so every explicit option
+    wins over the recovered value, which matches the common `-f` -first
+    usage and never silently discards a user-given flag."""
     if args.n is not None:
         if "." in args.n:
             opt.fnr = float(args.n)
@@ -81,24 +89,35 @@ def _parse_aln_opts(argv):
         opt.mode |= BWA_MODE_CFY
     if args.barcode_len:
         opt.mode |= args.barcode_len << 24
-    return args, opt
+    return opt
 
 
-def _attempt_recovery(fn, opt):
+def _parse_aln_opts(argv):
+    args = _parse_aln_args(argv)
+    return args, _apply_aln_cli_opts(args, GapOpt())
+
+
+def _attempt_recovery(fn):
     """attempt_recovery (bwtaln.c:259-297): scan an existing .sai, truncate
-    to the last complete record, restore the checkpointed options, and
-    return (file, n_records_to_skip)."""
-    import os
+    to the last complete record, and restore the checkpointed options.
+
+    Returns (file, n_records_to_skip, recovered_opt_or_None, header_needed).
+    header_needed is True only when the file was opened fresh — on resume
+    the header already on disk is kept and NOT rewritten (the reference
+    re-emits the header at the truncation point, bwtaln.c:387, which
+    corrupts a partially-recovered stream; we deliberately keep the resumed
+    file well-formed instead)."""
+    import struct
     from .options import GapOpt, GAP_OPT_SIZE
 
     try:
         f = open(fn, "rb")
     except FileNotFoundError:
-        return open(fn, "wb"), 0, opt
+        return open(fn, "wb"), 0, None, True
     hdr = f.read(GAP_OPT_SIZE)
     if len(hdr) < GAP_OPT_SIZE:
         f.close()
-        return open(fn, "wb"), 0, opt
+        return open(fn, "wb"), 0, None, True
     print(f"[aln] {fn} exists, attempting recovery.", file=sys.stderr)
     opt = GapOpt.unpack(hdr)
     skip = 0
@@ -108,7 +127,11 @@ def _attempt_recovery(fn, opt):
         n = f.read(4)
         if len(n) < 4:
             break
-        (naln,) = __import__("struct").unpack("<i", n)
+        (naln,) = struct.unpack("<i", n)
+        if naln < 0:
+            # corrupt count: stop without treating it as complete
+            # (the reference's fread loop fails out, bwtaln.c:275-277)
+            break
         body = f.read(16 * naln)
         if len(body) < 16 * naln:
             break
@@ -119,23 +142,30 @@ def _attempt_recovery(fn, opt):
     out.truncate()
     print(f"[aln] {skip} records up to position {last_good}.",
           file=sys.stderr)
-    return out, skip, opt
+    return out, skip, opt, False
 
 
 def cmd_aln(argv):
-    args, opt = _parse_aln_opts(argv)
+    args = _parse_aln_args(argv)
     from .index.fmindex import BwaIndex
     from .models.aln import AlnEngine
     from .io import fastq, sai
+    from .utils.files import final_rename
 
+    opt = GapOpt()
     skip = 0
+    header_needed = True
     if args.out:
-        out, skip, opt = _attempt_recovery(args.out, opt)
+        out, skip, rec_opt, header_needed = _attempt_recovery(args.out)
+        if rec_opt is not None:
+            opt = rec_opt
     else:
         out = sys.stdout.buffer
+    # recovered checkpoint options first, explicit CLI options on top
+    _apply_aln_cli_opts(args, opt)
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
-    if skip == 0:
+    if header_needed:
         out.write(opt.pack())
     it = fastq.iter_fastq(args.reads)
     while skip > 0:
@@ -172,6 +202,7 @@ def cmd_aln(argv):
         print(f"[aln] {tot} sequences processed", file=sys.stderr)
     if args.out:
         out.close()
+        final_rename("aln", args.out)
     return 0
 
 
@@ -189,6 +220,7 @@ def cmd_samse(argv):
     from .models import samse as se
     from .io import fastq, sai
     from .utils.rand48 import Rand48
+    from .utils.files import final_rename
 
     opt, per_read = sai.read_sai(args.sai)
     idx = BwaIndex.load(args.prefix)
@@ -212,6 +244,7 @@ def cmd_samse(argv):
             out.write(line + "\n")
     if args.out:
         out.close()
+        final_rename("samse", args.out)
     return 0
 
 
@@ -239,6 +272,7 @@ def cmd_sampe(argv):
     from .models import sampe as pe
     from .io import fastq, sai
     from .utils.rand48 import Rand48
+    from .utils.files import final_rename
 
     popt = PeOpt()
     for name in ("max_isize", "max_occ", "n_multi", "N_multi", "ap_prior"):
@@ -284,6 +318,7 @@ def cmd_sampe(argv):
             out.write(line + "\n")
     if args.out:
         out.close()
+        final_rename("sampe", args.out)
     return 0
 
 
@@ -347,6 +382,7 @@ def cmd_bwasw(argv):
     out.write(bwasw(idx, reads, opt))
     if args.out:
         out.close()
+        final_rename("bwasw", args.out)
     return 0
 
 
@@ -384,6 +420,8 @@ def cmd_bam2bam(argv):
             broken_input=args.broken_input,
             skip_duplicates=args.skip_duplicates,
             drop_aligned=args.drop_aligned, debug_bam=args.debug_bam)
+    from .utils.files import final_rename
+    final_rename("bam2bam", args.out)
     return 0
 
 

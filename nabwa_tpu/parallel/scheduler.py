@@ -103,6 +103,19 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
     """
     sched = ChunkScheduler(len(chunks), lease_timeout=lease_timeout)
     results = [None] * len(chunks)
+    # Writer calls must be serialized AND ordered: release_ready() pops in
+    # order under the scheduler lock, but without this lock worker A could
+    # pop chunk 0, get preempted, and worker B pop+write chunk 1 first.
+    # Each lock holder re-runs release_ready() fresh, so the global writer
+    # sequence is strictly chunk-ordered.
+    writer_lock = threading.Lock()
+
+    def drain_to_writer():
+        with writer_lock:
+            for oid, r in sched.release_ready():
+                results[oid] = r
+                if writer:
+                    writer(oid, r)
 
     def worker(wid):
         fn = worker_wrapper(wid, work_fn) if worker_wrapper else work_fn
@@ -119,10 +132,7 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
                 continue  # lease expires; chunk will be re-issued
             if res is not None:
                 sched.complete(cid, res)
-            for oid, r in sched.release_ready():
-                results[oid] = r
-                if writer:
-                    writer(oid, r)
+            drain_to_writer()
 
     threads = [threading.Thread(target=worker, args=(w,))
                for w in range(n_workers)]
@@ -130,8 +140,5 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
         t.start()
     for t in threads:
         t.join()
-    for oid, r in sched.release_ready():
-        results[oid] = r
-        if writer:
-            writer(oid, r)
+    drain_to_writer()
     return results, sched
