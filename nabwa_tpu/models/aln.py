@@ -168,19 +168,11 @@ class AlnEngine:
                         axis=1)
         slen = np.where(has_seed, min(local.seed_len, SL), 0).astype(np.int32)
 
-        # stack bins sized like gap_init_stack (bwtgap.c:18) from the
-        # batch-level local options; bucket to 16s for compile reuse
-        n_bins = ((local.max_diff + 1) * local.s_mm
-                  + (local.max_gapo + 1) * local.s_gapo
-                  + (local.max_gape + 1) * local.s_gape)
-        n_bins = -(-n_bins // 16) * 16
-
         out = aln_device_step(
             self.bwt_cat, self.bwt_fwd, self.bwt_rev, self.rev_off,
             self.primary_fwd, self.primary_rev, self.l2, self.seq_len,
             jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(sseq),
             jnp.asarray(slen), jnp.asarray(has_seed), jnp.asarray(maxdiff),
-            n_bins=n_bins,
             s_mm=local.s_mm, s_gapo=local.s_gapo, s_gape=local.s_gape,
             max_gape=local.max_gape, max_gapo=local.max_gapo,
             indel_end_skip=local.indel_end_skip,

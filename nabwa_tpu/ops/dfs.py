@@ -4,23 +4,27 @@
 The reference runs a divergent best-first search per read with a score-binned
 LIFO priority stack.  Here a whole batch of reads runs in lockstep: one outer
 iteration pops (or advances the zero-budget exact-match fast path of) exactly
-one entry per live read, entirely as masked vector ops:
+one entry per live read, entirely as masked vector ops.
 
-- per-read explicit stacks live in HBM as [B, S] SoA arrays with a free-list
-  allocator.  Priority order uses the C's own structure (gap_stack_t,
-  bwtgap.c:13-79): per-score-bin linked lists via a per-entry `prev` pointer
-  and a [B, n_bins] top-pointer table; pop = argmin over the (tiny) bin
-  table then one pointer chase — O(n_bins) per read instead of an O(S)
-  reduction, and LIFO-within-bin order is exact by construction;
-- every scatter routes masked-off lanes to a dummy slot/column instead of
-  read-modify-writing, so XLA can update the stack buffers in place inside
-  the while loop (a single .at[].set also never writes one address twice —
-  duplicate-scatter order is unspecified);
+Priority-stack design (round 2): the reference's pop order is "lowest
+nonempty score bin, LIFO within the bin" (gap_stack_t, bwtgap.c:13-79).
+That order is exactly "minimum score, then maximum push sequence number", so
+each per-read stack is a flat [S]-slot pool where every occupied slot
+carries (score, seq); pop is a pair of masked reductions over the slot axis
+plus a one-hot extract, and push writes up to 9 candidates through disjoint
+one-hot masks into the lowest free slots.  Nothing in the loop body indexes
+an array with a per-lane data-dependent address: on the axon TPU backend
+every such gather/scatter serializes at ~50-120µs (the round-1 linked-list
+stack paid ~25 of them per iteration, ~5-8 ms/iter); reductions, cumsums
+and one-hot selects all stay on the VPU at full width.
+
+Other structure notes:
 - both strands search within one stack (two seeds pushed, bwtgap.c:127-128);
   strand selects the fwd/rev BWT bank in one concatenated HBM array;
 - the zero-budget bwt_match_exact_alt call (bwtgap.c:162) becomes a per-read
   "pending exact" lane state advancing one base per outer iteration;
-- gap_shadow's width rewrite (bwtgap.c:81-91) is a masked prefix-sum update;
+- gap_shadow's width rewrite (bwtgap.c:81-91) is a masked prefix-sum update
+  on per-strand [B, L+1] planes;
 - all stop rules are per-lane `done` conditions.
 
 SA positions are int32 bit patterns with unsigned semantics (ops.u32) — the
@@ -40,6 +44,11 @@ from .occ import occ4, select_base
 from ..constants import (STATE_M, STATE_I, STATE_D, BWA_MODE_GAPE,
                          BWA_MODE_LOGGAP, BWA_MODE_NONSTOP)
 
+_STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
+            "indel_end_skip", "max_del_occ", "max_entries", "max_top2",
+            "max_seed_diff", "seed_len", "mode", "stack_cap", "hits_cap",
+            "max_iters", "rev_word_offset")
+
 
 def _int_log2(v):
     """int_log2 (bwtgap.c:93-102) for small non-negative int32 vectors."""
@@ -47,13 +56,22 @@ def _int_log2(v):
     return bits.sum(axis=-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
-                     "indel_end_skip", "max_del_occ", "max_entries",
-                     "max_top2", "max_seed_diff", "seed_len", "mode",
-                     "n_bins", "stack_cap", "hits_cap", "max_iters",
-                     "rev_word_offset"))
+def _row_gather(row, pos, width):
+    """row[b, pos[b]] without a per-lane gather: one-hot select + sum.
+    Out-of-range pos returns 0 (callers mask those lanes)."""
+    m = pos[:, None] == jnp.arange(width, dtype=I32)
+    return jnp.where(m, row, 0).sum(axis=1)
+
+
+def _sel4(vals, c):
+    """vals[c] per lane for a length-(>=4) vector `vals`, c in 0..3."""
+    out = jnp.broadcast_to(vals[0], c.shape)
+    for j in range(1, 4):
+        out = jnp.where(c == j, vals[j], out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
 def aln_device_step(bwt_cat, bwt_fwd, bwt_rev, rev_word_offset, primary_fwd,
                     primary_rev, l2, seq_len, seqs, lengths, seed_seqs,
                     seed_lengths, has_seed, max_diff, **statics):
@@ -81,29 +99,20 @@ def aln_device_step(bwt_cat, bwt_fwd, bwt_rev, rev_word_offset, primary_fwd,
                          **statics)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
-                     "indel_end_skip", "max_del_occ", "max_entries",
-                     "max_top2", "max_seed_diff", "seed_len", "mode",
-                     "n_bins", "stack_cap", "hits_cap", "max_iters",
-                     "rev_word_offset"))
+@functools.partial(jax.jit, static_argnames=_STATICS)
 def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
                   seq_len, seqs, lengths, widths, bids, seed_widths,
                   seed_bids, has_seed, max_diff, *, s_mm, s_gapo, s_gape,
                   max_gape, max_gapo, indel_end_skip, max_del_occ,
                   max_entries, max_top2, max_seed_diff, seed_len, mode,
-                  n_bins=128, stack_cap=2048, hits_cap=64,
-                  max_iters=200000):
+                  stack_cap=2048, hits_cap=64, max_iters=200000):
     """Run the DFS for a batch.
 
     bwt_cat: int32 [Wf+Wr], forward then reverse interleaved BWT.
     seqs: int32 [B, 2, L] (seq / rseq codes, reversed-read orientation).
     lengths: int32 [B]; widths/bids: int32 [B, 2, L+1]; seed_*: [B, 2, SL+1].
     max_diff: int32 [B] per-read budget; max_gapo is the batch-clamped
-    scalar (bwtaln.c:105); n_bins must exceed every pushable score —
-    aln_score(batch_max_diff+1, max_gapo+1, max_gape+1) like gap_init_stack
-    (bwtgap.c:18).  primary_*/seq_len are int32 uint32-bit-patterns.
+    scalar (bwtaln.c:105).  primary_*/seq_len are int32 uint32-bit-patterns.
 
     Returns dict with hit arrays [B, H] (k/l as uint32 bit patterns),
     n_aln, hw (max_entries high-water), and overflow flags.
@@ -111,33 +120,30 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
     B, _, L = seqs.shape
     S = stack_cap
     H = hits_cap
-    NB = n_bins
-    b_idx = jnp.arange(B, dtype=I32)
+    LP1 = L + 1
     gape_mode = bool(mode & BWA_MODE_GAPE)
     nonstop = bool(mode & BWA_MODE_NONSTOP)
     loggap = bool(mode & BWA_MODE_LOGGAP)
     BIG = I32(0x7FFFFFF)
     seq_len_i = I32(seq_len) if isinstance(seq_len, int) else \
         seq_len.astype(I32)
+    s_iota = jnp.arange(S, dtype=I32)
 
     def aln_score(m, o, e):
         return m * s_mm + o * s_gapo + e * s_gape
 
     # --- initial state ---
-    # Entry arrays carry one dummy slot (index S); the bin table a dummy
-    # bin (index NB); widths a dummy strand plane (index 2); hits a dummy
-    # slot (index H).  All masked-off scatter lanes are routed there.
     st = dict(
-        info=jnp.zeros((B, S + 1), dtype=I32),
-        cnt=jnp.zeros((B, S + 1), dtype=I32),
-        k=jnp.zeros((B, S + 1), dtype=I32),
-        l=jnp.zeros((B, S + 1), dtype=I32),
-        ldp=jnp.zeros((B, S + 1), dtype=I32),
-        prev=jnp.full((B, S + 1), -1, dtype=I32),
-        live_any=None,  # replaced below
-        bin_top=jnp.full((B, NB + 1), -1, dtype=I32),
-        fl=jnp.broadcast_to(jnp.arange(S + 1, dtype=I32), (B, S + 1)),
-        fl_n=jnp.full(B, S, dtype=I32),
+        # slot pool: s_seq >= 0 marks an occupied slot; pop order is
+        # (min s_score, then max s_seq) == the C's binned LIFO
+        s_seq=jnp.full((B, S), -1, dtype=I32),
+        s_score=jnp.zeros((B, S), dtype=I32),
+        s_info=jnp.zeros((B, S), dtype=I32),   # a<<20 | i
+        s_cnt=jnp.zeros((B, S), dtype=I32),    # n_mm|go<<8|ge<<16|state<<24
+        s_k=jnp.zeros((B, S), dtype=I32),
+        s_l=jnp.zeros((B, S), dtype=I32),
+        s_ldp=jnp.zeros((B, S), dtype=I32),
+        seq_ctr=jnp.zeros(B, dtype=I32),
         n_entries=jnp.zeros(B, dtype=I32),
         best_score=aln_score(max_diff + 1, max_gapo + 1, max_gape + 1),
         best_diff=max_diff + 1,
@@ -154,43 +160,44 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         pend_cnt=jnp.zeros(B, dtype=I32),   # n_mm|gapo<<8|gape<<16
         pend_a=jnp.zeros(B, dtype=I32),
         pend_ldp=jnp.zeros(B, dtype=I32),
-        w=jnp.concatenate([widths.astype(I32),
-                           jnp.zeros((B, 1, L + 1), I32)], axis=1),
-        bid=jnp.concatenate([bids.astype(I32),
-                             jnp.zeros((B, 1, L + 1), I32)], axis=1),
-        hit_meta=jnp.zeros((B, H + 1), dtype=I32),
-        hit_k=jnp.zeros((B, H + 1), dtype=I32),
-        hit_l=jnp.zeros((B, H + 1), dtype=I32),
-        hit_score=jnp.zeros((B, H + 1), dtype=I32),
+        # per-strand D(i) planes, mutated by gap_shadow
+        w0=widths[:, 0, :].astype(I32),
+        w1=widths[:, 1, :].astype(I32),
+        bid0=bids[:, 0, :].astype(I32),
+        bid1=bids[:, 1, :].astype(I32),
+        hit_meta=jnp.zeros((B, H), dtype=I32),
+        hit_k=jnp.zeros((B, H), dtype=I32),
+        hit_l=jnp.zeros((B, H), dtype=I32),
+        hit_score=jnp.zeros((B, H), dtype=I32),
         iters=jnp.zeros((), dtype=I32),
     )
-    del st["live_any"]
 
     # too many Ns in seq[0] → no search at all (bwtgap.c:118-123)
     n_count = ((seqs[:, 0, :] > 3)
                & (jnp.arange(L) < lengths[:, None])).sum(axis=1)
     st["done"] = n_count > max_diff
 
-    # push the two strand seeds (bwtgap.c:127-128): slots S-1 (a=0), S-2
-    # (a=1); both in bin 0, a=1 at the head so it pops first like the C.
+    # push the two strand seeds (bwtgap.c:127-128): slots 0 (a=0, seq 0)
+    # and 1 (a=1, seq 1); both score 0, a=1 pops first like the C.
     empty_read = lengths <= 0
     st["done"] = st["done"] | empty_read
     seedable = ~st["done"]
-    st["info"] = st["info"].at[:, S - 1].set(
-        jnp.where(seedable, lengths, 0))
-    st["info"] = st["info"].at[:, S - 2].set(
+    seed_seq = jnp.where(seedable[:, None],
+                         jnp.array([0, 1], dtype=I32)[None, :], -1)
+    st["s_seq"] = st["s_seq"].at[:, 0:2].set(seed_seq)
+    st["s_info"] = st["s_info"].at[:, 0].set(jnp.where(seedable, lengths, 0))
+    st["s_info"] = st["s_info"].at[:, 1].set(
         jnp.where(seedable, I32(1 << 20) | lengths, 0))
-    for slot in (S - 1, S - 2):
-        st["l"] = st["l"].at[:, slot].set(jnp.where(seedable, seq_len_i, 0))
-    st["prev"] = st["prev"].at[:, S - 2].set(
-        jnp.where(seedable, S - 1, -1))
-    st["bin_top"] = st["bin_top"].at[:, 0].set(
-        jnp.where(seedable, S - 2, -1))
-    st["fl_n"] = jnp.where(seedable, S - 2, S)
+    st["s_l"] = st["s_l"].at[:, 0:2].set(
+        jnp.where(seedable, seq_len_i, 0)[:, None])
+    st["seq_ctr"] = jnp.where(seedable, 2, 0)
     st["n_entries"] = jnp.where(seedable, 2, 0)
 
-    seqs_flat = seqs.reshape(B, 2 * L)
-    bin_ids = jnp.arange(NB + 1, dtype=I32)
+    seq_fwd = seqs[:, 0, :]
+    seq_rev = seqs[:, 1, :]
+    SL1 = seed_widths.shape[2]
+    sw0_p, sw1_p = seed_widths[:, 0, :], seed_widths[:, 1, :]
+    sb0_p, sb1_p = seed_bids[:, 0, :], seed_bids[:, 1, :]
 
     def occ4_lane(k_vec, a_vec):
         """occ4 against bwts[1-a] per lane (bwtgap.c:149): a=0 → reverse
@@ -200,8 +207,8 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         return occ4(bwt_cat, prim, seq_len_i, k_vec, word_offset=offs)
 
     def get_seq(a_vec, pos):
-        idx = a_vec * L + jnp.clip(pos, 0, L - 1)
-        return seqs_flat[b_idx, idx]
+        row = jnp.where((a_vec == 0)[:, None], seq_fwd, seq_rev)
+        return _row_gather(row, pos, L)
 
     def body(st):
         st = dict(st)
@@ -217,25 +224,25 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         st["done"] = st["done"] | (do_stack & (empty | over_cap))
         do_pop = do_stack & ~empty & ~over_cap
 
-        # ---- pop from the lowest nonempty bin (gap_pop, bwtgap.c:66-79) --
-        nonempty = st["bin_top"][:, :NB] >= 0
-        e_score = jnp.where(nonempty, bin_ids[:NB], BIG).min(axis=1)
-        bin_sel = jnp.clip(e_score, 0, NB - 1)
-        slot = st["bin_top"][b_idx, bin_sel]
-        slot = jnp.clip(slot, 0, S)         # safe when no entry
-        e_info = st["info"][b_idx, slot]
-        e_cnt = st["cnt"][b_idx, slot]
-        e_k = st["k"][b_idx, slot]
-        e_l = st["l"][b_idx, slot]
-        e_ldp = st["ldp"][b_idx, slot]
-        e_prev = st["prev"][b_idx, slot]
-        st["bin_top"] = st["bin_top"].at[
-            b_idx, jnp.where(do_pop, bin_sel, NB)].set(e_prev)
+        # ---- pop: min score, then max seq (gap_pop, bwtgap.c:66-79) ----
+        occ_m = st["s_seq"] >= 0
+        sc_masked = jnp.where(occ_m, st["s_score"], BIG)
+        e_score = sc_masked.min(axis=1)
+        tie = occ_m & (st["s_score"] == e_score[:, None])
+        pop_seq = jnp.where(tie, st["s_seq"], -1).max(axis=1)
+        pop_m = tie & (st["s_seq"] == pop_seq[:, None])
+
+        def extract(a):
+            return jnp.where(pop_m, a, 0).sum(axis=1)
+
+        e_info = extract(st["s_info"])
+        e_cnt = extract(st["s_cnt"])
+        e_k = extract(st["s_k"])
+        e_l = extract(st["s_l"])
+        e_ldp = extract(st["s_ldp"])
+        # commit removal for popping lanes
+        st["s_seq"] = jnp.where(pop_m & do_pop[:, None], -1, st["s_seq"])
         st["n_entries"] = st["n_entries"] - do_pop.astype(I32)
-        # free-list: return popped slot
-        fl_pos = jnp.where(do_pop, jnp.clip(st["fl_n"], 0, S), S)
-        st["fl"] = st["fl"].at[b_idx, fl_pos].set(slot)
-        st["fl_n"] = st["fl_n"] + do_pop.astype(I32)
 
         e_a = ushr(e_info, 20) & I32(1)
         e_i = e_info & I32(0xFFFF)
@@ -243,6 +250,11 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         e_go = ushr(e_cnt, 8) & I32(0xFF)
         e_ge = ushr(e_cnt, 16) & I32(0xFF)
         e_state = ushr(e_cnt, 24) & I32(3)
+
+        # strand-selected D(i) planes for this iteration's pops/hits
+        a0 = (e_a == 0)[:, None]
+        w_row = jnp.where(a0, st["w0"], st["w1"])
+        bid_row = jnp.where(a0, st["bid0"], st["bid1"])
 
         # ---- best-score stop (bwtgap.c:144) ----
         if not nonstop:
@@ -257,14 +269,7 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         proc = do_pop & (m >= 0)
 
         # ---- width lower bound (bwtgap.c:156) ----
-        LP1 = L + 1
-        bid_l = st["bid"].reshape(B, -1)
-        w_l = st["w"].reshape(B, -1)
-
-        def wb_idx(a_vec, pos):
-            return a_vec * LP1 + jnp.clip(pos, 0, LP1 - 1)
-
-        bid_im1 = bid_l[b_idx, wb_idx(e_a, e_i - 1)]
+        bid_im1 = _row_gather(bid_row, e_i - 1, LP1)
         proc = proc & ~((e_i > 0) & (m < bid_im1))
 
         # ---- hit / exact-path / expand split (bwtgap.c:158-164) ----
@@ -288,8 +293,9 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         cnt_pl = occ4_lane(st["pend_l"], st["pend_a"])
         okk = select_base(cnt_pk, cc)
         oll = select_base(cnt_pl, cc)
-        nk = l2[cc] + okk + I32(1)
-        nl = l2[cc] + oll
+        l2c = _sel4(l2, cc)
+        nk = l2c + okk + I32(1)
+        nl = l2c + oll
         pfail = in_pend & ((pc > 3) | ugt(nk, nl))
         pstep = in_pend & ~pfail
         st["pend_k"] = jnp.where(pstep, nk, st["pend_k"])
@@ -327,36 +333,39 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         st["done"] = st["done"] | brk2
         add_lane = hit_now & ~brk2
         # tandem-repeat dedup (bwtgap.c:179-183)
-        in_hits = ((st["hit_k"][:, :H] == h_k[:, None])
-                   & (st["hit_l"][:, :H] == h_l[:, None])
+        in_hits = ((st["hit_k"] == h_k[:, None])
+                   & (st["hit_l"] == h_l[:, None])
                    & (jnp.arange(H) < st["n_aln"][:, None])).any(axis=1)
         do_add = add_lane & ~((h_go > 0) & in_hits)
 
-        # gap_shadow (bwtgap.c:81-91) on w[b, h_a, :]; masked lanes write
-        # the dummy strand plane 2
-        h_a_w = jnp.where(do_add, h_a, I32(2))
-        wa = st["w"][b_idx, h_a_w, :]
-        bida = st["bid"][b_idx, h_a_w, :]
+        # gap_shadow (bwtgap.c:81-91) on the h_a-strand planes
+        ha0 = (h_a == 0)[:, None]
+        wa = jnp.where(ha0, st["w0"], st["w1"])
+        bida = jnp.where(ha0, st["bid0"], st["bid1"])
         x = h_l - h_k + I32(1)
-        shadow_mask = jnp.arange(LP1) < h_ldp[:, None]
+        shadow_mask = do_add[:, None] & (jnp.arange(LP1) < h_ldp[:, None])
         eq = shadow_mask & (wa == x[:, None])
         gt = shadow_mask & ugt(wa, x[:, None])
         jc = jnp.cumsum(eq.astype(I32), axis=1)
         wa_new = jnp.where(gt, wa - x[:, None],
                            jnp.where(eq, seq_len_i - jc, wa))
         bida_new = jnp.where(eq, I32(1), bida)
-        st["w"] = st["w"].at[b_idx, h_a_w, :].set(wa_new)
-        st["bid"] = st["bid"].at[b_idx, h_a_w, :].set(bida_new)
+        upd0 = do_add[:, None] & ha0
+        upd1 = do_add[:, None] & ~ha0
+        st["w0"] = jnp.where(upd0, wa_new, st["w0"])
+        st["w1"] = jnp.where(upd1, wa_new, st["w1"])
+        st["bid0"] = jnp.where(upd0, bida_new, st["bid0"])
+        st["bid1"] = jnp.where(upd1, bida_new, st["bid1"])
 
-        # append hit (dummy slot H when masked)
+        # append hit via one-hot write at n_aln
         hof = do_add & (st["n_aln"] >= H)
         st["overflow"] = st["overflow"] | hof
         write_hit = do_add & ~hof
-        hslot = jnp.where(write_hit, jnp.clip(st["n_aln"], 0, H - 1), H)
+        hmask = write_hit[:, None] & (jnp.arange(H) == st["n_aln"][:, None])
         meta = (h_cnt & I32(0xFFFFFF)) | (h_a << 24)
         for nm, val in (("hit_meta", meta), ("hit_k", h_k), ("hit_l", h_l),
                         ("hit_score", h_score)):
-            st[nm] = st[nm].at[b_idx, hslot].set(val)
+            st[nm] = jnp.where(hmask, val[:, None], st[nm])
         st["n_aln"] = st["n_aln"] + write_hit.astype(I32)
 
         # ---- expansion (bwtgap.c:201-259) ----
@@ -365,10 +374,10 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         cnt_l4 = occ4_lane(e_l, e_a)
         occ_width = e_l - e_k + I32(1)
 
-        bid_i2m1 = bid_l[b_idx, wb_idx(e_a, i2 - 1)]
-        bid_i2 = bid_l[b_idx, wb_idx(e_a, i2)]
-        w_i2m1 = w_l[b_idx, wb_idx(e_a, i2 - 1)]
-        w_i2 = w_l[b_idx, wb_idx(e_a, i2)]
+        bid_i2m1 = _row_gather(bid_row, i2 - 1, LP1)
+        bid_i2 = _row_gather(bid_row, i2, LP1)
+        w_i2m1 = _row_gather(w_row, i2 - 1, LP1)
+        w_i2 = _row_gather(w_row, i2, LP1)
         allow_diff = jnp.where(i2 > 0, ~(bid_i2m1 > m - 1),
                                jnp.ones(B, dtype=bool))
         allow_m = jnp.where(
@@ -376,19 +385,14 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
             ~((bid_i2m1 == m - 1) & (bid_i2 == m - 1) & (w_i2m1 == w_i2)),
             jnp.ones(B, dtype=bool))
         # seed bounds (bwtgap.c:210-214)
-        SL1 = seed_widths.shape[2]
-        sbid_l = seed_bids.reshape(B, -1)
-        sw_l = seed_widths.reshape(B, -1)
         ii = jnp.where(has_seed, i2 - (lengths - seed_len), I32(-1))
-
-        def sb_idx(a_vec, pos):
-            return a_vec * SL1 + jnp.clip(pos, 0, SL1 - 1)
-
+        sbid_row = jnp.where(a0, sb0_p, sb1_p)
+        sw_row = jnp.where(a0, sw0_p, sw1_p)
         m_seed = max_seed_diff - (e_nmm + e_go) - (e_ge if gape_mode else 0)
-        sbid_iim1 = sbid_l[b_idx, sb_idx(e_a, ii - 1)]
-        sbid_ii = sbid_l[b_idx, sb_idx(e_a, ii)]
-        sw_iim1 = sw_l[b_idx, sb_idx(e_a, ii - 1)]
-        sw_ii = sw_l[b_idx, sb_idx(e_a, ii)]
+        sbid_iim1 = _row_gather(sbid_row, ii - 1, SL1)
+        sbid_ii = _row_gather(sbid_row, ii, SL1)
+        sw_iim1 = _row_gather(sw_row, ii - 1, SL1)
+        sw_ii = _row_gather(sw_row, ii, SL1)
         seed_gate = (i2 > 0) & (ii > 0)
         allow_diff = allow_diff & ~(seed_gate & (sbid_iim1 > m_seed - 1))
         allow_m = allow_m & ~(seed_gate & (sbid_iim1 == m_seed - 1)
@@ -455,8 +459,9 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         for j in range(1, 5):
             c = (sc + j) & 3
             is_mm = (jnp.full(B, j != 4, dtype=bool)) | (sc > 3)
-            mk = l2[c] + select_base(cnt_k4, c) + I32(1)
-            ml = l2[c] + select_base(cnt_l4, c)
+            l2c_j = _sel4(l2, c)
+            mk = l2c_j + select_base(cnt_k4, c) + I32(1)
+            ml = l2c_j + select_base(cnt_l4, c)
             ok_int = ule(mk, ml)
             v = expand & ok_int & (mm_all | (exact_only & (j == 4)))
             cand_valid.append(v)
@@ -480,55 +485,41 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         cdiff = jnp.stack(cand_diff, axis=1)
 
         n_push = valid.sum(axis=1).astype(I32)
-        sovf = expand & (n_push > st["fl_n"])
+        free_n = S - st["n_entries"]
+        sovf = expand & (n_push > free_n)
         st["overflow"] = st["overflow"] | sovf
         st["done"] = st["done"] | sovf
         valid = valid & ~sovf[:, None]
 
-        prefix = jnp.cumsum(valid.astype(I32), axis=1) - valid.astype(I32)
-        fl_pos2 = jnp.clip(st["fl_n"][:, None] - 1 - prefix, 0, S)
-        slots9 = jnp.take_along_axis(st["fl"], fl_pos2, axis=1)
-        slots9 = jnp.where(valid, slots9, I32(S))  # dummy slot for invalid
         cscore = aln_score(cnmm, cgo, cge)
-        cbin = jnp.clip(cscore, 0, NB - 1)
-        cinfo = (cscore << 21) | (e_a[:, None] << 20) | ci
+        cinfo = (e_a[:, None] << 20) | ci
         ccnt = cnmm | (cgo << 8) | (cge << 16) | (cstate << 24)
         cldp = jnp.where(cdiff, ci, 0)
+        prefix = jnp.cumsum(valid.astype(I32), axis=1) - valid.astype(I32)
+        cseq = st["seq_ctr"][:, None] + prefix
 
-        # per-bin linked-list pushes: candidate j's prev is the last earlier
-        # valid candidate in the same bin, else the current bin top
-        prev9 = jnp.take_along_axis(st["bin_top"], cbin, axis=1)
-        for j in range(1, 9):
-            pj = prev9[:, j]
-            for jj in range(j):
-                same = valid[:, jj] & (cbin[:, jj] == cbin[:, j])
-                pj = jnp.where(same, slots9[:, jj], pj)
-            prev9 = prev9.at[:, j].set(pj)
-        # bin_top update: only the LAST valid candidate of each bin writes
-        is_last = valid
+        # one-hot scatter of up to 9 candidates into the lowest free slots
+        free = st["s_seq"] < 0                               # [B, S]
+        frank = jnp.cumsum(free.astype(I32), axis=1)         # 1-based
         for j in range(9):
-            later_same = jnp.zeros(B, dtype=bool)
-            for jj in range(j + 1, 9):
-                later_same = later_same | (valid[:, jj]
-                                           & (cbin[:, jj] == cbin[:, j]))
-            is_last = is_last.at[:, j].set(valid[:, j] & ~later_same)
-        bin_w = jnp.where(is_last, cbin, I32(NB))
+            mask_j = (valid[:, j][:, None] & free
+                      & (frank == (prefix[:, j] + 1)[:, None]))
+            st["s_seq"] = jnp.where(mask_j, cseq[:, j][:, None],
+                                    st["s_seq"])
+            st["s_score"] = jnp.where(mask_j, cscore[:, j][:, None],
+                                      st["s_score"])
+            st["s_info"] = jnp.where(mask_j, cinfo[:, j][:, None],
+                                     st["s_info"])
+            st["s_cnt"] = jnp.where(mask_j, ccnt[:, j][:, None],
+                                    st["s_cnt"])
+            st["s_k"] = jnp.where(mask_j, ck[:, j][:, None], st["s_k"])
+            st["s_l"] = jnp.where(mask_j, cl[:, j][:, None], st["s_l"])
+            st["s_ldp"] = jnp.where(mask_j, cldp[:, j][:, None],
+                                    st["s_ldp"])
 
-        b9 = jnp.broadcast_to(b_idx[:, None], (B, 9))
-        st["bin_top"] = st["bin_top"].at[b9, bin_w].set(slots9)
-
-        def scat(dst, val):
-            return dst.at[b9, slots9].set(val)
-
-        st["info"] = scat(st["info"], cinfo)
-        st["cnt"] = scat(st["cnt"], ccnt)
-        st["k"] = scat(st["k"], ck)
-        st["l"] = scat(st["l"], cl)
-        st["ldp"] = scat(st["ldp"], cldp)
-        st["prev"] = scat(st["prev"], prev9)
         n_pushed = valid.sum(axis=1).astype(I32)
         st["n_entries"] = st["n_entries"] + n_pushed
-        st["fl_n"] = st["fl_n"] - n_pushed
+        st["seq_ctr"] = st["seq_ctr"] + n_pushed
 
         st["iters"] = st["iters"] + 1
         # iteration cap: flag leftover reads for host fallback
@@ -543,10 +534,10 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
 
     final = jax.lax.while_loop(cond, body, st)
     return {
-        "hit_meta": final["hit_meta"][:, :H],
-        "hit_k": final["hit_k"][:, :H],
-        "hit_l": final["hit_l"][:, :H],
-        "hit_score": final["hit_score"][:, :H],
+        "hit_meta": final["hit_meta"],
+        "hit_k": final["hit_k"],
+        "hit_l": final["hit_l"],
+        "hit_score": final["hit_score"],
         "n_aln": final["n_aln"],
         "hw": final["hw"],
         "overflow": final["overflow"],
