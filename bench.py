@@ -14,7 +14,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+# The axon sitecustomize imports jax at interpreter start, so env-var config
+# (JAX_COMPILATION_CACHE_DIR) is read before this file runs — only
+# jax.config.update takes effect.  Without it every bench process pays the
+# full multi-minute remote compile.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 WORK = pathlib.Path("/tmp/nabwa_bench")
 GLEN = 2_000_000

@@ -14,6 +14,7 @@ the per-read max_diff/seed_len recomputation (bwtaln.c:125-126) do.
 import copy
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..constants import BWA_AVG_ERR
@@ -40,12 +41,17 @@ class AlnEngine:
 
     def __init__(self, index, opt, stack_cap=256, hits_cap=32,
                  max_iters=2_000_000, retry_stack_cap=4096,
-                 retry_hits_cap=128):
+                 retry_hits_cap=128, mesh=None):
         """stack_cap is deliberately small: per-DFS-iteration cost on TPU is
         dominated by whole-stack-array traffic, and the observed per-read
         stack high-water is ~250 typical / ~1000 for hard reads.  Reads that
         overflow retry once with retry_stack_cap, then fall back to the
-        scalar host model."""
+        scalar host model.
+
+        mesh: optional jax.sharding.Mesh with a "dp" axis.  The index is
+        replicated per device and read batches are sharded over "dp" (the
+        reference replicates the index per process and data-parallelizes
+        reads, SURVEY §2.9); jit then partitions the DFS across devices."""
         self.index = index
         self.opt = opt
         self.stack_cap = stack_cap
@@ -53,20 +59,39 @@ class AlnEngine:
         self.retry_stack_cap = retry_stack_cap
         self.retry_hits_cap = retry_hits_cap
         self.max_iters = max_iters
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(mesh, P())
+            self._dp = NamedSharding(mesh, P("dp"))
+            self._n_dev = mesh.devices.size
         fwd, rev = index.fwd, index.rev
         assert np.array_equal(fwd.l2, rev.l2), "L2 must match for fwd/rev"
+
+        def dput(arr):
+            a = jnp.asarray(arr)
+            return jax.device_put(a, self._repl) if mesh is not None else a
+
         # device arrays are int32 bit patterns (ops.u32 rationale)
-        self.bwt_fwd = jnp.asarray(fwd.bwt.view(np.int32))
-        self.bwt_rev = jnp.asarray(rev.bwt.view(np.int32))
-        self.bwt_cat = jnp.concatenate([self.bwt_fwd, self.bwt_rev])
+        self.bwt_fwd = dput(fwd.bwt.view(np.int32))
+        self.bwt_rev = dput(rev.bwt.view(np.int32))
+        self.bwt_cat = dput(np.concatenate([fwd.bwt.view(np.int32),
+                                            rev.bwt.view(np.int32)]))
         self.rev_off = len(fwd.bwt)
-        self.l2 = jnp.asarray(fwd.l2.view(np.int32))
-        self.sa_fwd = jnp.asarray(fwd.sa.view(np.int32))
-        self.sa_rev = jnp.asarray(rev.sa.view(np.int32))
+        self.l2 = dput(fwd.l2.view(np.int32))
+        self.sa_fwd = dput(fwd.sa.view(np.int32))
+        self.sa_rev = dput(rev.sa.view(np.int32))
         self.primary_fwd = _i32(fwd.primary)
         self.primary_rev = _i32(rev.primary)
         self.seq_len = _i32(fwd.seq_len)
         self._scalar_fms = None
+
+    def _shard_batch(self, arr):
+        """Shard a [B, ...] batch array over the dp axis (replicate-free)."""
+        a = jnp.asarray(arr)
+        if self.mesh is None:
+            return a
+        return jax.device_put(a, self._dp)
 
     def scalar_fms(self):
         if self._scalar_fms is None:
@@ -171,8 +196,9 @@ class AlnEngine:
         out = aln_device_step(
             self.bwt_cat, self.bwt_fwd, self.bwt_rev, self.rev_off,
             self.primary_fwd, self.primary_rev, self.l2, self.seq_len,
-            jnp.asarray(seqs), jnp.asarray(lengths), jnp.asarray(sseq),
-            jnp.asarray(slen), jnp.asarray(has_seed), jnp.asarray(maxdiff),
+            self._shard_batch(seqs), self._shard_batch(lengths),
+            self._shard_batch(sseq), self._shard_batch(slen),
+            self._shard_batch(has_seed), self._shard_batch(maxdiff),
             s_mm=local.s_mm, s_gapo=local.s_gapo, s_gape=local.s_gape,
             max_gape=local.max_gape, max_gapo=local.max_gapo,
             indel_end_skip=local.indel_end_skip,

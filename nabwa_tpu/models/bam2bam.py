@@ -345,12 +345,20 @@ def update_bam1(out: BamRec, bns, s, mate, mode, max_top2, debug_bam=False):
                 push_int(out, "X", "N", nn)
 
 
-def infer_isize_hist(hist, ap_prior, L):
+def infer_isize_hist(hist, ap_prior, L, rg=None, report=True):
     """infer_isize_hist (insert_size.c:50-139).  hist: int array MAX_ISIZE.
-    Returns IsizeInfo or None (unusable)."""
+    Returns IsizeInfo or None (unusable).  Prints the reference's
+    [infer_isize] report lines (insert_size.c:65-67,129-137) when
+    report=True."""
+    import sys
+
+    rg_s = rg if rg else "(null)"
     ii = pe.IsizeInfo()
     tot = int(hist.sum())
     if tot < 20:
+        if report:
+            print(f"[infer_isize] {rg_s}: too few good pairs",
+                  file=sys.stderr)
         return None
     cum = 0
     p25 = p50 = p75 = 0
@@ -381,7 +389,9 @@ def infer_isize_hist(hist, ap_prior, L):
             std_acc += t * int(hist[i])
             skew += t * (i - ii.avg) * int(hist[i])
             kurt += t * t * int(hist[i])
+    kurt = kurt / n / (std_acc / n * std_acc / n) - 3
     ii.std = math.sqrt(std_acc / n)
+    skew = skew / n / (ii.std * ii.std * ii.std)
     y = 1.0
     while y < 10.0:
         if .5 * math.erfc(y / math.sqrt(2)) < ap_prior / L * (
@@ -394,8 +404,18 @@ def infer_isize_hist(hist, ap_prior, L):
     ii.ap_prior = .01 * (n_ap + .01) / tot
     if ii.ap_prior < ap_prior:
         ii.ap_prior = ap_prior
+    if report:
+        print(f"[infer_isize] {rg_s}: qu({p25}, {p50}, {p75})",
+              file=sys.stderr, end="")
     if math.isnan(ii.std) or p75 > MAX_ISIZE:
+        if report:
+            print(" -- not useable", file=sys.stderr)
         return None
+    if report:
+        print(" bound(%d,%d), num/avg/std/kur/skw %d/%.3f/%.3f/%.3f/%.3f,"
+              " ap %.2e, max %d, %.2f sigma"
+              % (ii.low, ii.high, n, ii.avg, ii.std, skew, kurt,
+                 ii.ap_prior, ii.high_bayesian, y), file=sys.stderr)
     return ii
 
 
@@ -434,108 +454,214 @@ def improve_isize_est(hists, p, ap_prior, L):
 
 def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
             version="ref", only_aligned=False, broken_input=False,
-            skip_duplicates=False, drop_aligned=False, debug_bam=False):
-    """Sequential two-pass bam2bam (bwa_bam2bam_core simple loop)."""
+            skip_duplicates=False, drop_aligned=False, debug_bam=False,
+            n_workers=1, chunk_size=4096, worker_wrapper=None,
+            rng_mode="drand48"):
+    """Two-pass bam2bam (bwa_bam2bam_core, bam2bam.c:1728-1940), driven
+    through the chunk-lease scheduler.
+
+    The input is split into fixed-size chunks of logical records; pass 1
+    (device DFS align) and pass 2 (pairing + rescue + refine + BAM splice)
+    run as pure chunk jobs over `n_workers` workers with at-least-once
+    redelivery and strictly ordered release — the TPU-native analog of the
+    reference's I/O multiplexor (run_io_multiplexor, bam2bam.c:1462-1715).
+    Chunk jobs never mutate shared state: results are applied by the ordered
+    writer, so a redelivered chunk is idempotent by construction.
+
+    The drand48 hit-sampling pass runs at the coordinator in strict record
+    order between the two passes (rng_mode="drand48", bit-reproducible, the
+    sequential reference's call-order contract) — unlike the reference's
+    networked mode, whose output depends on worker scheduling (SURVEY §2.7
+    determinism caveat).  rng_mode="counter" instead derives an independent
+    rand48 stream per logical record from hash_64(seed ^ recno): output is
+    then invariant under any processing order, including redelivery.
+
+    worker_wrapper(wid, fn) lets tests inject failures/stragglers around
+    the chunk jobs (the kill-injection path).
+    """
+    import copy as _copy
+
+    from ..parallel.scheduler import run_distributed
+    from ..utils.log import StageTimers, RateEMA, Counters
+    from .sampe import hash_64
+    from ..utils.rand48 import Rand48
+
     bns = engine.index.bns
     pac = engine.index.pac
     reader = bamio.BamReader(in_bam)
+    timers = StageTimers("bam2bam")
+    telemetry = Counters()
 
-    pairs = list(read_bam_pairs(reader, allow_broken=broken_input,
-                                drop_aligned=drop_aligned))
+    with timers("read input"):
+        pairs = list(read_bam_pairs(reader, allow_broken=broken_input,
+                                    drop_aligned=drop_aligned))
+    for recno, p in enumerate(pairs):
+        p.recno = recno
+    chunks = [list(range(i, min(i + chunk_size, len(pairs))))
+              for i in range(0, len(pairs), chunk_size)]
 
-    # ---- PASS 1: align (batched) ----
-    jobs = []   # (pair, end) in record order for the device engine
-    for p in pairs:
-        if not unique(p, skip_duplicates):
-            p.phase = POSITIONED
+    # ---- PASS 1: align (device DFS), chunk-distributed ----
+    def work_align(cid, idxs):
+        out = []
+        jobs = []
+        for pi in idxs:
+            p = pairs[pi]
+            states = []
             for j in range(p.kind):
-                p.states[j] = se.SeqState(bam1_to_read(
-                    p.recs[j], True, gopt.trim_qual))
-                p.alns[j] = []
-            continue
-        for j in range(p.kind):
-            rd = bam1_to_read(p.recs[j], True, gopt.trim_qual)
-            p.states[j] = se.SeqState(rd)
-            jobs.append((p, j, rd))
+                rd = bam1_to_read(p.recs[j], True, gopt.trim_qual)
+                states.append(se.SeqState(rd))
+            out.append((pi, states))
+            if unique(p, skip_duplicates):
+                for j in range(p.kind):
+                    jobs.append((len(out) - 1, j))
+        reads = [out[oi][1][j].read for oi, j in jobs]
+        results = engine.run_chunk(reads, per_read_semantics=True)
+        alns = [[[] for _ in range(pairs[pi].kind)] for pi, _ in out]
+        hws = [[0, 0] for _ in out]
+        for (oi, j), (a, hw) in zip(jobs, results):
+            alns[oi][j] = a
+            hws[oi][j] = hw
+        return [(pi, states, alns[i], hws[i])
+                for i, (pi, states) in enumerate(out)]
 
-    reads = [rd for _, _, rd in jobs]
-    results = engine.run_chunk(reads, per_read_semantics=True)
-    for (p, j, rd), (alns, hw) in zip(jobs, results):
-        p.alns[j] = alns
-        p.hw[j] = hw
-        p.states[j].max_entries = hw
+    def apply_align(cid, res):
+        for pi, states, alns, hws in res:
+            p = pairs[pi]
+            for j in range(p.kind):
+                p.states[j] = states[j]
+                p.alns[j] = alns[j]
+                p.hw[j] = hws[j]
+                states[j].max_entries = hws[j]
+            if not unique(p, skip_duplicates):
+                p.phase = POSITIONED
 
-    # posn phase in record order (drand48 order contract) + batched SA
-    posn_jobs = []
-    for p in pairs:
-        if not unique(p, skip_duplicates):
-            continue
-        if p.kind == SINGLETON:
-            s = p.states[0]
-            se.aln2seq_core(p.alns[0], s, rng, set_main=True,
-                            n_multi=popt.max_occ_se)
-        else:
-            for j in range(2):
-                s = p.states[j]
-                s.n_multi = 0
-                s.multi = []
-                se.aln2seq_core(p.alns[j], s, rng, set_main=True, n_multi=0)
-    # positions (batched, no rng involved)
-    se.cal_pac_pos(engine, [p.states[j] for p in pairs
-                            if unique(p, skip_duplicates)
-                            for j in range(p.kind)],
-                   gopt.max_diff, gopt.fnr)
+    with timers("pass 1 align"):
+        _, sched1 = run_distributed(chunks, work_align, n_workers=n_workers,
+                                    writer=apply_align,
+                                    worker_wrapper=worker_wrapper)
+    telemetry.bump("pass1_resends", sched1.total_resends)
+    telemetry.bump("pass1_dups", sched1.total_dups)
+
+    # ---- posn: drand48 sampling in record order at the coordinator ----
+    with timers("sample + position"):
+        for p in pairs:
+            if not unique(p, skip_duplicates):
+                continue
+            if rng_mode == "counter":
+                r = Rand48()
+                r.x = hash_64((bns.seed ^ p.recno)
+                              & 0xFFFFFFFFFFFFFFFF) & ((1 << 48) - 1)
+            else:
+                r = rng
+            if p.kind == SINGLETON:
+                se.aln2seq_core(p.alns[0], p.states[0], r, set_main=True,
+                                n_multi=popt.max_occ_se)
+            else:
+                for j in range(2):
+                    s = p.states[j]
+                    s.n_multi = 0
+                    s.multi = []
+                    se.aln2seq_core(p.alns[j], s, r, set_main=True,
+                                    n_multi=0)
+        # positions (batched device SA walk, no rng involved)
+        se.cal_pac_pos(engine, [p.states[j] for p in pairs
+                                if unique(p, skip_duplicates)
+                                for j in range(p.kind)],
+                       gopt.max_diff, gopt.fnr)
     # per-RG isize histograms in record order (insert_size.c)
     hists = {}
     for p in pairs:
         if unique(p, skip_duplicates):
-            improve_isize_est(hists, p, popt.ap_prior, engine.index.fwd.seq_len)
+            improve_isize_est(hists, p, popt.ap_prior,
+                              engine.index.fwd.seq_len)
         p.phase = POSITIONED
 
-    # ---- barrier: infer_all_isizes ----
+    # ---- barrier: infer_all_isizes (bam2bam.c:1856-1870) ----
     iinfos = {}
     for rg, h in hists.items():
-        ii = infer_isize_hist(h, popt.ap_prior, engine.index.fwd.seq_len)
+        ii = infer_isize_hist(h, popt.ap_prior, engine.index.fwd.seq_len,
+                              rg=rg)
         if ii is not None:
             iinfos[rg] = ii
     null_ii = NullIsize()
 
-    # ---- PASS 2: finish ----
-    # interval expansion for pairing, batched like sampe (position memo
-    # persists for the whole run like g_hash / my_hash)
-    pos_memo = {}
-    counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+    # ---- PASS 2: finish (pairing + rescue + refine), chunk-distributed --
+    def work_finish(cid, idxs):
+        # deep-copied inputs: redelivered chunks must not see half-finished
+        # state (the mux dedup keeps only the first completed copy)
+        out = []
+        pos_memo = {}
+        counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+        for pi in idxs:
+            p = _copy.deepcopy(pairs[pi])
+            if unique(p, skip_duplicates):
+                if p.kind == SINGLETON:
+                    _finish_singleton(engine, bns, pac, p,
+                                      debug_bam=debug_bam)
+                else:
+                    _finish_pair(engine, bns, pac, p, gopt, popt, iinfos,
+                                 null_ii, pos_memo, counters,
+                                 debug_bam=debug_bam)
+            out.append((pi, p.recs[:p.kind]))
+        return out, counters
+
     out_records = []
-    for p in pairs:
-        if unique(p, skip_duplicates):
-            if p.kind == SINGLETON:
-                _finish_singleton(engine, bns, pac, p)
-            else:
-                _finish_pair(engine, bns, pac, p, gopt, popt, iinfos,
-                             null_ii, pos_memo, counters)
-        p.phase = FINISHED
-        if only_aligned and any(p.recs[i].flag & SAM_FSU
-                                for i in range(p.kind)):
-            continue
-        for i in range(p.kind):
-            out_records.append(p.recs[i])
+    counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+    ema = RateEMA("bam2bam")
+
+    def apply_finish(cid, res):
+        recs_list, cnt = res
+        for k in range(2):
+            counters["n_tot"][k] += cnt["n_tot"][k]
+            counters["n_mapped"][k] += cnt["n_mapped"][k]
+        for pi, recs in recs_list:
+            p = pairs[pi]
+            p.recs[:p.kind] = recs
+            p.phase = FINISHED
+            ema.update(pi)
+            if only_aligned and any(recs[i].flag & SAM_FSU
+                                    for i in range(p.kind)):
+                continue
+            out_records.extend(recs)
+
+    with timers("pass 2 finish"):
+        _, sched2 = run_distributed(chunks, work_finish,
+                                    n_workers=n_workers,
+                                    writer=apply_finish,
+                                    worker_wrapper=worker_wrapper)
+    telemetry.bump("pass2_resends", sched2.total_resends)
+    telemetry.bump("pass2_dups", sched2.total_dups)
+
+    # mate-rescue tallies in the reference's format (bam2bam.c:1208-1214)
+    import sys as _sys
+    print("[bwa_paired_sw] %d out of %d Q%d singletons are mated."
+          % (counters["n_mapped"][1], counters["n_tot"][1], 17),
+          file=_sys.stderr)
+    print("[bwa_paired_sw] %d out of %d Q%d discordant pairs are fixed."
+          % (counters["n_mapped"][0], counters["n_tot"][0], 17),
+          file=_sys.stderr)
 
     # ---- output BAM ----
-    header_text = print_header_text(bns, reader.text, argv or [], version)
-    refs = [(a.name, a.length) for a in bns.anns]
-    bamio.make_bam(out_bam, refs, out_records, text=header_text)
+    with timers("write output"):
+        header_text = print_header_text(bns, reader.text, argv or [],
+                                        version)
+        refs = [(a.name, a.length) for a in bns.anns]
+        bamio.make_bam(out_bam, refs, out_records, text=header_text)
+    ema.final(len(pairs))
+    telemetry.report("bam2bam")
+    timers.report_all()
     return counters
 
 
-def _finish_singleton(engine, bns, pac, p):
+def _finish_singleton(engine, bns, pac, p, debug_bam=False):
     s = p.states[0]
     se.refine_gapped(bns, pac, [s])
     update_bam1(p.recs[0], bns, s, None, engine.opt.mode,
-                engine.opt.max_top2)
+                engine.opt.max_top2, debug_bam=debug_bam)
 
 
 def _finish_pair(engine, bns, pac, p, gopt, popt, iinfos, null_ii, pos_memo,
-                 counters):
+                 counters, debug_bam=False):
     s = p.states
     rg = p.recs[0].get_rg()
     ii = iinfos.get(rg, null_ii)
@@ -609,8 +735,10 @@ def _finish_pair(engine, bns, pac, p, gopt, popt, iinfos, null_ii, pos_memo,
     pe.paired_sw1(bns, pac, (s[0], s[1]), popt, ii, counters)
     se.refine_gapped(bns, pac, [s[0]])
     se.refine_gapped(bns, pac, [s[1]])
-    update_bam1(p.recs[0], bns, s[0], s[1], gopt.mode, gopt.max_top2)
-    update_bam1(p.recs[1], bns, s[1], s[0], gopt.mode, gopt.max_top2)
+    update_bam1(p.recs[0], bns, s[0], s[1], gopt.mode, gopt.max_top2,
+                debug_bam=debug_bam)
+    update_bam1(p.recs[1], bns, s[1], s[0], gopt.mode, gopt.max_top2,
+                debug_bam=debug_bam)
 
 
 def _batch_positions(engine, jobs):

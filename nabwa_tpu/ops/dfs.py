@@ -160,6 +160,7 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         pend_cnt=jnp.zeros(B, dtype=I32),   # n_mm|gapo<<8|gape<<16
         pend_a=jnp.zeros(B, dtype=I32),
         pend_ldp=jnp.zeros(B, dtype=I32),
+        fin=jnp.zeros(B, dtype=I32),   # iteration at which the lane finished
         # per-strand D(i) planes, mutated by gap_shadow
         w0=widths[:, 0, :].astype(I32),
         w1=widths[:, 1, :].astype(I32),
@@ -522,6 +523,7 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         st["seq_ctr"] = st["seq_ctr"] + n_pushed
 
         st["iters"] = st["iters"] + 1
+        st["fin"] = jnp.where(active & st["done"], st["iters"], st["fin"])
         # iteration cap: flag leftover reads for host fallback
         cap_hit = st["iters"] >= max_iters
         st["overflow"] = st["overflow"] | jnp.where(cap_hit, ~st["done"],
@@ -542,4 +544,5 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         "hw": final["hw"],
         "overflow": final["overflow"],
         "iters": final["iters"],
+        "fin": final["fin"],
     }
