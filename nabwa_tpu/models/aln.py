@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..constants import BWA_AVG_ERR
 from ..ops import occ as occ_ops
-from ..ops.dfs import aln_device_step
+from ..ops.dfs import aln_device_step, unpack_result
 from ..refmodel.aln_scalar import cal_maxdiff, aln_batch as scalar_aln_batch
 from ..refmodel.fm_scalar import ScalarFm
 
@@ -208,13 +208,16 @@ class AlnEngine:
             stack_cap=stack_cap, hits_cap=hits_cap,
             max_iters=self.max_iters)
 
-        n_aln = np.asarray(out["n_aln"])
-        hit_meta = np.asarray(out["hit_meta"]).view(np.uint32)
-        hit_k = np.asarray(out["hit_k"]).view(np.uint32)
-        hit_l = np.asarray(out["hit_l"]).view(np.uint32)
-        hit_score = np.asarray(out["hit_score"])
-        hw = np.asarray(out["hw"])
-        overflow = np.asarray(out["overflow"])
+        # ONE host transfer for the whole packed result (tunnel latency
+        # is per-array, not per-byte)
+        out = unpack_result(np.asarray(out), hits_cap)
+        n_aln = out["n_aln"]
+        hit_meta = out["hit_meta"].view(np.uint32)
+        hit_k = out["hit_k"].view(np.uint32)
+        hit_l = out["hit_l"].view(np.uint32)
+        hit_score = out["hit_score"]
+        hw = out["hw"]
+        overflow = out["overflow"]
 
         fallback = []
         for i, r in enumerate(reads):

@@ -184,9 +184,9 @@ def cal_pac_pos(engine, states, max_mm, fnr):
             s.seQ = s.mapQ = approx_mapQ(s, max_diff)
 
 
-def refine_gapped_core(l_pac, pac, seq_codes, pos, ext, is_end_correct=True):
-    """refine_gapped_core (bwase.c:189-237).  seq_codes: forward-oriented
-    read codes vs the reference strand.  Returns (cigar list, new_pos)."""
+def refine_window(l_pac, pac, seq_codes, pos, ext, is_end_correct=True):
+    """The reference-window slice of refine_gapped_core (bwase.c:193-207).
+    Returns (ref_seq, __pos)."""
     length = len(seq_codes)
     # uint32 pos past l_pac is a wrapped negative (bwase.c:197)
     pos_u = pos & _NEG1
@@ -200,8 +200,19 @@ def refine_gapped_core(l_pac, pac, seq_codes, pos, ext, is_end_correct=True):
         lo = max(x - ref_len, 0)
         hi = min(x, l_pac)
     ref_seq = pac[lo:hi] if hi > lo else np.zeros(0, dtype=np.uint8)
+    return ref_seq, __pos
 
-    _, path = aln_global_core(ref_seq, np.asarray(seq_codes), ALN_PARAM_BWA)
+
+def refine_gapped_core(l_pac, pac, seq_codes, pos, ext, is_end_correct=True,
+                       path=None):
+    """refine_gapped_core (bwase.c:189-237).  seq_codes: forward-oriented
+    read codes vs the reference strand.  Returns (cigar list, new_pos).
+    `path` short-circuits the DP with a batch-precomputed device result."""
+    ref_seq, __pos = refine_window(l_pac, pac, seq_codes, pos, ext,
+                                   is_end_correct)
+    if path is None:
+        _, path = aln_global_core(ref_seq, np.asarray(seq_codes),
+                                  ALN_PARAM_BWA)
     cigar = path2cigar32(path)
     n_cigar = len(cigar)
     if n_cigar == 0:
@@ -334,8 +345,16 @@ def correct_trimmed(s):
     s.len = r.full_len
 
 
-def refine_gapped(bns, pac, states):
-    """bwa_refine_gapped (bwase.c:356-423) minus color space."""
+DEVICE_DP_COUNTERS = {"device": 0, "host": 0}
+
+
+def refine_gapped(bns, pac, states, use_device=True):
+    """bwa_refine_gapped (bwase.c:356-423) minus color space.
+
+    All gapped-refinement DPs of the batch run as ONE device
+    banded-global call (ops.dp.banded_global_batch); use_device=False
+    keeps the scalar host oracle path."""
+    jobs = []   # (apply, seq_codes, pos, ext)
     for s in states:
         r = s.read
         # s.seq was stored reversed; forward orientation for DP/MD
@@ -344,20 +363,39 @@ def refine_gapped(bns, pac, states):
             if m["gap"] == 0:
                 continue
             seqc = r.rseq if m["strand"] else fwd_codes
-            cig, newpos = refine_gapped_core(
-                bns.l_pac, pac, seqc, m["pos"],
-                (1 if m["strand"] else -1) * m["gap"])
-            m["cigar"] = cig
-            m["n_cigar"] = len(cig)
-            m["pos"] = newpos
+
+            def apply_m(cig, newpos, m=m):
+                m["cigar"] = cig
+                m["n_cigar"] = len(cig)
+                m["pos"] = newpos
+
+            jobs.append((apply_m, seqc, m["pos"],
+                         (1 if m["strand"] else -1) * m["gap"]))
         if s.type in (BWA_TYPE_NO_MATCH, BWA_TYPE_MATESW) or s.n_gapo == 0:
             continue
         seqc = r.rseq if s.strand else fwd_codes
-        s.cigar, s.pos = refine_gapped_core(
-            bns.l_pac, pac, seqc, s.pos,
-            (1 if s.strand else -1) * (s.n_gapo + s.n_gape))
-        if not s.cigar:
-            s.cigar = None
+
+        def apply_s(cig, newpos, s=s):
+            s.cigar = cig if cig else None
+            s.pos = newpos
+
+        jobs.append((apply_s, seqc, s.pos,
+                     (1 if s.strand else -1) * (s.n_gapo + s.n_gape)))
+
+    paths = [None] * len(jobs)
+    if use_device and jobs:
+        from ..ops.dp import banded_global_batch
+        pairs = [refine_window(bns.l_pac, pac, seqc, pos, ext)[0:1]
+                 + (np.asarray(seqc),)
+                 for _, seqc, pos, ext in jobs]
+        paths = [p for _, p in banded_global_batch(pairs, ALN_PARAM_BWA)]
+        DEVICE_DP_COUNTERS["device"] += len(jobs)
+    else:
+        DEVICE_DP_COUNTERS["host"] += len(jobs)
+    for (apply, seqc, pos, ext), path in zip(jobs, paths):
+        cig, newpos = refine_gapped_core(bns.l_pac, pac, seqc, pos, ext,
+                                         path=path)
+        apply(cig, newpos)
 
     for s in states:
         if s.type != BWA_TYPE_NO_MATCH:

@@ -133,16 +133,17 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         return m * s_mm + o * s_gapo + e * s_gape
 
     # --- initial state ---
+    # slot pool: s_key = (score << 16) | (0xFFFF - seq) for occupied slots,
+    # INT32_MAX for free ones.  seq is the per-read push counter, so
+    # min(s_key) == the C's binned-LIFO pop order (lowest score bin, LIFO
+    # within bin) in ONE reduction, free slots excluded automatically.
+    FREE = I32(0x7FFFFFFF)
     st = dict(
-        # slot pool: s_seq >= 0 marks an occupied slot; pop order is
-        # (min s_score, then max s_seq) == the C's binned LIFO
-        s_seq=jnp.full((B, S), -1, dtype=I32),
-        s_score=jnp.zeros((B, S), dtype=I32),
-        s_info=jnp.zeros((B, S), dtype=I32),   # a<<20 | i
+        s_key=jnp.full((B, S), FREE, dtype=I32),
+        s_info=jnp.zeros((B, S), dtype=I32),   # ldp<<17 | a<<16 | i
         s_cnt=jnp.zeros((B, S), dtype=I32),    # n_mm|go<<8|ge<<16|state<<24
         s_k=jnp.zeros((B, S), dtype=I32),
         s_l=jnp.zeros((B, S), dtype=I32),
-        s_ldp=jnp.zeros((B, S), dtype=I32),
         seq_ctr=jnp.zeros(B, dtype=I32),
         n_entries=jnp.zeros(B, dtype=I32),
         best_score=aln_score(max_diff + 1, max_gapo + 1, max_gape + 1),
@@ -179,16 +180,18 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
     st["done"] = n_count > max_diff
 
     # push the two strand seeds (bwtgap.c:127-128): slots 0 (a=0, seq 0)
-    # and 1 (a=1, seq 1); both score 0, a=1 pops first like the C.
+    # and 1 (a=1, seq 1); both score 0, a=1 pops first like the C (its key
+    # 0xFFFE is the smaller).
     empty_read = lengths <= 0
     st["done"] = st["done"] | empty_read
     seedable = ~st["done"]
-    seed_seq = jnp.where(seedable[:, None],
-                         jnp.array([0, 1], dtype=I32)[None, :], -1)
-    st["s_seq"] = st["s_seq"].at[:, 0:2].set(seed_seq)
+    seed_key = jnp.where(seedable[:, None],
+                         jnp.array([0xFFFF, 0xFFFE], dtype=I32)[None, :],
+                         FREE)
+    st["s_key"] = st["s_key"].at[:, 0:2].set(seed_key)
     st["s_info"] = st["s_info"].at[:, 0].set(jnp.where(seedable, lengths, 0))
     st["s_info"] = st["s_info"].at[:, 1].set(
-        jnp.where(seedable, I32(1 << 20) | lengths, 0))
+        jnp.where(seedable, I32(1 << 16) | lengths, 0))
     st["s_l"] = st["s_l"].at[:, 0:2].set(
         jnp.where(seedable, seq_len_i, 0)[:, None])
     st["seq_ctr"] = jnp.where(seedable, 2, 0)
@@ -225,13 +228,13 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         st["done"] = st["done"] | (do_stack & (empty | over_cap))
         do_pop = do_stack & ~empty & ~over_cap
 
-        # ---- pop: min score, then max seq (gap_pop, bwtgap.c:66-79) ----
-        occ_m = st["s_seq"] >= 0
-        sc_masked = jnp.where(occ_m, st["s_score"], BIG)
-        e_score = sc_masked.min(axis=1)
-        tie = occ_m & (st["s_score"] == e_score[:, None])
-        pop_seq = jnp.where(tie, st["s_seq"], -1).max(axis=1)
-        pop_m = tie & (st["s_seq"] == pop_seq[:, None])
+        # ---- pop: min key == min score then max seq (gap_pop,
+        # bwtgap.c:66-79); the key is unique per live entry, so pop_m has
+        # exactly one bit per popping lane ----
+        min_key = st["s_key"].min(axis=1)
+        pop_m = st["s_key"] == min_key[:, None]
+        e_score = ushr(min_key, 16)    # garbage (0x7FFF) on empty lanes,
+        #                                masked by do_pop below
 
         def extract(a):
             return jnp.where(pop_m, a, 0).sum(axis=1)
@@ -240,12 +243,12 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         e_cnt = extract(st["s_cnt"])
         e_k = extract(st["s_k"])
         e_l = extract(st["s_l"])
-        e_ldp = extract(st["s_ldp"])
         # commit removal for popping lanes
-        st["s_seq"] = jnp.where(pop_m & do_pop[:, None], -1, st["s_seq"])
+        st["s_key"] = jnp.where(pop_m & do_pop[:, None], FREE, st["s_key"])
         st["n_entries"] = st["n_entries"] - do_pop.astype(I32)
 
-        e_a = ushr(e_info, 20) & I32(1)
+        e_a = ushr(e_info, 16) & I32(1)
+        e_ldp = ushr(e_info, 17)
         e_i = e_info & I32(0xFFFF)
         e_nmm = e_cnt & I32(0xFF)
         e_go = ushr(e_cnt, 8) & I32(0xFF)
@@ -485,38 +488,54 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         cstate = jnp.stack(cand_state, axis=1)
         cdiff = jnp.stack(cand_diff, axis=1)
 
+        # Push-time pruning (an optimization the C lacks; provably inert):
+        # max_diff and best_score only tighten over the search, so a
+        # candidate that ALREADY busts the pop-time budget check
+        # (bwtgap.c:146-148, continue) or the best-score break
+        # (bwtgap.c:144) can never contribute anything when popped — the
+        # pop would discard it (or end a lane that ends anyway once the
+        # minimum remaining score passes the bound).  Dropping it at push
+        # keeps the hit set, hit order and all width/shadow state
+        # bit-identical while shrinking both stack pressure and wasted pop
+        # iterations.  (Only the max_entries high-water can differ, which
+        # surfaces solely through the YQ debug tag.)
+        cdiffsum = cnmm + cgo + (cge if gape_mode else 0)
+        keep = cdiffsum <= st["max_diff"][:, None]
+        csc = aln_score(cnmm, cgo, cge)
+        if not nonstop:
+            keep = keep & (csc <= (st["best_score"] + s_mm)[:, None])
+        valid = valid & keep
+
         n_push = valid.sum(axis=1).astype(I32)
         free_n = S - st["n_entries"]
-        sovf = expand & (n_push > free_n)
+        # slot-pool exhaustion, and the (rare) 16-bit seq-counter ceiling —
+        # both flag the read for the retry tier / scalar fallback
+        sovf = expand & ((n_push > free_n)
+                         | (st["seq_ctr"] + n_push > I32(0xFFFF)))
         st["overflow"] = st["overflow"] | sovf
         st["done"] = st["done"] | sovf
         valid = valid & ~sovf[:, None]
 
-        cscore = aln_score(cnmm, cgo, cge)
-        cinfo = (e_a[:, None] << 20) | ci
-        ccnt = cnmm | (cgo << 8) | (cge << 16) | (cstate << 24)
         cldp = jnp.where(cdiff, ci, 0)
+        cinfo = (cldp << 17) | (e_a[:, None] << 16) | ci
+        ccnt = cnmm | (cgo << 8) | (cge << 16) | (cstate << 24)
         prefix = jnp.cumsum(valid.astype(I32), axis=1) - valid.astype(I32)
-        cseq = st["seq_ctr"][:, None] + prefix
+        ckey = (csc << 16) | (I32(0xFFFF) - st["seq_ctr"][:, None] - prefix)
 
         # one-hot scatter of up to 9 candidates into the lowest free slots
-        free = st["s_seq"] < 0                               # [B, S]
+        free = st["s_key"] == FREE                           # [B, S]
         frank = jnp.cumsum(free.astype(I32), axis=1)         # 1-based
         for j in range(9):
             mask_j = (valid[:, j][:, None] & free
                       & (frank == (prefix[:, j] + 1)[:, None]))
-            st["s_seq"] = jnp.where(mask_j, cseq[:, j][:, None],
-                                    st["s_seq"])
-            st["s_score"] = jnp.where(mask_j, cscore[:, j][:, None],
-                                      st["s_score"])
+            st["s_key"] = jnp.where(mask_j, ckey[:, j][:, None],
+                                    st["s_key"])
             st["s_info"] = jnp.where(mask_j, cinfo[:, j][:, None],
                                      st["s_info"])
             st["s_cnt"] = jnp.where(mask_j, ccnt[:, j][:, None],
                                     st["s_cnt"])
             st["s_k"] = jnp.where(mask_j, ck[:, j][:, None], st["s_k"])
             st["s_l"] = jnp.where(mask_j, cl[:, j][:, None], st["s_l"])
-            st["s_ldp"] = jnp.where(mask_j, cldp[:, j][:, None],
-                                    st["s_ldp"])
 
         n_pushed = valid.sum(axis=1).astype(I32)
         st["n_entries"] = st["n_entries"] + n_pushed
@@ -535,14 +554,31 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
         return jnp.any(~st["done"])
 
     final = jax.lax.while_loop(cond, body, st)
+    # Single packed result array: each host np.asarray of a device array
+    # costs ~20-25 ms of tunnel latency regardless of size, so the 8
+    # logical outputs ship as ONE [B, 4H+5] int32 transfer (unpacked by
+    # models.aln / callers via the PACK_* column layout).
+    packed = jnp.concatenate([
+        final["hit_meta"], final["hit_k"], final["hit_l"],
+        final["hit_score"],
+        final["n_aln"][:, None], final["hw"][:, None],
+        final["overflow"].astype(I32)[:, None], final["fin"][:, None],
+        jnp.broadcast_to(final["iters"], (B,))[:, None],
+    ], axis=1)
+    return packed
+
+
+def unpack_result(packed, hits_cap):
+    """Split the packed dfs_match_gap result into the logical outputs."""
+    H = hits_cap
     return {
-        "hit_meta": final["hit_meta"],
-        "hit_k": final["hit_k"],
-        "hit_l": final["hit_l"],
-        "hit_score": final["hit_score"],
-        "n_aln": final["n_aln"],
-        "hw": final["hw"],
-        "overflow": final["overflow"],
-        "iters": final["iters"],
-        "fin": final["fin"],
+        "hit_meta": packed[:, 0:H],
+        "hit_k": packed[:, H:2 * H],
+        "hit_l": packed[:, 2 * H:3 * H],
+        "hit_score": packed[:, 3 * H:4 * H],
+        "n_aln": packed[:, 4 * H],
+        "hw": packed[:, 4 * H + 1],
+        "overflow": packed[:, 4 * H + 2] != 0,
+        "iters": packed[0, 4 * H + 4] if packed.shape[0] else 0,
+        "fin": packed[:, 4 * H + 3],
     }

@@ -1,0 +1,230 @@
+"""Batched banded DP kernels on device — the TPU re-design of stdaln.c's
+alignment cores (SURVEY §2.4 "Pallas kernels #3/#4/#5").
+
+Device part computes the score lattice + packed traceback directions for a
+whole BATCH of (ref-window, read) pairs as one jit program; the short
+per-record backtrace walk runs on host.  The banded structure of
+aln_global_core (stdaln.c:345-525) — five loop parts, separate `gap_end`
+penalties on terminal rows/columns, M>=I>I>D tie-breaking — is translated
+into per-(row, cell) predicates, validated cell-for-cell against the scalar
+oracle (refmodel.stdaln_scalar) by randomized property tests.
+
+Key vectorization: within a row, D[i] = max(M[i-1]-go, D[i-1]) - ext is a
+sequential chain; with T[i] = D[i] + ext*i it becomes a running max of
+U[i] = (M[i-1]-go) + ext*(i-1), i.e. one cummax along the row — no scalar
+loop.  Rows then advance under one lax.scan; everything on the VPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..refmodel.stdaln_scalar import FROM_M, FROM_I, FROM_D, MINOR_INF
+
+I32 = jnp.int32
+NEG = jnp.int32(MINOR_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("go", "ge", "gend"))
+def _banded_global_device(s1, len1, s2, len2, b1, b2, mat, *, go, ge, gend):
+    """Score + traceback lattice for a batch.
+
+    s1: int32 [B, L1+1] 1-based ref windows (index 0 unused), codes 0..4.
+    s2: int32 [B, L2+1] 1-based reads.  len1/len2/b1/b2: int32 [B].
+    mat: int32 [5, 5] score matrix.  Returns (score [B], last_type [B],
+    tb uint8 [B, L2+1, L1+1]) with tb bits: 0-1 Mt, 2 It, 3 Dt.
+    """
+    B, L1p = s1.shape
+    L2p = s2.shape[1]
+    L1 = L1p - 1
+    i_idx = jnp.arange(L1p, dtype=I32)           # [L1+1]
+    ge_i = I32(ge)
+    gend_i = I32(gend if gend >= 0 else ge)      # set_end_* fallback
+
+    # substitution score rows: sub[b, j, i] built per row inside the scan
+    # via mat[s2[:, j], s1] — a [B, L1+1] gather from the 5x5 matrix
+    mat_flat = mat.reshape(-1)
+
+    tmp_end = jnp.where(b2 < len2, b2, len2 - 1)
+    var_row = b2 == len2                 # the part-1 "last row" variant
+
+    # ---- row 0 (stdaln.c:393-399): M[0,0]=0, D over i in [1, b1-1] ----
+    in0 = (i_idx[None, :] >= 1) & (i_idx[None, :] <= (b1 - 1)[:, None])
+    M0 = jnp.where(i_idx[None, :] == 0, I32(0), NEG) * jnp.ones((B, 1), I32)
+    # D[0,i] = max(M[0,i-1]-go, D[0,i-1]) - gend == -go - gend*i  (from M00)
+    D0 = jnp.where(in0, -I32(go) - gend_i * i_idx[None, :], NEG)
+    I0 = jnp.full((B, L1p), NEG, dtype=I32)
+
+    def row_step(carry, j):
+        Mp, Ip, Dp = carry
+        j = j.astype(I32)
+        active = (j >= 1) & (j <= len2)
+
+        part1 = j <= tmp_end
+        last_row = (j == len2) & ~var_row
+        is_var = (j == len2) & var_row
+        start = jnp.where(part1 | is_var, I32(0), j - b2 + 1)
+        end = jnp.minimum(j + b1 - 1, len1)
+        in_band = (i_idx[None, :] >= start[:, None]) \
+            & (i_idx[None, :] <= end[:, None])
+
+        # substitution scores for this row
+        c2 = s2[:, :]  # [B, L2+1]
+        c2j = jnp.take_along_axis(c2, jnp.broadcast_to(
+            jnp.clip(j, 0, L2p - 1)[None, None], (B, 1)), axis=1)[:, 0]
+        sub = mat_flat[c2j[:, None] * 5 + s1]     # [B, L1+1]
+
+        # ---- M (set_M, stdaln.c:260-275): from diag, tie order M>=I, I>D
+        pm = jnp.concatenate([jnp.full((B, 1), NEG, I32), Mp[:, :-1]], 1)
+        pi = jnp.concatenate([jnp.full((B, 1), NEG, I32), Ip[:, :-1]], 1)
+        pd = jnp.concatenate([jnp.full((B, 1), NEG, I32), Dp[:, :-1]], 1)
+        m_ge_i = pm >= pi
+        m_ge_d = pm >= pd
+        i_gt_d = pi > pd
+        best = jnp.where(m_ge_i, jnp.where(m_ge_d, pm, pd),
+                         jnp.where(i_gt_d, pi, pd))
+        Mt = jnp.where(m_ge_i, jnp.where(m_ge_d, FROM_M, FROM_D),
+                       jnp.where(i_gt_d, FROM_I, FROM_D)).astype(jnp.uint8)
+        m_ok = in_band & (i_idx[None, :] >= 1)
+        Mrow = jnp.where(m_ok, best + sub, NEG)
+
+        # ---- I (set_i/set_end_i): from above, same column ----
+        # gend at i==0 and at the band's right edge when it passes len1 or
+        # on the last row (stdaln.c part1 :402-420/:422-440, part3 :459-471,
+        # last row :473-485); plain ge strictly inside
+        i_end_gend = ((j + b1 - 1) > len1) | last_row
+        i_at_end = i_idx[None, :] == end[:, None]
+        i_ok = in_band & (~i_at_end | i_end_gend[:, None]
+                          | (i_idx[None, :] == 0))
+        # the i==0 cell exists only on part1/variant rows (start==0)
+        iext = jnp.where((i_idx[None, :] == 0) | i_at_end,
+                         gend_i, ge_i)
+        from_m = (Mp - I32(go)) > Ip
+        Irow = jnp.where(i_ok,
+                         jnp.where(from_m, Mp - I32(go), Ip) - iext, NEG)
+        It = from_m.astype(jnp.uint8)   # FROM_M=0? no: FROM_M iff cond
+
+        # ---- D (set_d/set_end_d): within-row chain via cummax ----
+        dext = jnp.where(is_var | last_row, gend_i, ge_i)[:, None]
+        d_ok = in_band & (i_idx[None, :] >= jnp.maximum(start, 1)[:, None])
+        a_from_m = jnp.concatenate(
+            [jnp.full((B, 1), NEG, I32), Mrow[:, :-1] - I32(go)], 1)
+        U = jnp.where(d_ok, a_from_m + dext * (i_idx[None, :] - 1), NEG)
+        T = jax.lax.cummax(U, axis=1)
+        Drow = jnp.where(d_ok, T - dext * i_idx[None, :], NEG)
+        # traceback: FROM_M iff M[i-1]-go > D[i-1] (stored value)
+        d_prev = jnp.concatenate(
+            [jnp.full((B, 1), NEG, I32), Drow[:, :-1]], 1)
+        Dt = (a_from_m > d_prev).astype(jnp.uint8)
+
+        Mrow = jnp.where(active[:, None], Mrow, Mp)
+        Irow = jnp.where(active[:, None], Irow, Ip)
+        Drow = jnp.where(active[:, None], Drow, Dp)
+        tb = (Mt | (It << 2) | (Dt << 3)) \
+            & jnp.where(active[:, None], jnp.uint8(0xFF), jnp.uint8(0))
+        return (Mrow, Irow, Drow), tb
+
+    (Mf, If, Df), tb_rows = jax.lax.scan(
+        row_step, (M0, I0, D0), jnp.arange(1, L2p, dtype=I32))
+    # assemble [B, L2+1, L1+1]; row 0 has no traceback
+    tb = jnp.concatenate([jnp.zeros((B, 1, L1p), jnp.uint8),
+                          jnp.transpose(tb_rows, (1, 0, 2))], axis=1)
+
+    # final cell (len2, len1) per lane — rows were frozen past len2
+    mN = jnp.take_along_axis(Mf, len1[:, None], axis=1)[:, 0]
+    iN = jnp.take_along_axis(If, len1[:, None], axis=1)[:, 0]
+    dN = jnp.take_along_axis(Df, len1[:, None], axis=1)[:, 0]
+    score = mN
+    ctype = jnp.full(B, FROM_M, dtype=I32)
+    ctype = jnp.where(iN > score, FROM_I, ctype)
+    score = jnp.maximum(score, iN)
+    ctype = jnp.where(dN > score, FROM_D, ctype)
+    score = jnp.maximum(score, dN)
+    return score, ctype, tb
+
+
+def banded_global_batch(pairs, ap):
+    """Batched aln_global_core: pairs = [(seq1, seq2), ...] (uint8 codes).
+    Returns [(score, path), ...] exactly like the scalar oracle.
+
+    Device computes scores + traceback lattices for the whole batch in one
+    jit call; the short backtrace walks run on host.  Zero-length pairs are
+    answered host-side like the C (stdaln.c:351-352).
+    """
+    res = [None] * len(pairs)
+    todo = [i for i, (a, b) in enumerate(pairs)
+            if len(a) > 0 and len(b) > 0]
+    for i, (a, b) in enumerate(pairs):
+        if len(a) == 0 or len(b) == 0:
+            res[i] = (0, [])
+    if not todo:
+        return res
+
+    B = len(todo)
+    L1 = max(len(pairs[i][0]) for i in todo)
+    L2 = max(len(pairs[i][1]) for i in todo)
+    # bucket for compile reuse
+    L1 = -(-L1 // 32) * 32
+    L2 = -(-L2 // 32) * 32
+    Bb = max(8, -(-B // 8) * 8)
+    s1 = np.zeros((Bb, L1 + 1), dtype=np.int32)
+    s2 = np.zeros((Bb, L2 + 1), dtype=np.int32)
+    len1 = np.ones(Bb, dtype=np.int32)
+    len2 = np.ones(Bb, dtype=np.int32)
+    for bi, i in enumerate(todo):
+        a, b = pairs[i]
+        s1[bi, 1:len(a) + 1] = a
+        s2[bi, 1:len(b) + 1] = b
+        len1[bi] = len(a)
+        len2[bi] = len(b)
+    bw = ap.band_width
+    b1 = np.where(len1 > len2, len1 - len2 + bw, bw)
+    b2 = np.where(len1 > len2, bw, len2 - len1 + bw)
+    b1 = np.minimum(b1, len1).astype(np.int32)
+    b2 = np.minimum(b2, len2).astype(np.int32)
+
+    score, ctype, tb = _banded_global_device(
+        jnp.asarray(s1), jnp.asarray(len1), jnp.asarray(s2),
+        jnp.asarray(len2), jnp.asarray(b1), jnp.asarray(b2),
+        jnp.asarray(np.asarray(ap.matrix, dtype=np.int32)),
+        go=int(ap.gap_open), ge=int(ap.gap_ext), gend=int(ap.gap_end))
+    # one packed host transfer
+    score = np.asarray(score)
+    ctype = np.asarray(ctype)
+    tb = np.asarray(tb)
+
+    for bi, idx in enumerate(todo):
+        res[idx] = (int(score[bi]),
+                    _backtrace(tb[bi], int(ctype[bi]),
+                               int(len1[bi]), int(len2[bi])))
+    return res
+
+
+def _backtrace(tb, ctype, len1, len2):
+    """Host backtrace matching stdaln.c:487-514 / the scalar oracle."""
+    i, j = len1, len2
+    typ = _tb_type(tb[j, i], ctype)
+    path = [(ctype, i, j)]
+    while i or j:
+        if ctype == FROM_M:
+            i -= 1
+            j -= 1
+        elif ctype == FROM_I:
+            j -= 1
+        else:
+            i -= 1
+        ctype = typ
+        if i or j:
+            typ = _tb_type(tb[j, i], typ)
+            path.append((ctype, i, j))
+    return path
+
+
+def _tb_type(cell, ctype):
+    if ctype == FROM_M:
+        return cell & 3
+    if ctype == FROM_I:
+        return FROM_M if (cell >> 2) & 1 else FROM_I
+    return FROM_M if (cell >> 3) & 1 else FROM_D

@@ -1,0 +1,81 @@
+"""Device DP kernels vs the scalar stdaln oracle (randomized property
+tests): identical score AND identical traceback path on every pair."""
+
+import numpy as np
+import pytest
+
+from nabwa_tpu.ops.dp import banded_global_batch
+from nabwa_tpu.refmodel.stdaln_scalar import (aln_global_core, AlnParam,
+                                              ALN_PARAM_BWA, ALN_SM_MAQ,
+                                              ALN_SM_BLAST)
+
+
+def _mutate(rng, seq, err, ins, dele):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + ins:
+            out.append(rng.integers(0, 4))
+        if rng.random() < err:
+            out.append((c + rng.integers(1, 4)) % 4)
+        else:
+            out.append(c)
+    return np.array(out, dtype=np.uint8)
+
+
+def _random_pairs(seed, n, l1min, l1max, with_n=False):
+    rng = np.random.default_rng(seed)
+    pairs = []
+    for _ in range(n):
+        l1 = int(rng.integers(l1min, l1max))
+        ref = rng.integers(0, 4, size=l1).astype(np.uint8)
+        read = _mutate(rng, ref, 0.05, 0.02, 0.02)
+        if len(read) == 0:
+            read = ref[:1].copy()
+        if with_n and rng.random() < 0.5 and len(read) > 2:
+            read[rng.integers(0, len(read))] = 4
+        pairs.append((ref, read))
+    return pairs
+
+
+@pytest.mark.parametrize("seed,params", [
+    (11, ALN_PARAM_BWA),
+    (12, AlnParam(26, 9, 5, ALN_SM_MAQ, 5, 13)),     # narrow band
+    (13, AlnParam(5, 2, 2, ALN_SM_BLAST, 5, 50)),    # blast params
+    (14, AlnParam(26, 9, -1, ALN_SM_MAQ, 5, 50)),    # gap_end<0 fallback
+])
+def test_banded_global_matches_oracle(seed, params):
+    pairs = _random_pairs(seed, 24, 5, 90, with_n=True)
+    # unequal lengths both directions + degenerate cases
+    pairs.append((pairs[0][1], pairs[0][0]))
+    pairs.append((np.array([1], np.uint8), np.array([1], np.uint8)))
+    pairs.append((np.array([], np.uint8), np.array([2], np.uint8)))
+    got = banded_global_batch(pairs, params)
+    for i, (a, b) in enumerate(pairs):
+        want_score, want_path = aln_global_core(a, b, params)
+        g_score, g_path = got[i]
+        assert g_score == want_score, \
+            f"pair {i}: score {g_score} != {want_score}"
+        assert g_path == [(int(c), int(x), int(y)) for c, x, y in want_path],\
+            f"pair {i}: path mismatch"
+
+
+def test_banded_global_window_shapes():
+    # refine_gapped-shaped inputs: ref window slightly longer than read
+    rng = np.random.default_rng(77)
+    pairs = []
+    for _ in range(16):
+        l2 = int(rng.integers(20, 120))
+        read = rng.integers(0, 4, size=l2).astype(np.uint8)
+        pad = int(rng.integers(0, 10))
+        ref = np.concatenate([rng.integers(0, 4, size=pad),
+                              _mutate(rng, read, 0.03, 0.01, 0.01),
+                              rng.integers(0, 4, size=pad)]).astype(np.uint8)
+        pairs.append((ref, read))
+    got = banded_global_batch(pairs, ALN_PARAM_BWA)
+    for i, (a, b) in enumerate(pairs):
+        want = aln_global_core(a, b, ALN_PARAM_BWA)
+        assert got[i][0] == want[0]
+        assert got[i][1] == [(int(c), int(x), int(y)) for c, x, y in want[1]]
