@@ -387,22 +387,82 @@ def cmd_bwasw(argv):
 
 
 def cmd_bam2bam(argv):
-    ap = argparse.ArgumentParser(prog="bam2bam")
+    """Flag-for-flag port of bwa_bam_to_bam's option surface
+    (bam2bam.c:1942-2077, getopt string g:n:o:e:i:d:l:k:LR:m:t:NM:O:E:q:
+    f:C:D:a:sc:h:H:Ap:0:1:2: plus the long-only options)."""
+    ap = argparse.ArgumentParser(prog="bam2bam", add_help=False)
     ap.add_argument("-g", "--genome", dest="prefix", required=True)
-    ap.add_argument("-f", "--output", dest="out", required=True)
-    ap.add_argument("-n", dest="n", default=None)
-    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("-f", "--output", dest="out", default=None)
+    # gap_opt_t options
+    ap.add_argument("-n", "--num-diff", dest="n", default=None)
+    ap.add_argument("-o", "--max-gap-open", dest="max_gapo", type=int,
+                    default=None)
+    ap.add_argument("-e", "--max-gap-extensions", dest="max_gape",
+                    type=int, default=-1)
+    ap.add_argument("-i", "--indel-near-end", dest="indel_end_skip",
+                    type=int, default=None)
+    ap.add_argument("-d", "--deletion-occurences", dest="max_del_occ",
+                    type=int, default=None)
+    ap.add_argument("-l", "--seed-length", dest="seed_len", type=int,
+                    default=None)
+    ap.add_argument("-k", "--seed-mismatches", dest="max_seed_diff",
+                    type=int, default=None)
+    ap.add_argument("-M", "--mismatch-penalty", dest="s_mm", type=int,
+                    default=None)
+    ap.add_argument("-O", "--gap-open-penalty", dest="s_gapo", type=int,
+                    default=None)
+    ap.add_argument("-E", "--gap-extension-penalty", dest="s_gape",
+                    type=int, default=None)
+    ap.add_argument("-m", "--queue-size", dest="max_entries", type=int,
+                    default=None)
+    ap.add_argument("-R", "--max-best-hits", dest="max_top2", type=int,
+                    default=None)
+    ap.add_argument("-q", "--trim-quality", dest="trim_qual", type=int,
+                    default=None)
+    ap.add_argument("-L", "--log-gap-penalty", dest="loggap",
+                    action="store_true")
+    ap.add_argument("-N", "--non-iterative", dest="nonstop",
+                    action="store_true")
+    # pe_opt_t options
+    ap.add_argument("-a", "--max-insert-size", dest="max_isize", type=int,
+                    default=None)
+    ap.add_argument("-C", "--max-occurences", dest="max_occ", type=int,
+                    default=None)
+    ap.add_argument("-D", "--max-occurences-se", dest="max_occ_se",
+                    type=int, default=None)
+    ap.add_argument("-h", "--max-hits", dest="n_multi", type=int,
+                    default=None)
+    ap.add_argument("-H", "--max-discordant-hits", dest="N_multi",
+                    type=int, default=None)
+    ap.add_argument("-c", "--chimeric-rate", dest="ap_prior", type=float,
+                    default=None)
+    ap.add_argument("-s", "--disable-sw", dest="no_sw",
+                    action="store_true")
+    ap.add_argument("-A", "--disable-isize-estimate", dest="force_isize",
+                    action="store_true")
+    # runtime / distribution
+    ap.add_argument("-p", "--listen-port", dest="port", type=int,
+                    default=None)
+    ap.add_argument("-t", "--num-threads", dest="threads", type=int,
+                    default=1)
+    ap.add_argument("-0", dest="sai0", default=None)
+    ap.add_argument("-1", dest="sai1", default=None)
+    ap.add_argument("-2", dest="sai2", default=None)
     ap.add_argument("--only-aligned", action="store_true")
     ap.add_argument("--broken-input", action="store_true")
     ap.add_argument("--skip-duplicates", action="store_true")
     ap.add_argument("--drop-aligned", action="store_true")
     ap.add_argument("--debug-bam", action="store_true")
+    ap.add_argument("--temp-dir", dest="temp_dir", default="/var/tmp")
     ap.add_argument("in_bam")
     args = ap.parse_args(argv)
     from .index.fmindex import BwaIndex
     from .models.aln import AlnEngine
     from .models.bam2bam import bam2bam
+    from .options import GAP_OPT_SIZE
     from .utils.rand48 import Rand48
+    from .refmodel.aln_scalar import cal_maxdiff
+    from .constants import BWA_AVG_ERR
 
     opt = GapOpt()
     popt = PeOpt()
@@ -413,15 +473,102 @@ def cmd_bam2bam(argv):
         else:
             opt.max_diff = int(args.n)
             opt.fnr = -1.0
+    for name in ("max_gapo", "indel_end_skip", "max_del_occ", "seed_len",
+                 "max_seed_diff", "max_entries", "s_mm", "s_gapo",
+                 "s_gape", "max_top2", "trim_qual"):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(opt, name, v)
+    if args.max_gape > 0:
+        opt.max_gape = args.max_gape
+        opt.mode &= ~BWA_MODE_GAPE
+    if args.loggap:
+        opt.mode |= BWA_MODE_LOGGAP
+    if args.nonstop:
+        opt.mode |= BWA_MODE_NONSTOP
+        opt.max_top2 = 0x7FFFFFFF
+    opt.n_threads = args.threads
+    for name in ("max_isize", "max_occ", "max_occ_se", "n_multi",
+                 "N_multi", "ap_prior"):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(popt, name, v)
+    if args.no_sw:
+        popt.is_sw = 0
+    if args.force_isize:
+        popt.force_isize = 1
+
+    # .sai sideload streams: recover checkpointed options from the first
+    # header, require the others to match (bwa_bam_open, bwaseqio.c:35-61)
+    sai_streams = None
+    recovered = False
+    for c, fn in enumerate((args.sai0, args.sai1, args.sai2)):
+        if fn is None:
+            continue
+        f = open(fn, "rb")
+        hdr = f.read(GAP_OPT_SIZE)
+        if len(hdr) < GAP_OPT_SIZE:
+            f.close()
+            continue
+        sopt = GapOpt.unpack(hdr)
+        sopt.n_threads = opt.n_threads
+        if recovered:
+            sopt.mode = opt.mode
+            if sopt.pack() != opt.pack():
+                raise SystemExit(
+                    '[bwa_bam_open] options from sai file "%s" conflict '
+                    "with others." % fn)
+            print('[bwa_bam_open] options from sai file "%s" match.' % fn,
+                  file=sys.stderr)
+        else:
+            print('[bwa_bam_open] recovered options from sai file "%s".'
+                  % fn, file=sys.stderr)
+            opt = sopt
+            recovered = True
+        sai_streams = sai_streams or {}
+        sai_streams[c] = f
+
+    if opt.fnr > 0.0:
+        k = 0
+        for i in range(17, 251):
+            l = cal_maxdiff(i, BWA_AVG_ERR, opt.fnr)
+            if l != k:
+                print(f"[bwa_aln] {i}bp reads: max_diff = {l}",
+                      file=sys.stderr)
+            k = l
+
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
-    bam2bam(eng, args.in_bam, args.out, opt, popt, Rand48(idx.bns.seed),
+    bam2bam(eng, args.in_bam, args.out or "/dev/stdout", opt, popt,
+            Rand48(idx.bns.seed),
             argv=["bam2bam"] + argv, only_aligned=args.only_aligned,
             broken_input=args.broken_input,
             skip_duplicates=args.skip_duplicates,
-            drop_aligned=args.drop_aligned, debug_bam=args.debug_bam)
+            drop_aligned=args.drop_aligned, debug_bam=args.debug_bam,
+            n_workers=args.threads, port=args.port, prefix=args.prefix,
+            sai_streams=sai_streams, tmp_dir=args.temp_dir)
     from .utils.files import final_rename
     final_rename("bam2bam", args.out)
+    return 0
+
+
+def cmd_worker(argv):
+    """bwa_worker (bam2bam.c:2213-2308): connect to a bam2bam coordinator,
+    fetch config + index prefix, drain chunk leases until idle/lifetime
+    timeout."""
+    ap = argparse.ArgumentParser(prog="worker", add_help=False)
+    ap.add_argument("-h", "--host", dest="host", default="localhost")
+    ap.add_argument("-p", "--port", dest="port", type=int, required=True)
+    ap.add_argument("-t", "--num-threads", dest="threads", type=int,
+                    default=1)
+    ap.add_argument("-T", "--run-time", dest="minutes", type=float,
+                    default=90.0)
+    ap.add_argument("--idle-timeout", dest="idle", type=float, default=90.0)
+    args = ap.parse_args(argv)
+    from .parallel.net import worker_main
+
+    worker_main(args.host, args.port, n_threads=args.threads,
+                max_run_mins=args.minutes, idle_timeout=args.idle)
     return 0
 
 
@@ -464,6 +611,7 @@ COMMANDS = {
     "sampe": cmd_sampe,
     "bwasw": cmd_bwasw,
     "bam2bam": cmd_bam2bam,
+    "worker": cmd_worker,
     "xa2multi": cmd_xa2multi,
     "qualfa2fq": cmd_qualfa2fq,
     "solid2fastq": cmd_solid2fastq,
@@ -473,6 +621,22 @@ COMMANDS = {
 
 
 def main(argv=None):
+    import os
+    # The axon sitecustomize imports jax and pins the platform at
+    # interpreter start; env vars like JAX_PLATFORMS are ignored once a
+    # backend exists.  These knobs apply the config the only way that
+    # works — jax.config.update before first backend use.
+    if os.environ.get("NABWA_PLATFORM") or os.environ.get("NABWA_CACHE_DIR"):
+        import jax
+        if os.environ.get("NABWA_PLATFORM"):
+            jax.config.update("jax_platforms",
+                              os.environ["NABWA_PLATFORM"])
+        if os.environ.get("NABWA_CACHE_DIR"):
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["NABWA_CACHE_DIR"])
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] not in COMMANDS:
         prog = "nabwa_tpu"

@@ -40,8 +40,8 @@ class AlnEngine:
     """Holds device arrays + compiled DFS for one index."""
 
     def __init__(self, index, opt, stack_cap=256, hits_cap=32,
-                 max_iters=2_000_000, retry_stack_cap=4096,
-                 retry_hits_cap=128, mesh=None):
+                 max_iters=2_000_000, retry_stack_cap=1024,
+                 retry_hits_cap=128, tier0_max_iters=768, mesh=None):
         """stack_cap is deliberately small: per-DFS-iteration cost on TPU is
         dominated by whole-stack-array traffic, and the observed per-read
         stack high-water is ~250 typical / ~1000 for hard reads.  Reads that
@@ -59,6 +59,10 @@ class AlnEngine:
         self.retry_stack_cap = retry_stack_cap
         self.retry_hits_cap = retry_hits_cap
         self.max_iters = max_iters
+        # tier-0 iteration cap: the lockstep batch is tail-bound (one hard
+        # read makes every lane iterate), so unfinished reads at the cap
+        # re-run in the retry tier instead of stalling the whole batch
+        self.tier0_max_iters = tier0_max_iters
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -206,7 +210,9 @@ class AlnEngine:
             max_top2=local.max_top2, max_seed_diff=local.max_seed_diff,
             seed_len=local.seed_len, mode=local.mode,
             stack_cap=stack_cap, hits_cap=hits_cap,
-            max_iters=self.max_iters)
+            max_iters=(self.tier0_max_iters
+                       if tier == 0 and self.retry_stack_cap > stack_cap
+                       else self.max_iters))
 
         # ONE host transfer for the whole packed result (tunnel latency
         # is per-array, not per-byte)

@@ -43,7 +43,8 @@ PRISTINE, ALIGNED, POSITIONED, FINISHED = 0, 1, 2, 3
 class Pair:
     """bam_pair_t (bwtaln.h:124-130)."""
 
-    __slots__ = ("recno", "kind", "phase", "recs", "states", "alns", "hw")
+    __slots__ = ("recno", "kind", "phase", "recs", "states", "alns", "hw",
+                 "side")
 
     def __init__(self, kind, recs):
         self.kind = kind
@@ -52,6 +53,7 @@ class Pair:
         self.states = [None, None]
         self.alns = [None, None]
         self.hw = [0, 0]
+        self.side = None      # pre-computed .sai alignments (sideload)
 
 
 def bam1_to_read(rec: BamRec, is_comp=True, trim_qual=0):
@@ -74,8 +76,35 @@ def bam1_to_read(rec: BamRec, is_comp=True, trim_qual=0):
                 full_len=full_len, clip_len=ln, full_codes=codes, bc="")
 
 
-def read_bam_pairs(reader, allow_broken=False, drop_aligned=False):
-    """read_bam_pair loop (bwaseqio.c:345-494).  Yields Pair objects."""
+def try_get_sai(sai_streams, c):
+    """try_get_sai (bwaseqio.c:323-338): pull the next record from sideload
+    stream c; returns list-of-aln-dicts or None (stream absent/ended)."""
+    import sys
+
+    f = sai_streams.get(c) if sai_streams else None
+    if f is None:
+        return None
+    hdr = f.read(4)
+    if len(hdr) == 4:
+        (naln,) = struct.unpack("<i", hdr)
+        body = f.read(16 * naln) if naln >= 0 else b""
+        if naln >= 0 and len(body) == 16 * naln:
+            from ..io import sai as saiio
+            recs = np.frombuffer(body, dtype=saiio.ALN_DTYPE)
+            return saiio.aln_records_to_dicts(recs)
+    print(f"[read_bam_pair] note: sai file {c} has ended.", file=sys.stderr)
+    f.close()
+    sai_streams[c] = None
+    return None
+
+
+def read_bam_pairs(reader, allow_broken=False, drop_aligned=False,
+                   sai_streams=None):
+    """read_bam_pair loop (bwaseqio.c:345-494).  Yields Pair objects.
+
+    sai_streams: optional {0: f, 1: f, 2: f} of open .sai record streams
+    (positioned past the header) — matching records enter the pipeline
+    already in phase ALIGNED (bwaseqio.c:466-483)."""
     pending = None
     while True:
         rec = pending if pending is not None else reader.read1()
@@ -120,6 +149,19 @@ def read_bam_pairs(reader, allow_broken=False, drop_aligned=False):
                 not (p.recs[1].flag & BAM_FUNMAP)
             if aligned0 or aligned1:
                 continue
+        # .sai sideload (bwaseqio.c:475-483)
+        if sai_streams:
+            if p.kind == SINGLETON:
+                a0 = try_get_sai(sai_streams, 0)
+                if a0 is not None:
+                    p.side = [a0, None]
+                    p.phase = ALIGNED
+            else:
+                a1 = try_get_sai(sai_streams, 1)
+                a2 = try_get_sai(sai_streams, 2)
+                if a1 is not None and a2 is not None:
+                    p.side = [a1, a2]
+                    p.phase = ALIGNED
         # QC-fail propagation (bwaseqio.c:486-489)
         if p.kind == PROPER_PAIR:
             p.recs[0].flag |= p.recs[1].flag & SAM_FQC
@@ -452,11 +494,69 @@ def improve_isize_est(hists, p, ap_prior, L):
     h[ln] += 1
 
 
+def pass1_work(engine, gopt, payload):
+    """Phase-1 chunk job (align): build per-record read states and run the
+    device DFS.  Pure: returns data for the coordinator's ordered writer.
+    Runs identically on local worker threads and remote `worker`
+    processes (pair_aln, bam2bam.c:882-909)."""
+    out = []
+    jobs = []
+    for pi, kind, recs, uniq, side in payload["items"]:
+        states = [se.SeqState(bam1_to_read(recs[j], True, gopt.trim_qual))
+                  for j in range(kind)]
+        out.append((pi, kind, states, side))
+        if uniq and side is None:
+            for j in range(kind):
+                jobs.append((len(out) - 1, j))
+    reads = [out[oi][2][j].read for oi, j in jobs]
+    results = engine.run_chunk(reads, per_read_semantics=True)
+    alns = [[[] for _ in range(kind)] for pi, kind, _, _ in out]
+    hws = [[0, 0] for _ in out]
+    for i, (pi, kind, states, side) in enumerate(out):
+        if side is not None:       # pre-computed .sai (phase aligned)
+            for j in range(kind):
+                alns[i][j] = side[j]
+    for (oi, j), (a, hw) in zip(jobs, results):
+        alns[oi][j] = a
+        hws[oi][j] = hw
+    return [(pi, states, alns[i], hws[i])
+            for i, (pi, kind, states, _) in enumerate(out)]
+
+
+def pass2_work(engine, gopt, popt, iinfos, payload):
+    """Phase-2 chunk job (finish): pairing + mate rescue + refinement +
+    BAM splice on COPIES of the pairs (idempotent under redelivery).
+    Runs identically on local threads and remote workers (pair_finish,
+    bam2bam.c:882-909)."""
+    import copy as _copy
+
+    bns = engine.index.bns
+    pac = engine.index.pac
+    skip_duplicates = payload["skip_duplicates"]
+    debug_bam = payload["debug_bam"]
+    null_ii = NullIsize()
+    out = []
+    pos_memo = {}
+    counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+    for pi, pair in payload["items"]:
+        p = _copy.deepcopy(pair)
+        if unique(p, skip_duplicates):
+            if p.kind == SINGLETON:
+                _finish_singleton(engine, bns, pac, p, debug_bam=debug_bam)
+            else:
+                _finish_pair(engine, bns, pac, p, gopt, popt, iinfos,
+                             null_ii, pos_memo, counters,
+                             debug_bam=debug_bam)
+        out.append((pi, p.recs[:p.kind]))
+    return out, counters
+
+
 def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
             version="ref", only_aligned=False, broken_input=False,
             skip_duplicates=False, drop_aligned=False, debug_bam=False,
             n_workers=1, chunk_size=4096, worker_wrapper=None,
-            rng_mode="drand48"):
+            rng_mode="drand48", port=None, prefix=None,
+            sai_streams=None, tmp_dir=None):
     """Two-pass bam2bam (bwa_bam2bam_core, bam2bam.c:1728-1940), driven
     through the chunk-lease scheduler.
 
@@ -478,6 +578,12 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
 
     worker_wrapper(wid, fn) lets tests inject failures/stragglers around
     the chunk jobs (the kill-injection path).
+
+    port: serve chunk leases to remote `worker` processes on this TCP port
+    (the ZeroMQ work-stream analog, bam2bam.c:1808-1812); prefix is the
+    index path shipped to workers in the config handshake.  Local worker
+    threads and remote workers drain the same scheduler; n_workers=0 with
+    a port makes the coordinator I/O-only like `bam2bam -t0 -p PORT`.
     """
     import copy as _copy
 
@@ -494,35 +600,31 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
 
     with timers("read input"):
         pairs = list(read_bam_pairs(reader, allow_broken=broken_input,
-                                    drop_aligned=drop_aligned))
+                                    drop_aligned=drop_aligned,
+                                    sai_streams=sai_streams))
     for recno, p in enumerate(pairs):
         p.recno = recno
-    chunks = [list(range(i, min(i + chunk_size, len(pairs))))
-              for i in range(0, len(pairs), chunk_size)]
+    idx_chunks = [list(range(i, min(i + chunk_size, len(pairs))))
+                  for i in range(0, len(pairs), chunk_size)]
+
+    coordinator = None
+    if port is not None:
+        from ..parallel.net import Coordinator
+        coordinator = Coordinator(port, {
+            "gap_opt": gopt.pack(), "pe_opt": popt.pack(),
+            "prefix": prefix or "",
+        })
 
     # ---- PASS 1: align (device DFS), chunk-distributed ----
-    def work_align(cid, idxs):
-        out = []
-        jobs = []
-        for pi in idxs:
-            p = pairs[pi]
-            states = []
-            for j in range(p.kind):
-                rd = bam1_to_read(p.recs[j], True, gopt.trim_qual)
-                states.append(se.SeqState(rd))
-            out.append((pi, states))
-            if unique(p, skip_duplicates):
-                for j in range(p.kind):
-                    jobs.append((len(out) - 1, j))
-        reads = [out[oi][1][j].read for oi, j in jobs]
-        results = engine.run_chunk(reads, per_read_semantics=True)
-        alns = [[[] for _ in range(pairs[pi].kind)] for pi, _ in out]
-        hws = [[0, 0] for _ in out]
-        for (oi, j), (a, hw) in zip(jobs, results):
-            alns[oi][j] = a
-            hws[oi][j] = hw
-        return [(pi, states, alns[i], hws[i])
-                for i, (pi, states) in enumerate(out)]
+    chunks1 = [{"items": [(pi, pairs[pi].kind,
+                           pairs[pi].recs[:pairs[pi].kind],
+                           unique(pairs[pi], skip_duplicates),
+                           pairs[pi].side)
+                          for pi in idxs]}
+               for idxs in idx_chunks]
+
+    def work_align(cid, payload):
+        return pass1_work(engine, gopt, payload)
 
     def apply_align(cid, res):
         for pi, states, alns, hws in res:
@@ -536,9 +638,11 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
                 p.phase = POSITIONED
 
     with timers("pass 1 align"):
-        _, sched1 = run_distributed(chunks, work_align, n_workers=n_workers,
+        _, sched1 = run_distributed(chunks1, work_align,
+                                    n_workers=n_workers,
                                     writer=apply_align,
-                                    worker_wrapper=worker_wrapper)
+                                    worker_wrapper=worker_wrapper,
+                                    coordinator=coordinator, phase=1)
     telemetry.bump("pass1_resends", sched1.total_resends)
     telemetry.bump("pass1_dups", sched1.total_dups)
 
@@ -583,27 +687,14 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
                               rg=rg)
         if ii is not None:
             iinfos[rg] = ii
-    null_ii = NullIsize()
-
     # ---- PASS 2: finish (pairing + rescue + refine), chunk-distributed --
-    def work_finish(cid, idxs):
-        # deep-copied inputs: redelivered chunks must not see half-finished
-        # state (the mux dedup keeps only the first completed copy)
-        out = []
-        pos_memo = {}
-        counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
-        for pi in idxs:
-            p = _copy.deepcopy(pairs[pi])
-            if unique(p, skip_duplicates):
-                if p.kind == SINGLETON:
-                    _finish_singleton(engine, bns, pac, p,
-                                      debug_bam=debug_bam)
-                else:
-                    _finish_pair(engine, bns, pac, p, gopt, popt, iinfos,
-                                 null_ii, pos_memo, counters,
-                                 debug_bam=debug_bam)
-            out.append((pi, p.recs[:p.kind]))
-        return out, counters
+    chunks2 = [{"items": [(pi, pairs[pi]) for pi in idxs],
+                "skip_duplicates": skip_duplicates,
+                "debug_bam": debug_bam}
+               for idxs in idx_chunks]
+
+    def work_finish(cid, payload):
+        return pass2_work(engine, gopt, popt, iinfos, payload)
 
     out_records = []
     counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
@@ -625,10 +716,12 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
             out_records.extend(recs)
 
     with timers("pass 2 finish"):
-        _, sched2 = run_distributed(chunks, work_finish,
+        _, sched2 = run_distributed(chunks2, work_finish,
                                     n_workers=n_workers,
                                     writer=apply_finish,
-                                    worker_wrapper=worker_wrapper)
+                                    worker_wrapper=worker_wrapper,
+                                    coordinator=coordinator, phase=2,
+                                    ctx=iinfos)
     telemetry.bump("pass2_resends", sched2.total_resends)
     telemetry.bump("pass2_dups", sched2.total_dups)
 
@@ -647,6 +740,8 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
                                         version)
         refs = [(a.name, a.length) for a in bns.anns]
         bamio.make_bam(out_bam, refs, out_records, text=header_text)
+    if coordinator is not None:
+        coordinator.close()
     ema.final(len(pairs))
     telemetry.report("bam2bam")
     timers.report_all()

@@ -659,11 +659,48 @@ def _hit_end_lt(a, b):
     return a.end > b.end
 
 
-def extend_left(opt, b, query_seq, lq, pac, l_pac, is_rev):
-    """bsw2_extend_left (bwtsw2_aux.c:80-129).  b: list of Hit."""
+def _left_target(opt, p, lq, pac, l_pac, is_rev, rquery):
+    """Upstream-reference window + query segment for one left extension
+    (bwtsw2_aux.c:96-117).  Depends only on p's own pre-extension fields."""
+    lt = ((p.beg + 1) // 2 * opt.a + opt.r) // opt.r + lq
+    if lt > p.k:
+        lt = p.k
+    # upstream ref, reversed (k = p.k-1 down to 1; k=0 not considered,
+    # the C FIXME)
+    idxs = np.arange(p.k - 1, max(p.k - 1 - lt, 0), -1)
+    if is_rev:
+        tgt = pac[l_pac - 1 - idxs] if len(idxs) else np.zeros(0, np.uint8)
+    else:
+        tgt = pac[idxs] if len(idxs) else np.zeros(0, np.uint8)
+    qseg = rquery[lq - p.beg:lq] if p.beg else rquery[lq:lq]
+    return tgt, qseg
+
+
+def extend_left(opt, b, query_seq, lq, pac, l_pac, is_rev, use_device=True):
+    """bsw2_extend_left (bwtsw2_aux.c:80-129).  b: list of Hit.
+
+    The per-hit extension inputs depend only on that hit's own
+    pre-extension fields, so all extensions run as ONE device batch
+    upfront (ops.dp.extend_batch); the coverage/n_seeds bookkeeping that
+    decides WHICH results apply still walks hits in the C's order."""
     par = _gen_ap(opt)
     introsort(b, _hit_end_lt)
     rquery = query_seq[::-1]
+    ext_res = {}
+    if use_device and b:
+        jobs = []
+        idxs_d = []
+        for i, p in enumerate(b):
+            if p.l or p.k == 0:
+                continue
+            tgt, qseg = _left_target(opt, p, lq, pac, l_pac, is_rev, rquery)
+            jobs.append((tgt, qseg))
+            idxs_d.append(i)
+        if jobs:
+            from ..ops.dp import extend_batch
+            for i, r in zip(idxs_d, extend_batch(
+                    jobs, par, [b[i].G for i in idxs_d])):
+                ext_res[i] = r
     for i, p in enumerate(b):
         p.n_seeds = 1
         if p.l or p.k == 0:
@@ -677,23 +714,12 @@ def extend_left(opt, b, query_seq, lq, pac, l_pac, is_rev):
                 score += 1
         if score:
             continue
-        lt = ((p.beg + 1) // 2 * opt.a + opt.r) // opt.r + lq
-        if lt > p.k:
-            lt = p.k
-        # upstream ref, reversed (k = p.k-1 down to 1; k=0 not considered,
-        # the C FIXME)
-        lo = p.k - lt
-        if is_rev:
-            idxs = np.arange(p.k - 1, max(p.k - 1 - lt, 0), -1)
-            tgt = pac[l_pac - 1 - idxs] if len(idxs) else \
-                np.zeros(0, np.uint8)
+        if i in ext_res:
+            score, ei, ej = ext_res[i]
         else:
-            idxs = np.arange(p.k - 1, max(p.k - 1 - lt, 0), -1)
-            tgt = pac[idxs] if len(idxs) else np.zeros(0, np.uint8)
-        lt = len(tgt)
-        qseg = rquery[lq - p.beg:lq] if p.beg else rquery[lq:lq]
-        score, ei, ej, _ = aln_extend_core(tgt, qseg, par, p.G,
-                                           want_path=False)
+            tgt, qseg = _left_target(opt, p, lq, pac, l_pac, is_rev, rquery)
+            score, ei, ej, _ = aln_extend_core(tgt, qseg, par, p.G,
+                                               want_path=False)
         if score > p.G:
             p.G = score
             p.len += ei
@@ -701,9 +727,13 @@ def extend_left(opt, b, query_seq, lq, pac, l_pac, is_rev):
             p.k -= ei
 
 
-def extend_rght(opt, b, query_seq, lq, pac, l_pac, is_rev):
-    """bsw2_extend_rght (bwtsw2_aux.c:131-164)."""
+def extend_rght(opt, b, query_seq, lq, pac, l_pac, is_rev,
+                use_device=True):
+    """bsw2_extend_rght (bwtsw2_aux.c:131-164): hits are independent, so
+    the whole list extends as one device batch."""
     par = _gen_ap(opt)
+    jobs = []
+    live = []
     for p in b:
         if p.l:
             continue
@@ -714,18 +744,30 @@ def extend_rght(opt, b, query_seq, lq, pac, l_pac, is_rev):
             tgt = pac[l_pac - 1 - idxs] if len(idxs) else np.zeros(0, np.uint8)
         else:
             tgt = pac[p.k:hi]
-        score, ei, ej, _ = aln_extend_core(tgt, query_seq[p.beg:lq], par, 1,
-                                           want_path=False)
+        jobs.append((tgt, query_seq[p.beg:lq]))
+        live.append(p)
+    if not jobs:
+        return
+    if use_device:
+        from ..ops.dp import extend_batch
+        results = extend_batch(jobs, par, [1] * len(jobs))
+    else:
+        results = [aln_extend_core(t, q, par, 1, want_path=False)[:3]
+                   for t, q in jobs]
+    for p, (score, ei, ej) in zip(live, results):
         if score >= p.G:
             p.G = score
             p.len = ei
             p.end = ej + p.beg
 
 
-def gen_cigar(opt, lq, seqs, pac, b):
-    """gen_cigar (bwtsw2_aux.c:167-216).  Returns list of cigars (op,len)."""
+def gen_cigar(opt, lq, seqs, pac, b, use_device=True):
+    """gen_cigar (bwtsw2_aux.c:167-216).  Returns list of cigars (op,len).
+    All hits' banded-global DPs run as one device batch."""
     par = _gen_ap(opt)
     cigars = [None] * len(b)
+    jobs = []
+    metas = []
     for i, p in enumerate(b):
         if p.l:
             cigars[i] = []
@@ -734,7 +776,14 @@ def gen_cigar(opt, lq, seqs, pac, b):
         end = lq - p.beg if (p.flag & 0x10) else p.end
         query = seqs[1 if (p.flag & 0x10) else 0][beg:end]
         target = pac[p.k:p.k + p.len]
-        _, path = aln_global_core(target, query, par)
+        jobs.append((target, query))
+        metas.append((i, p, beg, end))
+    if use_device and jobs:
+        from ..ops.dp import banded_global_batch
+        paths = [path for _, path in banded_global_batch(jobs, par)]
+    else:
+        paths = [aln_global_core(t, q, par)[1] for t, q in jobs]
+    for (i, p, beg, end), path in zip(metas, paths):
         cig = path2cigar32(path)
         if beg != 0 or end < lq:
             if beg != 0:

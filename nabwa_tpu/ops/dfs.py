@@ -290,13 +290,21 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
                         ("pend_cnt", e_cnt)):
             st[nm] = jnp.where(need_exact, val, st[nm])
 
+        # ---- shared occ lookups: a lane is either pending or popping,
+        # never both, so ONE (k-1, l) occ4 pair serves the pending
+        # exact-match step AND the expansion (the bwt_2occ4 analog —
+        # halves the hottest memory op, cf. bwt.c:179-216) ----
+        occ_a = jnp.where(in_pend, st["pend_a"], e_a)
+        occ_k_in = jnp.where(in_pend, st["pend_k"], e_k) - I32(1)
+        occ_l_in = jnp.where(in_pend, st["pend_l"], e_l)
+        cnt_k4 = occ4_lane(occ_k_in, occ_a)
+        cnt_l4 = occ4_lane(occ_l_in, occ_a)
+
         # ---- pending exact-match step (bwt_match_exact_alt, one base) ----
         pc = get_seq(st["pend_a"], st["pend_i"] - 1)
         cc = jnp.minimum(pc, 3)
-        cnt_pk = occ4_lane(st["pend_k"] - I32(1), st["pend_a"])
-        cnt_pl = occ4_lane(st["pend_l"], st["pend_a"])
-        okk = select_base(cnt_pk, cc)
-        oll = select_base(cnt_pl, cc)
+        okk = select_base(cnt_k4, cc)
+        oll = select_base(cnt_l4, cc)
         l2c = _sel4(l2, cc)
         nk = l2c + okk + I32(1)
         nl = l2c + oll
@@ -372,10 +380,9 @@ def dfs_match_gap(bwt_cat, rev_word_offset, primary_fwd, primary_rev, l2,
             st[nm] = jnp.where(hmask, val[:, None], st[nm])
         st["n_aln"] = st["n_aln"] + write_hit.astype(I32)
 
-        # ---- expansion (bwtgap.c:201-259) ----
+        # ---- expansion (bwtgap.c:201-259); cnt_k4/cnt_l4 carry e_k/e_l
+        # occs for every non-pending lane (see shared lookup above) ----
         i2 = e_i - 1
-        cnt_k4 = occ4_lane(e_k - I32(1), e_a)
-        cnt_l4 = occ4_lane(e_l, e_a)
         occ_width = e_l - e_k + I32(1)
 
         bid_i2m1 = _row_gather(bid_row, i2 - 1, LP1)

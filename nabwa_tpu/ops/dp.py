@@ -202,6 +202,135 @@ def banded_global_batch(pairs, ap):
     return res
 
 
+@functools.partial(jax.jit, static_argnames=("go", "ge", "bw"))
+def _extend_device(s1, len1, s2, len2, g0, mat, *, go, ge, bw):
+    """Batched aln_extend_core forward lattice (stdaln.c:862-970).
+
+    The C walks rows with an adaptive band (narrowing to the positive
+    cells); within a row the F chain vectorizes exactly via one cummax:
+    h is first corrected by the (column-wise) E and the diagonal term, and
+    F[i] = max(F[i-1]-r, max(h[i-1]-q-r, 0)) never improves through an
+    F-derived h because q+r > r — the classic lazy-F argument.
+
+    Returns (score, end_i, end_j) per lane (the C's `path_len == 0` mode,
+    which is all bwasw's extend_left/rght consume)."""
+    B, L1p2 = s1.shape          # s1 padded to [B, L1max+2], 1-based
+    qr = I32(go + ge)
+    r = I32(ge)
+    i_idx = jnp.arange(L1p2, dtype=I32)
+    mat_flat = mat.reshape(-1)
+    NEGF = I32(-(1 << 29))
+
+    # state: hd[i] = h[j-1][i-1] (shifted diagonal, the C's rolling eh_h),
+    # ev[i] = e[j-1][i], window [start, end), best score + cell
+    hd0 = jnp.zeros((B, L1p2), I32).at[:, 1].set(g0)
+    ev0 = jnp.zeros((B, L1p2), I32)
+    init = (hd0, ev0, jnp.ones(B, I32), jnp.full(B, 2, I32),
+            jnp.zeros(B, I32), jnp.zeros(B, I32), jnp.zeros(B, I32),
+            jnp.zeros(B, jnp.bool_))
+
+    def row_step(carry, j):
+        hd, ev, start, end, score, end_i, end_j, stopped = carry
+        j = j.astype(I32)
+        active = ~stopped & (j <= len2)
+        start_n = jnp.maximum(start, jnp.maximum(j - bw, 1))
+        end_n = jnp.minimum(end, jnp.minimum(j + bw, len1 + 1))
+        dead = start_n == end_n
+        active = active & ~dead
+
+        c2j = jnp.take_along_axis(
+            s2, jnp.clip(j, 0, s2.shape[1] - 1)[None, None].astype(I32)
+            * jnp.ones((B, 1), I32), axis=1)[:, 0]
+        sub = mat_flat[c2j[:, None] * 5 + s1]
+
+        inwin = (i_idx[None, :] >= start_n[:, None]) \
+            & (i_idx[None, :] < end_n[:, None])
+        h0a = jnp.where(hd > 0, hd + sub, 0)
+        hpre = jnp.maximum(h0a, ev)                 # pre-F h
+        hcut_pre = jnp.maximum(hpre - qr, 0)
+        U = jnp.where(inwin, hcut_pre + r * i_idx[None, :], NEGF)
+        T = jax.lax.cummax(U, axis=1)
+        Tm1 = jnp.concatenate([jnp.full((B, 1), NEGF, I32), T[:, :-1]], 1)
+        f = jnp.maximum(Tm1 - r * (i_idx[None, :] - 1), 0)
+        f = jnp.where(inwin, f, 0)
+        h = jnp.where(inwin, jnp.maximum(hpre, f), 0)
+
+        # positive span and best-cell tracking (first cell wins ties)
+        pos = (h > 0) & inwin
+        any_pos = pos.any(axis=1)
+        ns = jnp.argmax(pos, axis=1).astype(I32)
+        ne = (L1p2 - 1 - jnp.argmax(pos[:, ::-1], axis=1)).astype(I32)
+        row_best = jnp.max(jnp.where(pos, h, 0), axis=1)
+        row_arg = jnp.argmax(jnp.where(pos, h, 0), axis=1).astype(I32)
+        better = active & any_pos & (row_best > score)
+        score = jnp.where(better, row_best, score)
+        end_i = jnp.where(better, row_arg, end_i)
+        end_j = jnp.where(better, j, end_j)
+
+        # state updates (C writes only [start, end] cells; end gets e=0)
+        hcut = jnp.maximum(h - qr, 0)
+        e_new = jnp.maximum(ev - r, hcut)
+        ev_out = jnp.where(inwin, e_new, ev)
+        ev_out = jnp.where(i_idx[None, :] == end_n[:, None], 0, ev_out)
+        h_shift = jnp.concatenate([jnp.zeros((B, 1), I32), h[:, :-1]], 1)
+        wr = (i_idx[None, :] >= start_n[:, None]) \
+            & (i_idx[None, :] <= end_n[:, None])
+        hd_out = jnp.where(wr, h_shift, hd)
+
+        stop_now = stopped | dead | (active & ~any_pos) | (j >= len2)
+        upd = active[:, None]
+        hd = jnp.where(upd, hd_out, hd)
+        ev = jnp.where(upd, ev_out, ev)
+        start = jnp.where(active & any_pos, ns, start_n)
+        end = jnp.where(active & any_pos, ne + 3, end_n)
+        return (hd, ev, start, end, score, end_i, end_j, stop_now), None
+
+    L2max = s2.shape[1] - 1
+    (hd, ev, start, end, score, end_i, end_j, stopped), _ = jax.lax.scan(
+        row_step, init, jnp.arange(1, L2max + 1, dtype=I32))
+    return score - 1, end_i, end_j
+
+
+def extend_batch(jobs, ap, g0s):
+    """Batched aln_extend_core, score/end only (want_path=False).
+
+    jobs: [(seq1, seq2), ...]; g0s: per-job initial score G0.
+    Returns [(score, end_i, end_j), ...] matching the scalar oracle."""
+    res = [None] * len(jobs)
+    todo = [i for i, (a, b) in enumerate(jobs) if len(a) and len(b)]
+    for i, (a, b) in enumerate(jobs):
+        if not (len(a) and len(b)):
+            res[i] = (-1, 0, 0)
+    if not todo:
+        return res
+    B = len(todo)
+    L1 = -(-max(len(jobs[i][0]) for i in todo) // 32) * 32
+    L2 = -(-max(len(jobs[i][1]) for i in todo) // 32) * 32
+    Bb = max(8, -(-B // 8) * 8)
+    s1 = np.zeros((Bb, L1 + 2), dtype=np.int32)
+    s2 = np.zeros((Bb, L2 + 1), dtype=np.int32)
+    len1 = np.ones(Bb, dtype=np.int32)
+    len2 = np.ones(Bb, dtype=np.int32)
+    g0 = np.zeros(Bb, dtype=np.int32)
+    for bi, i in enumerate(todo):
+        a, b = jobs[i]
+        s1[bi, 1:len(a) + 1] = a
+        s2[bi, 1:len(b) + 1] = b
+        len1[bi] = len(a)
+        len2[bi] = len(b)
+        g0[bi] = g0s[i]
+    score, ei, ej = _extend_device(
+        jnp.asarray(s1), jnp.asarray(len1), jnp.asarray(s2),
+        jnp.asarray(len2), jnp.asarray(g0),
+        jnp.asarray(np.asarray(ap.matrix, dtype=np.int32)),
+        go=int(ap.gap_open), ge=int(ap.gap_ext), bw=int(ap.band_width))
+    packed = np.asarray(jnp.stack([score, ei, ej], axis=1))
+    for bi, i in enumerate(todo):
+        res[i] = (int(packed[bi, 0]), int(packed[bi, 1]),
+                  int(packed[bi, 2]))
+    return res
+
+
 def _backtrace(tb, ctype, len1, len2):
     """Host backtrace matching stdaln.c:487-514 / the scalar oracle."""
     i, j = len1, len2

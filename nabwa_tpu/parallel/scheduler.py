@@ -94,12 +94,19 @@ class ChunkScheduler:
 
 
 def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
-                    writer=None, worker_wrapper=None):
+                    writer=None, worker_wrapper=None, coordinator=None,
+                    phase=0, ctx=None):
     """Drive chunks through worker threads (each typically owning a device
     or remote host) with redelivery; returns ordered results.
 
     work_fn(chunk_id, payload) -> result.  worker_wrapper lets tests inject
     failures/delays around work_fn per worker.
+
+    coordinator: optional parallel.net.Coordinator — remote worker
+    processes then drain the SAME scheduler over TCP (their results are
+    deduped and released through the same ordered writer); phase/ctx tag
+    and accompany the served chunks.  n_workers=0 with a coordinator
+    means all compute is remote.
     """
     sched = ChunkScheduler(len(chunks), lease_timeout=lease_timeout)
     results = [None] * len(chunks)
@@ -134,11 +141,23 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
                 sched.complete(cid, res)
             drain_to_writer()
 
-    threads = [threading.Thread(target=worker, args=(w,))
-               for w in range(n_workers)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    if coordinator is not None:
+        def accept_remote(cid, data):
+            if sched.complete(cid, data):
+                drain_to_writer()
+
+        coordinator.begin_pass(phase, sched, chunks, accept_remote, ctx)
+    try:
+        threads = [threading.Thread(target=worker, args=(w,))
+                   for w in range(n_workers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        while coordinator is not None and not sched.finished:
+            time.sleep(0.02)
+    finally:
+        if coordinator is not None:
+            coordinator.end_pass()
     drain_to_writer()
     return results, sched

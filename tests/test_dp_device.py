@@ -79,3 +79,39 @@ def test_banded_global_window_shapes():
         want = aln_global_core(a, b, ALN_PARAM_BWA)
         assert got[i][0] == want[0]
         assert got[i][1] == [(int(c), int(x), int(y)) for c, x, y in want[1]]
+
+
+def test_extend_matches_oracle():
+    from nabwa_tpu.ops.dp import extend_batch
+    from nabwa_tpu.refmodel.extend_scalar import aln_extend_core
+
+    rng = np.random.default_rng(55)
+    jobs = []
+    g0s = []
+    for t in range(30):
+        l2 = int(rng.integers(4, 80))
+        q = rng.integers(0, 4, size=l2).astype(np.uint8)
+        tgt = _mutate(rng, q, 0.06, 0.03, 0.03)
+        ext = rng.integers(0, 4, size=int(rng.integers(0, 40))).astype(
+            np.uint8)
+        tgt = np.concatenate([tgt, ext]).astype(np.uint8)
+        if len(tgt) == 0:
+            tgt = q[:1].copy()
+        if rng.random() < 0.3 and l2 > 2:
+            q = q.copy()
+            q[rng.integers(0, l2)] = 4
+        jobs.append((tgt, q))
+        g0s.append(int(rng.integers(1, 60)))
+    jobs.append((np.array([], np.uint8), np.array([1], np.uint8)))
+    g0s.append(5)
+    # bwasw parameters (a=1,b=3,q=5,r=2 -> matrix built like _gen_ap)
+    m = np.full((5, 5), -3, dtype=np.int64)
+    np.fill_diagonal(m, 1)
+    m[4, :] = 0
+    m[:, 4] = 0
+    par = AlnParam(5, 2, -1, m, 5, 50)
+    got = extend_batch(jobs, par, g0s)
+    for i, (tgt, q) in enumerate(jobs):
+        want = aln_extend_core(tgt, q, par, g0s[i], want_path=False)
+        assert got[i] == (want[0], want[1], want[2]), \
+            f"job {i}: {got[i]} != {want[:3]}"
