@@ -28,7 +28,7 @@ WORK = pathlib.Path("/tmp/nabwa_bench")
 GLEN = 2_000_000
 N_READS = 8192
 READ_LEN = 100
-DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "1024"))
+DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "8192"))
 STACK_CAP = int(os.environ.get("NABWA_BENCH_STACK", "256"))
 
 

@@ -604,6 +604,86 @@ def cmd_pac_rev(argv):
     return 0
 
 
+def cmd_pac2bwt(argv):
+    """bwa pac2bwt [-d] <in.pac> <out.bwt> (bwtmisc.c:103-123): plain
+    (pre-bwtupdate) BWT of the packed sequence.  -d (divsufsort) is
+    accepted and ignored — the SA algorithm doesn't change the output."""
+    ap = argparse.ArgumentParser(prog="pac2bwt")
+    ap.add_argument("-d", action="store_true")
+    ap.add_argument("in_pac")
+    ap.add_argument("out_bwt")
+    args = ap.parse_args(argv)
+    from .index import formats
+    from .index import sa as samod
+    from .index.pack import read_pac
+    codes = read_pac(args.in_pac)
+    bwt, primary, l2, _ = samod.bwt_from_codes(codes)
+    formats.write_plain_bwt(args.out_bwt, primary, l2,
+                            samod.pack_bwt_words(bwt))
+    return 0
+
+
+def cmd_pac2bwtgen(argv):
+    """bwa pac2bwtgen <in.pac> <out.bwt> (bwt_gen/bwt_gen.c:1558-1575):
+    the large-genome BWT builder.  Same output as pac2bwt; this build
+    uses the O(n) native SA-IS for every size (the reference's blockwise
+    builder exists to cap 2000s-era RAM)."""
+    ap = argparse.ArgumentParser(prog="pac2bwtgen")
+    ap.add_argument("in_pac")
+    ap.add_argument("out_bwt")
+    args = ap.parse_args(argv)
+    return cmd_pac2bwt([args.in_pac, args.out_bwt])
+
+
+def cmd_bwtupdate(argv):
+    """bwa bwtupdate <the.bwt> (bwtmisc.c:154-167): rewrite a plain BWT
+    file in place with the interleaved Occ-checkpoint layout."""
+    if not argv:
+        print("Usage: bwtupdate <the.bwt>", file=sys.stderr)
+        return 1
+    from .index import formats
+    from .index import sa as samod
+    primary, l2, words, seq_len = formats.read_plain_bwt(argv[0])
+    codes = samod.unpack_bwt_words(words, seq_len)
+    inter = samod.interleave_occ(words, codes, seq_len)
+    formats.write_bwt(argv[0], primary, l2, inter)
+    return 0
+
+
+def cmd_bwt2sa(argv):
+    """bwa bwt2sa [-i 32] <in.bwt> <out.sa> (bwtmisc.c:256-275)."""
+    ap = argparse.ArgumentParser(prog="bwt2sa")
+    ap.add_argument("-i", dest="intv", type=int, default=32)
+    ap.add_argument("in_bwt")
+    ap.add_argument("out_sa")
+    args = ap.parse_args(argv)
+    from .index import formats
+    from .index import sa as samod
+    primary, l2, inter, seq_len = formats.read_bwt(args.in_bwt)
+    sa = samod.cal_sa_from_bwt(inter, primary, l2, seq_len, args.intv)
+    formats.write_sa(args.out_sa, primary, l2, sa, seq_len, args.intv)
+    return 0
+
+
+def cmd_stdsw(argv):
+    """bwa stdsw / sw (simple_dp.c:129-162)."""
+    ap = argparse.ArgumentParser(prog="stdsw")
+    ap.add_argument("-g", dest="is_global", action="store_true")
+    ap.add_argument("-T", dest="thres", type=int, default=1)
+    ap.add_argument("-f", dest="fwd", action="store_true")
+    ap.add_argument("-r", dest="rev", action="store_true")
+    ap.add_argument("-p", dest="aa", action="store_true")
+    ap.add_argument("long_fa")
+    ap.add_argument("short_fa")
+    args = ap.parse_args(argv)
+    strand = (1 if args.fwd else 0) | (2 if args.rev else 0)
+    if strand == 0:
+        strand = 3
+    from .models.stdsw import run_stdsw
+    return run_stdsw(args.long_fa, args.short_fa, args.is_global,
+                     args.thres, strand, args.aa)
+
+
 COMMANDS = {
     "index": cmd_index,
     "aln": cmd_aln,
@@ -617,6 +697,14 @@ COMMANDS = {
     "solid2fastq": cmd_solid2fastq,
     "fa2pac": cmd_fa2pac,
     "pac_rev": cmd_pac_rev,
+    "pac2bwt": cmd_pac2bwt,
+    "pac2bwtgen": cmd_pac2bwtgen,
+    "bwtupdate": cmd_bwtupdate,
+    "bwt2sa": cmd_bwt2sa,
+    "sw": cmd_stdsw,
+    "stdsw": cmd_stdsw,
+    "bwtsw2": cmd_bwasw,
+    "dbwtsw": cmd_bwasw,
 }
 
 

@@ -1,8 +1,9 @@
-"""ctypes bindings for the native (C++) index-construction components.
+"""ctypes bindings for the native (C++) components.
 
-Builds native/sais.cpp on first use (g++ -O2 -shared) into
-native/build/libnabwa_native.so; falls back to the NumPy prefix-doubling
-suffix array when no compiler is available.
+Builds native/{sais,bwtwalk,dfsgap}.cpp on first use (g++ -O2 -shared)
+into native/build/libnabwa_native.so; each entry point degrades
+gracefully (NumPy suffix array, Python scalar DFS) when no compiler is
+available.
 """
 
 import ctypes
@@ -13,12 +14,19 @@ import subprocess
 import numpy as np
 
 _ROOT = pathlib.Path(__file__).resolve().parents[2]
-_SRC = _ROOT / "native" / "sais.cpp"
+_SRCS = [_ROOT / "native" / "sais.cpp",
+         _ROOT / "native" / "bwtwalk.cpp",
+         _ROOT / "native" / "dfsgap.cpp"]
 _BUILD = _ROOT / "native" / "build"
 _SO = _BUILD / "libnabwa_native.so"
 
 _lib = None
 _checked = False
+
+_u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
 def _load():
@@ -27,18 +35,31 @@ def _load():
         return _lib
     _checked = True
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        newest_src = max(s.stat().st_mtime for s in _SRCS)
+        if not _SO.exists() or _SO.stat().st_mtime < newest_src:
             _BUILD.mkdir(parents=True, exist_ok=True)
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(_SO)],
+                 "-pthread"] + [str(s) for s in _SRCS]
+                + ["-o", str(_SO)],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(str(_SO))
-        lib.sais_u8.argtypes = [
-            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            ctypes.c_int64]
+        lib.sais_u8.argtypes = [_u8, _i64, ctypes.c_int64]
         lib.sais_u8.restype = ctypes.c_int
+        lib.bwt_cal_sa_u32.argtypes = [
+            _u32, ctypes.c_uint32, _u32, ctypes.c_uint32, ctypes.c_int,
+            _u32]
+        lib.bwt_cal_sa_u32.restype = ctypes.c_int
+        lib.dfs_match_gap_batch.argtypes = [
+            _u32, ctypes.c_uint32, _u32, ctypes.c_uint32, _u32,
+            ctypes.c_uint32,
+            _u8, ctypes.c_int, _i32, _i32, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            _i32, _i32, _i32]
+        lib.dfs_match_gap_batch.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -60,3 +81,82 @@ def suffix_array_native(codes):
     if rc != 0:
         return None
     return sa
+
+
+def cal_sa_native(bwt_words, primary, l2, seq_len, intv):
+    """bwt_cal_sa (bwt.c:48-70) via the native invPsi walk; None if
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    bwt = np.ascontiguousarray(bwt_words, dtype=np.uint32)
+    l2a = np.ascontiguousarray(l2, dtype=np.uint32)
+    out = np.zeros((int(seq_len) + intv) // intv, dtype=np.uint32)
+    rc = lib.bwt_cal_sa_u32(bwt, np.uint32(primary), l2a,
+                            np.uint32(seq_len), intv, out)
+    if rc != 0:
+        return None
+    return out
+
+
+def dfs_match_gap_native(fwd_bwt, primary_fwd, rev_bwt, primary_rev, l2,
+                         seq_len, reads, maxdiff, local, hits_cap=512,
+                         n_threads=0):
+    """Run the native threaded DFS over `reads` (objects with .seq, .rseq,
+    .len).  maxdiff: per-read int array; local: the batch-clamped GapOpt.
+    Returns list of (alns, hw) dicts matching the scalar oracle, or None
+    if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(reads)
+    if n == 0:
+        return []
+    L = max(r.len for r in reads)
+    seqs = np.full((n, 2, L), 4, dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    for i, r in enumerate(reads):
+        seqs[i, 0, :r.len] = r.seq
+        seqs[i, 1, :r.len] = r.rseq
+        lengths[i] = r.len
+    maxdiff = np.ascontiguousarray(maxdiff, dtype=np.int32)
+    fwd = np.ascontiguousarray(fwd_bwt, dtype=np.uint32)
+    rev = np.ascontiguousarray(rev_bwt, dtype=np.uint32)
+    l2a = np.ascontiguousarray(l2, dtype=np.uint32)
+    seed_len = local.seed_len if local.seed_len < 0x7FFFFFFF else 0x7FFFFFF
+
+    cap = hits_cap
+    pending = np.arange(n)
+    results = [None] * n
+    while len(pending):
+        m = len(pending)
+        hits = np.zeros((m, cap, 7), dtype=np.int32)
+        n_aln = np.zeros(m, dtype=np.int32)
+        hw = np.zeros(m, dtype=np.int32)
+        sub_seqs = np.ascontiguousarray(seqs[pending])
+        sub_len = np.ascontiguousarray(lengths[pending])
+        sub_md = np.ascontiguousarray(maxdiff[pending])
+        lib.dfs_match_gap_batch(
+            fwd, np.uint32(primary_fwd), rev, np.uint32(primary_rev),
+            l2a, np.uint32(seq_len),
+            sub_seqs, L, sub_len, sub_md, m,
+            local.s_mm, local.s_gapo, local.s_gape, local.max_gape,
+            local.max_gapo, local.indel_end_skip, local.max_del_occ,
+            local.max_entries, local.max_top2, local.max_seed_diff,
+            seed_len, local.mode, cap, n_threads,
+            hits.reshape(-1), n_aln, hw)
+        retry = []
+        for j, idx in enumerate(pending):
+            na = int(n_aln[j])
+            if na < 0:
+                retry.append(idx)
+                continue
+            alns = [dict(n_mm=int(h[0]), n_gapo=int(h[1]),
+                         n_gape=int(h[2]), a=int(h[3]),
+                         k=int(np.uint32(h[4])), l=int(np.uint32(h[5])),
+                         score=int(h[6]))
+                    for h in hits[j, :na]]
+            results[idx] = (alns, int(hw[j]))
+        pending = np.array(retry, dtype=np.int64)
+        cap *= 4
+    return results

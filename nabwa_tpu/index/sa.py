@@ -85,6 +85,43 @@ def pack_bwt_words(bwt):
     return (q << shifts[None, :]).sum(axis=1, dtype=np.uint32)
 
 
+def unpack_bwt_words(words, seq_len):
+    """Inverse of pack_bwt_words: uint32 words → base-code array."""
+    w = np.asarray(words, dtype=np.uint32)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    codes = ((w[:, None] >> shifts[None, :]) & 3).reshape(-1)
+    return codes[:seq_len].astype(np.uint8)
+
+
+def cal_sa_from_bwt(bwt_interleaved, primary, l2, seq_len,
+                    intv=SA_INTERVAL):
+    """bwt_cal_sa (bwt.c:48-70) on an interleaved-Occ BWT: the sampled SA
+    via the seq_len-step invPsi walk from the last row.  Native C++ walk
+    when available; NumPy permutation walk otherwise.  Returns the sampled
+    array with the leading -1 sentinel (sa[0], bwt.c:68)."""
+    from .native import cal_sa_native
+
+    out = cal_sa_native(bwt_interleaved, primary, l2, seq_len, intv)
+    if out is None:
+        from ..refmodel.fm_scalar import ScalarFm
+
+        fm = ScalarFm(bwt_interleaved, primary, l2, seq_len)
+        perm = fm.full_inv_psi()
+        n_sa = (seq_len + intv) // intv
+        out = np.zeros(n_sa, dtype=np.uint32)
+        isa, sa_val = 0, seq_len
+        for _ in range(seq_len):
+            if isa % intv == 0:
+                out[isa // intv] = sa_val
+            sa_val -= 1
+            isa = int(perm[isa])
+        if isa % intv == 0:
+            out[isa // intv] = sa_val
+    out = np.asarray(out, dtype=np.uint32)
+    out[0] = np.uint32(0xFFFFFFFF)
+    return out
+
+
 def interleave_occ(bwt_words, bwt, seq_len):
     """bwt_bwtupdate_core equivalent (bwtmisc.c:125-152).
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..constants import BWA_AVG_ERR
 from ..ops import occ as occ_ops
+from ..ops import dfs_pallas
 from ..ops.dfs import aln_device_step, unpack_result
 from ..refmodel.aln_scalar import cal_maxdiff, aln_batch as scalar_aln_batch
 from ..refmodel.fm_scalar import ScalarFm
@@ -39,9 +40,16 @@ def _maxdiff_table(fnr, max_len=1024):
 class AlnEngine:
     """Holds device arrays + compiled DFS for one index."""
 
+    # pallas tier geometry: block of 64 reads per grid step (measured
+    # fastest of 256/128/64/32 on v5e), retry stack must fit VMEM
+    PALLAS_BB = 64
+    PALLAS_MAX_TABLE = 10 << 20       # ~10 Mbp genome in VMEM
+    PALLAS_MAX_STACK = 1024
+
     def __init__(self, index, opt, stack_cap=256, hits_cap=32,
                  max_iters=2_000_000, retry_stack_cap=1024,
-                 retry_hits_cap=128, tier0_max_iters=768, mesh=None):
+                 retry_hits_cap=128, tier0_max_iters=768, mesh=None,
+                 use_pallas="auto"):
         """stack_cap is deliberately small: per-DFS-iteration cost on TPU is
         dominated by whole-stack-array traffic, and the observed per-read
         stack high-water is ~250 typical / ~1000 for hard reads.  Reads that
@@ -90,6 +98,25 @@ class AlnEngine:
         self.seq_len = _i32(fwd.seq_len)
         self._scalar_fms = None
 
+        # Pallas DFS kernel (ops/dfs_pallas.py): whole search in one
+        # pallas_call with VMEM-resident BWT + stacks — ~2.2x the jnp
+        # while-loop engine per tier.  Applicable when the genome's
+        # block16 table fits VMEM and we run directly on a TPU backend
+        # (the jnp path stays for CPU tests and mesh-sharded runs).
+        if use_pallas == "auto":
+            use_pallas = (mesh is None
+                          and jax.default_backend() == "tpu")
+        self._pal_table = None
+        if use_pallas:
+            table, rev_row0 = dfs_pallas.build_table(
+                np.concatenate([fwd.bwt.view(np.int32),
+                                rev.bwt.view(np.int32)]), self.rev_off)
+            if table.nbytes <= self.PALLAS_MAX_TABLE:
+                self._pal_table = jnp.asarray(table)
+                self._pal_params = jnp.asarray(dfs_pallas.build_params(
+                    fwd.l2.view(np.int32), self.primary_fwd,
+                    self.primary_rev, self.seq_len, rev_row0))
+
     def _shard_batch(self, arr):
         """Shard a [B, ...] batch array over the dp axis (replicate-free)."""
         a = jnp.asarray(arr)
@@ -133,11 +160,31 @@ class AlnEngine:
                 local.max_diff = cal_maxdiff(max_len, BWA_AVG_ERR, opt.fnr)
             if local.max_diff < local.max_gapo:
                 local.max_gapo = local.max_diff
+            # tier-0 pass over all chunks, deferring overflow reads so the
+            # retry tier runs ONCE over the whole set — retried reads are
+            # sorted hardest-first so deep searches share lockstep blocks
+            # instead of each stalling a mostly-idle batch
+            defer = []
             for start in range(0, len(reads), device_batch):
                 part = reads[start:start + device_batch]
                 self._run_device(part,
                                  per_read_maxdiff[start:start + len(part)],
-                                 local, results, start, max_len)
+                                 local, results, start, max_len,
+                                 defer=defer)
+            if defer:
+                defer.sort(key=lambda t: -t[1])
+                idxs = [i for i, _ in defer]
+                fb_reads = [reads[i] for i in idxs]
+                fb_md = per_read_maxdiff[idxs]
+                sub_res = [None] * len(idxs)
+                for start in range(0, len(fb_reads), device_batch):
+                    part = fb_reads[start:start + device_batch]
+                    self._run_device(part, fb_md[start:start + len(part)],
+                                     local, sub_res, start, max_len,
+                                     stack_cap=self.retry_stack_cap,
+                                     hits_cap=self.retry_hits_cap, tier=1)
+                for i, res in zip(idxs, sub_res):
+                    results[i] = res
             return results
 
         # group by per-read clamped max_gapo (identical almost always)
@@ -165,7 +212,7 @@ class AlnEngine:
         return results
 
     def _run_device(self, reads, maxdiff, local, results, base, max_len,
-                    stack_cap=None, hits_cap=None, tier=0):
+                    stack_cap=None, hits_cap=None, tier=0, defer=None):
         # Bucket shapes (B to 64s, L to 32s) so recurring batch geometries
         # reuse compiled kernels; padding lanes are len-0 (done immediately).
         stack_cap = stack_cap or self.stack_cap
@@ -197,12 +244,7 @@ class AlnEngine:
                         axis=1)
         slen = np.where(has_seed, min(local.seed_len, SL), 0).astype(np.int32)
 
-        out = aln_device_step(
-            self.bwt_cat, self.bwt_fwd, self.bwt_rev, self.rev_off,
-            self.primary_fwd, self.primary_rev, self.l2, self.seq_len,
-            self._shard_batch(seqs), self._shard_batch(lengths),
-            self._shard_batch(sseq), self._shard_batch(slen),
-            self._shard_batch(has_seed), self._shard_batch(maxdiff),
+        statics = dict(
             s_mm=local.s_mm, s_gapo=local.s_gapo, s_gape=local.s_gape,
             max_gape=local.max_gape, max_gapo=local.max_gapo,
             indel_end_skip=local.indel_end_skip,
@@ -213,6 +255,28 @@ class AlnEngine:
             max_iters=(self.tier0_max_iters
                        if tier == 0 and self.retry_stack_cap > stack_cap
                        else self.max_iters))
+        use_pal = (self._pal_table is not None and L <= 127
+                   and int(maxdiff.max(initial=0)) <= 15
+                   and local.max_gapo <= 15 and local.max_gape <= 15
+                   and stack_cap <= self.PALLAS_MAX_STACK
+                   and B % self.PALLAS_BB == 0)
+        if use_pal:
+            out = dfs_pallas.aln_device_step_pallas(
+                self._pal_table, self._pal_params, self.bwt_fwd,
+                self.bwt_rev, self.rev_off, self.primary_fwd,
+                self.primary_rev, self.l2, self.seq_len,
+                jnp.asarray(seqs), jnp.asarray(lengths),
+                jnp.asarray(sseq), jnp.asarray(slen),
+                jnp.asarray(has_seed), jnp.asarray(maxdiff),
+                BB=self.PALLAS_BB, **statics)
+        else:
+            out = aln_device_step(
+                self.bwt_cat, self.bwt_fwd, self.bwt_rev, self.rev_off,
+                self.primary_fwd, self.primary_rev, self.l2, self.seq_len,
+                self._shard_batch(seqs), self._shard_batch(lengths),
+                self._shard_batch(sseq), self._shard_batch(slen),
+                self._shard_batch(has_seed), self._shard_batch(maxdiff),
+                **statics)
 
         # ONE host transfer for the whole packed result (tunnel latency
         # is per-array, not per-byte)
@@ -241,6 +305,10 @@ class AlnEngine:
             results[base + i] = (alns, int(hw[i]))
 
         if fallback and tier == 0 and self.retry_stack_cap > stack_cap:
+            if defer is not None:
+                # caller batches retries globally; hw is the sort key
+                defer.extend((base + i, int(hw[i])) for i in fallback)
+                return
             # second device pass with the big stack for overflow reads only
             fb_reads = [reads[i] for i in fallback]
             fb_maxdiff = np.asarray([maxdiff[i] for i in fallback],

@@ -1,0 +1,813 @@
+"""Pallas TPU kernel for the bounded-DFS gapped search (bwt_match_gap,
+bwtgap.c:104-266) — the single-kernel rewrite of ops.dfs.dfs_match_gap.
+
+Why a kernel: the jnp while-loop pays an HBM round trip per fused op on
+the [B,S] stack arrays every iteration (~0.86 ms/iter measured round 1).
+Here the WHOLE search runs inside one pallas_call per block of BB reads:
+the slot-pool stack lives in VMEM scratch, the interleaved-Occ BWT is
+VMEM-resident, and each iteration's two occ4 block fetches are dynamic
+sublane row loads driven by the scalar core (~25 ns each on this
+backend).  Measured design points from scripts/probe_*: elementwise
+chains fuse into registers; cumsum / take_along_axis / pltpu.roll are
+avoided (unsupported or ~5 us/call) in favour of static-shift prefix
+adds and masked-sum one-hot extractions.
+
+Layout:
+- reads = sublanes (BB per grid step), stack slots = lanes (S per read);
+- BWT table [n_rows, 128]: both strands, 8 interleaved blocks per row,
+  each block padded 12->16 words: [cnt[4] | 8 bwt words | pad 4]
+  (bwt.h:61-68 layout, same byte content per block);
+- stack entry = 4 arrays: key (score<<16 | 0xFFFF-seq), packed meta
+  (i|a|ldp|state|nmm|go|ge), k, l;
+- per-read registers live in one [BB, 128] scratch, one variable per
+  lane column;
+- width/bid planes ship packed (w<<8 | bid) per strand, padded to 128.
+
+Applicability gates (fall back to ops.dfs for anything outside):
+genome small enough for VMEM (~<=10 Mbp total banks), read length <= 127,
+max_diff <= 15, max_gapo/max_gape <= 15.  All position arithmetic is
+plain int32 (positions < 2^23), so no uint32 bit-pattern tricks needed
+except the k == -1 sentinel, handled explicitly.
+
+Semantics are bit-identical to ops.dfs (same pop order, pruning, hit
+set); tests drive both against the scalar oracle and each other.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (STATE_M, STATE_I, STATE_D, BWA_MODE_GAPE,
+                         BWA_MODE_LOGGAP, BWA_MODE_NONSTOP)
+
+I32 = jnp.int32
+LANES = 128
+FREE = 0x7FFFFFFF
+
+# register lane indices in the regs scratch
+(R_NENT, R_BEST_SCORE, R_BEST_DIFF, R_BEST_CNT, R_MAXDIFF, R_NALN,
+ R_DONE, R_OVF, R_HW, R_PEND, R_PEND_I, R_PEND_K, R_PEND_L, R_PEND_CNT,
+ R_PEND_A, R_PEND_LDP, R_FIN, R_SEQCTR, R_LEN, R_HAS_SEED) = range(20)
+
+# meta packing: i(0-6) a(7) ldp(8-14) state(15-16) nmm(17-21) go(22-25)
+# ge(26-29)
+M_I, M_A, M_LDP, M_STATE, M_NMM, M_GO, M_GE = 0, 7, 8, 15, 17, 22, 26
+
+
+def build_table(bwt_cat_host, rev_word_offset):
+    """Host: flat interleaved int32 words (fwd then rev, 12-word blocks)
+    -> [n_rows, 128] block16 table + (fwd_row0, rev_row0, rev_sub0).
+
+    Each bank starts at its own row boundary."""
+    w = np.asarray(bwt_cat_host, dtype=np.int32)
+
+    def to_blocks(wb):
+        # each 128-bp block = [cnt4 | <=8 bwt words]; the bank ends with a
+        # partial data block plus a trailing checkpoint (interleave_occ) —
+        # pad to a 12-word multiple; padding lanes are masked by position.
+        pad = (-len(wb)) % 12
+        if pad:
+            wb = np.concatenate([wb, np.zeros(pad, np.int32)])
+        return wb.reshape(-1, 12)
+
+    fwd = to_blocks(w[:rev_word_offset])
+    rev = to_blocks(w[rev_word_offset:])
+
+    def bank(blocks):
+        nb = blocks.shape[0]
+        nrow = -(-nb // 8)
+        out = np.zeros((nrow, 128), dtype=np.int32)
+        b16 = np.zeros((nrow * 8, 16), dtype=np.int32)
+        b16[:nb, :12] = blocks
+        out[:] = b16.reshape(nrow, 128)
+        return out
+
+    tf = bank(fwd)
+    tr = bank(rev)
+    return np.concatenate([tf, tr], axis=0), tf.shape[0]
+
+
+def _pf(x, lanes=LANES):
+    """Pad the last axis to `lanes`."""
+    pad = lanes - x.shape[-1]
+    if pad <= 0:
+        return x[..., :lanes]
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, cfg)
+
+
+def _lane_iota(shape, axis=1):
+    return jax.lax.broadcasted_iota(I32, shape, axis)
+
+
+def _extract(row, pos, width=LANES):
+    """row[b, pos[b]] (0 when pos out of range): masked sum, no gather.
+    row: [BB, 128]; pos: [BB, 1] -> [BB, 1]."""
+    m = _lane_iota(row.shape) == pos
+    return jnp.where(m, row, 0).sum(axis=1, keepdims=True)
+
+
+def _prefix_incl(x, width):
+    """Inclusive prefix sum along lanes via static-shift adds."""
+    sh = 1
+    while sh < width:
+        shifted = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (sh,), x.dtype), x[..., :-sh]],
+            axis=-1)
+        x = x + shifted
+        sh *= 2
+    return x
+
+
+def _sum8_lanes(x):
+    """y[i] = sum over lanes i..i+7 of x (shift-left adds)."""
+    for sh in (1, 2, 4):
+        shifted = jnp.concatenate(
+            [x[..., sh:], jnp.zeros(x.shape[:-1] + (sh,), x.dtype)],
+            axis=-1)
+        x = x + shifted
+    return x
+
+
+def _sel4(v0, v1, v2, v3, c):
+    out = jnp.where(c == 1, v1, v0)
+    out = jnp.where(c == 2, v2, out)
+    return jnp.where(c == 3, v3, out)
+
+
+def _int_log2(v):
+    """int_log2 (bwtgap.c:93-102) for small non-negative int32 cols."""
+    bits = jnp.zeros_like(v)
+    for b in range(1, 16):
+        bits = bits + (v >= (1 << b)).astype(I32)
+    return bits
+
+
+def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
+                indel_end_skip, max_del_occ, max_entries, max_top2,
+                max_seed_diff, seed_len, mode, max_iters):
+    gape_mode = bool(mode & BWA_MODE_GAPE)
+    nonstop = bool(mode & BWA_MODE_NONSTOP)
+    loggap = bool(mode & BWA_MODE_LOGGAP)
+    BIG = 0x7FFFFFF
+
+    def aln_score(m, o, e):
+        return m * s_mm + o * s_gapo + e * s_gape
+
+    def kernel(params_ref, seqf_ref, seqr_ref, pw_f_ref, pw_r_ref,
+               sw_f_ref, sw_r_ref, md_ref, len_ref, hseed_ref,
+               table_ref,
+               hmeta_ref, hk_ref, hl_ref, hscore_ref, summ_ref,
+               s_key, s_meta, s_k, s_l, regs, stage, rowidx,
+               pw0, pw1):
+        l2_0 = params_ref[0, 0]
+        l2_1 = params_ref[0, 1]
+        l2_2 = params_ref[0, 2]
+        l2_3 = params_ref[0, 3]
+        primary_f = params_ref[0, 5]
+        primary_r = params_ref[0, 6]
+        seq_len = params_ref[0, 7]
+        rev_row0 = params_ref[0, 8]
+
+        lane_s = _lane_iota((BB, S))
+        lane_p = _lane_iota((BB, LANES))
+        # all-true [BB,1] column via a compare (Mosaic rejects bool
+        # constant vectors: i8->i1 trunc unsupported)
+        true_col = _lane_iota((BB, 1)) == 0
+
+        lengths = len_ref[:, :1]
+        max_diff0 = md_ref[:, :1]
+        has_seed = hseed_ref[:, :1] != 0
+        seq_f = seqf_ref[:, :]
+        seq_r = seqr_ref[:, :]
+
+        # mutable width planes (gap_shadow writes them)
+        pw0[:] = pw_f_ref[:, :]
+        pw1[:] = pw_r_ref[:, :]
+
+        # ---- init ----
+        s_key[:] = jnp.full((BB, S), FREE, I32)
+        s_meta[:] = jnp.zeros((BB, S), I32)
+        s_k[:] = jnp.zeros((BB, S), I32)
+        s_l[:] = jnp.zeros((BB, S), I32)
+        hmeta_ref[:] = jnp.zeros((BB, H), I32)
+        hk_ref[:] = jnp.zeros((BB, H), I32)
+        hl_ref[:] = jnp.zeros((BB, H), I32)
+        hscore_ref[:] = jnp.zeros((BB, H), I32)
+
+        n_count = ((seq_f > 3) & (lane_p < lengths)).astype(I32) \
+            .sum(axis=1, keepdims=True)
+        done0 = (n_count > max_diff0) | (lengths <= 0)
+        seedable = ~done0
+
+        r = jnp.zeros((BB, LANES), I32)
+
+        def setreg(r, idx, v):
+            return jnp.where(lane_p == idx, v, r)
+
+        r = setreg(r, R_NENT, jnp.where(seedable, 2, 0))
+        r = setreg(r, R_SEQCTR, jnp.where(seedable, 2, 0))
+        r = setreg(r, R_BEST_SCORE,
+                   aln_score(max_diff0 + 1, max_gapo + 1, max_gape + 1))
+        r = setreg(r, R_BEST_DIFF, max_diff0 + 1)
+        r = setreg(r, R_MAXDIFF, max_diff0)
+        r = setreg(r, R_DONE, done0.astype(I32))
+        r = setreg(r, R_LEN, lengths)
+        r = setreg(r, R_HAS_SEED, has_seed.astype(I32))
+        regs[:] = r
+
+        # seed pushes: slots 0 (a=0) and 1 (a=1), score 0; the a=1 key
+        # 0xFFFE is smaller so it pops first like the C (bwtgap.c:127-128)
+        seedk = jnp.where(
+            lane_s == 0, jnp.where(seedable, 0xFFFF, FREE),
+            jnp.where(lane_s == 1, jnp.where(seedable, 0xFFFE, FREE),
+                      FREE))
+        s_key[:] = seedk
+        m0 = lengths            # i=len, a=0, ldp=0, state M, cnt 0
+        m1 = lengths | (1 << M_A)
+        s_meta[:] = jnp.where(
+            lane_s == 0, jnp.where(seedable, m0, 0),
+            jnp.where(lane_s == 1, jnp.where(seedable, m1, 0), 0))
+        s_l[:] = jnp.where((lane_s < 2) & seedable, seq_len, 0)
+
+        def getreg(idx):
+            return regs[:, idx:idx + 1]
+
+        def occ_prep(k, primary):
+            """Adjusted position + block geometry cols for one occ4."""
+            is_neg1 = k == -1
+            kk = jnp.where(k >= primary, k - 1, k)
+            kk = jnp.where(is_neg1, 0, kk)
+            blk = kk >> 7
+            sub = blk & 7
+            return (blk >> 3, sub, (kk >> 4) & 7, kk & 15,
+                    is_neg1.astype(I32))
+
+        def body(carry):
+            it, live = carry
+            active = getreg(R_DONE) == 0
+            in_pend = (getreg(R_PEND) != 0) & active
+            do_stack = active & ~in_pend
+
+            # ---- stack checks (bwtgap.c:139-141) ----
+            n_ent = getreg(R_NENT)
+            hw = jnp.where(do_stack, jnp.maximum(getreg(R_HW), n_ent),
+                           getreg(R_HW))
+            empty = n_ent == 0
+            over_cap = n_ent > max_entries
+            done = (getreg(R_DONE) != 0) | (do_stack & (empty | over_cap))
+            do_pop = do_stack & ~empty & ~over_cap
+
+            # ---- pop: min key; min score then max seq (bwtgap.c:66-79) --
+            key = s_key[:]
+            min_key = key.min(axis=1, keepdims=True)
+            pop_m = key == min_key
+            e_score = jax.lax.shift_right_logical(min_key, 16)
+
+            e_meta = jnp.where(pop_m, s_meta[:], 0).sum(axis=1,
+                                                        keepdims=True)
+            e_k = jnp.where(pop_m, s_k[:], 0).sum(axis=1, keepdims=True)
+            e_l = jnp.where(pop_m, s_l[:], 0).sum(axis=1, keepdims=True)
+            s_key[:] = jnp.where(pop_m & do_pop, FREE, key)
+            n_ent = n_ent - do_pop.astype(I32)
+
+            e_i = e_meta & 0x7F
+            e_a = (e_meta >> M_A) & 1
+            e_ldp = (e_meta >> M_LDP) & 0x7F
+            e_state = (e_meta >> M_STATE) & 3
+            e_nmm = (e_meta >> M_NMM) & 0x1F
+            e_go = (e_meta >> M_GO) & 0xF
+            e_ge = (e_meta >> M_GE) & 0xF
+
+            a0 = e_a == 0
+            w_plane = jnp.where(a0, pw0[:], pw1[:])   # packed w<<8|bid
+
+            # ---- best-score stop (bwtgap.c:144) ----
+            if not nonstop:
+                brk = do_pop & (e_score > getreg(R_BEST_SCORE) + s_mm)
+                done = done | brk
+                do_pop = do_pop & ~brk
+
+            # ---- budget (bwtgap.c:146-148) ----
+            m = getreg(R_MAXDIFF) - (e_nmm + e_go)
+            if gape_mode:
+                m = m - e_ge
+            proc = do_pop & (m >= 0)
+
+            # ---- width lower bound (bwtgap.c:156) ----
+            pk_im1 = _extract(w_plane, e_i - 1)
+            bid_im1 = pk_im1 & 0xFF
+            proc = proc & ~((e_i > 0) & (m < bid_im1))
+
+            # ---- hit / exact-path / expand split (bwtgap.c:158-164) ----
+            direct_hit = proc & (e_i == 0)
+            if not gape_mode:
+                exact_ok = (e_state == STATE_M) | (e_ge == max_gape)
+            else:
+                exact_ok = true_col
+            need_exact = proc & ~direct_hit & (m == 0) & exact_ok
+            expand = proc & ~direct_hit & ~need_exact
+
+            pend_i = jnp.where(need_exact, e_i, getreg(R_PEND_I))
+            pend_k = jnp.where(need_exact, e_k, getreg(R_PEND_K))
+            pend_l = jnp.where(need_exact, e_l, getreg(R_PEND_L))
+            pend_a = jnp.where(need_exact, e_a, getreg(R_PEND_A))
+            pend_ldp = jnp.where(need_exact, e_ldp, getreg(R_PEND_LDP))
+            pend_cnt = jnp.where(need_exact, e_meta, getreg(R_PEND_CNT))
+            pend = in_pend | need_exact
+
+            # ---- shared occ lookups (the bwt_2occ4 analog): a lane is
+            # either pending or popping, never both ----
+            occ_a = jnp.where(in_pend, getreg(R_PEND_A), e_a)
+            occ_k_in = jnp.where(in_pend, getreg(R_PEND_K), e_k) - 1
+            occ_l_in = jnp.where(in_pend, getreg(R_PEND_L), e_l)
+            oa0 = occ_a == 0
+            # a=0 -> reverse bank, a=1 -> forward (bwtgap.c:149)
+            prim = jnp.where(oa0, primary_r, primary_f)
+            row0 = jnp.where(oa0, rev_row0, 0)
+            krow, ksub, kwoff, kwin, kneg = occ_prep(occ_k_in, prim)
+            lrow, lsub, lwoff, lwin, lneg = occ_prep(occ_l_in, prim)
+            # clamp: lanes with an empty stack pop garbage (pop_m matches
+            # every FREE slot, e_k = sum of stale values) — the load must
+            # stay in bounds even though its result is masked out
+            n_rows = table_ref.shape[0]
+            rowidx[:, 0:1] = jnp.clip(krow + row0, 0, n_rows - 1)
+            rowidx[:, 1:2] = jnp.clip(lrow + row0, 0, n_rows - 1)
+
+            def load(i, _):
+                rk = rowidx[i, 0]
+                stage[pl.ds(i, 1), :] = table_ref[pl.ds(rk, 1), :]
+                rl = rowidx[i, 1]
+                stage[pl.ds(i + BB, 1), :] = table_ref[pl.ds(rl, 1), :]
+                return 0
+            jax.lax.fori_loop(0, BB, load, 0)
+
+            # ---- occ math over both staged banks ----
+            sub2 = jnp.concatenate([ksub, lsub], axis=0)      # [2BB,1]
+            woff2 = jnp.concatenate([kwoff, lwoff], axis=0)
+            win2 = jnp.concatenate([kwin, lwin], axis=0)
+            neg2 = jnp.concatenate([kneg, lneg], axis=0)
+            lane2 = _lane_iota((2 * BB, LANES))
+            rows = stage[:]
+            rel = lane2 - sub2 * 16
+            j = rel - 4
+            partial = (-1) << ((15 - win2) * 2)
+            vm = jnp.where((j >= 0) & (j < woff2), -1,
+                           jnp.where(j == woff2, partial, 0))
+            lo = rows & vm & 0x55555555
+            hi = jax.lax.shift_right_logical(rows, 1) & vm & 0x55555555
+            pc_lo = jax.lax.population_count(lo)
+            pc_hi = jax.lax.population_count(hi)
+            pc_lh = jax.lax.population_count(lo & hi)
+            packed = pc_lo | (pc_hi << 8) | (pc_lh << 16)
+            psum = _sum8_lanes(jnp.where((j >= 0) & (j < 8), packed, 0))
+            # select this block's checkpoint words + count sum (8-way
+            # static-slice select by sub)
+            ck = rows[:, 0:4]
+            cs = psum[:, 4:5]
+            for sblk in range(1, 8):
+                is_s = sub2 == sblk
+                ck = jnp.where(is_s, rows[:, 16 * sblk:16 * sblk + 4], ck)
+                cs = jnp.where(is_s, psum[:, 16 * sblk + 4:16 * sblk + 5],
+                               cs)
+            f_lo = cs & 0xFF
+            f_hi = (cs >> 8) & 0xFF
+            f_lh = (cs >> 16) & 0xFF
+            c3 = f_lh
+            c1 = f_lo - f_lh
+            c2 = f_hi - f_lh
+            n_valid = woff2 * 16 + win2 + 1
+            c0 = n_valid - c1 - c2 - c3
+            cnt0 = jnp.where(neg2 != 0, 0, ck[:, 0:1] + c0)
+            cnt1 = jnp.where(neg2 != 0, 0, ck[:, 1:2] + c1)
+            cnt2 = jnp.where(neg2 != 0, 0, ck[:, 2:3] + c2)
+            cnt3 = jnp.where(neg2 != 0, 0, ck[:, 3:4] + c3)
+            cnt_k = (cnt0[:BB], cnt1[:BB], cnt2[:BB], cnt3[:BB])
+            cnt_l = (cnt0[BB:], cnt1[BB:], cnt2[BB:], cnt3[BB:])
+
+            # ---- pending exact-match step (bwt_match_exact_alt) ----
+            p_a0 = getreg(R_PEND_A) == 0
+            # select with i1 *operands* is unsupported (Mosaic i8<->i1
+            # trunc hole) — select in i32, then compare
+            use_f = jnp.where(in_pend, p_a0.astype(I32),
+                              a0.astype(I32)) != 0
+            seq_sel = jnp.where(use_f, seq_f, seq_r)
+            # one shared seq lookup: pend uses pend_i-1, expansion uses
+            # i2 = e_i-1 (disjoint lanes)
+            look_pos = jnp.where(in_pend, getreg(R_PEND_I) - 1, e_i - 1)
+            base_c = _extract(seq_sel, look_pos)
+            pc = base_c
+            cc = jnp.minimum(pc, 3)
+            l2c = _sel4(l2_0, l2_1, l2_2, l2_3, cc)
+            okk = _sel4(*cnt_k, cc)
+            oll = _sel4(*cnt_l, cc)
+            nk = l2c + okk + 1
+            nl = l2c + oll
+            pfail = in_pend & ((pc > 3) | (nk > nl))
+            pstep = in_pend & ~pfail
+            pend_k = jnp.where(pstep, nk, pend_k)
+            pend_l = jnp.where(pstep, nl, pend_l)
+            pend_i = jnp.where(pstep, pend_i - 1, pend_i)
+            pend_hit = pstep & (pend_i == 0)
+            pend = pend & ~(pend_hit | pfail)
+
+            # ---- hit processing (bwtgap.c:166-199) ----
+            hit_now = direct_hit | pend_hit
+            h_meta = jnp.where(direct_hit, e_meta, pend_cnt)
+            h_nmm = (h_meta >> M_NMM) & 0x1F
+            h_go = (h_meta >> M_GO) & 0xF
+            h_ge = (h_meta >> M_GE) & 0xF
+            h_a = jnp.where(direct_hit, e_a, getreg(R_PEND_A))
+            h_ldp = jnp.where(direct_hit, e_ldp, pend_ldp)
+            h_k = jnp.where(direct_hit, e_k, pend_k)
+            h_l = jnp.where(direct_hit, e_l, pend_l)
+            h_score = aln_score(h_nmm, h_go, h_ge)
+
+            n_aln = getreg(R_NALN)
+            first_hit = hit_now & (n_aln == 0)
+            new_best_diff = h_nmm + h_go + (h_ge if gape_mode else 0)
+            best_score = jnp.where(first_hit, h_score,
+                                   getreg(R_BEST_SCORE))
+            best_diff = jnp.where(first_hit, new_best_diff,
+                                  getreg(R_BEST_DIFF))
+            max_diff = getreg(R_MAXDIFF)
+            if not nonstop:
+                max_diff = jnp.where(
+                    first_hit, jnp.minimum(new_best_diff + 1, max_diff),
+                    max_diff)
+            eq_best = h_score == best_score
+            width_cnt = h_l - h_k + 1
+            brk2 = hit_now & ~eq_best & (getreg(R_BEST_CNT) > max_top2)
+            best_cnt = getreg(R_BEST_CNT) + jnp.where(
+                hit_now & eq_best, width_cnt, 0)
+            done = done | brk2
+            add_lane = hit_now & ~brk2
+            # tandem-repeat dedup (bwtgap.c:179-183)
+            lane_h = _lane_iota((BB, H))
+            in_hits = ((hk_ref[:] == h_k) & (hl_ref[:] == h_l)
+                       & (lane_h < n_aln)).astype(I32) \
+                .sum(axis=1, keepdims=True) > 0
+            do_add = add_lane & ~((h_go > 0) & in_hits)
+
+            # gap_shadow (bwtgap.c:81-91) on the h_a-strand packed plane
+            ha0 = h_a == 0
+            pa = jnp.where(ha0, pw0[:], pw1[:])
+            wa = jax.lax.shift_right_logical(pa, 8)
+            bida = pa & 0xFF
+            x = h_l - h_k + 1
+            # i1 [BB,1] & [BB,128] broadcast-AND is unsupported by this
+            # Mosaic version (i8<->i1 trunc); broadcast via i32 multiply
+            shadow_mask = (do_add.astype(I32)
+                           * (lane_p < h_ldp).astype(I32)) != 0
+            eqm = shadow_mask & (wa == x)
+            gtm = shadow_mask & (wa > x)
+            jc = _prefix_incl(eqm.astype(I32), LANES)
+            wa_new = jnp.where(gtm, wa - x,
+                               jnp.where(eqm, seq_len - jc, wa))
+            bida_new = jnp.where(eqm, 1, bida)
+            pa_new = (wa_new << 8) | bida_new
+            # [BB,1] i1 select-preds on ref stores hit the same Mosaic
+            # i8<->i1 trunc hole; broadcast the pred in i32 first
+            wr0 = jnp.broadcast_to((do_add & ha0).astype(I32),
+                                   (BB, LANES)) != 0
+            wr1 = jnp.broadcast_to((do_add & ~ha0).astype(I32),
+                                   (BB, LANES)) != 0
+            pw0[:] = jnp.where(wr0, pa_new, pw0[:])
+            pw1[:] = jnp.where(wr1, pa_new, pw1[:])
+
+            # append hit via one-hot write at n_aln
+            hof = do_add & (n_aln >= H)
+            overflow = (getreg(R_OVF) != 0) | hof
+            write_hit = do_add & ~hof
+            hmask = write_hit & (lane_h == n_aln)
+            hcnt_c = (h_nmm | (h_go << 8) | (h_ge << 16))
+            meta_out = hcnt_c | (h_a << 24)
+            hmeta_ref[:] = jnp.where(hmask, meta_out, hmeta_ref[:])
+            hk_ref[:] = jnp.where(hmask, h_k, hk_ref[:])
+            hl_ref[:] = jnp.where(hmask, h_l, hl_ref[:])
+            hscore_ref[:] = jnp.where(hmask, h_score, hscore_ref[:])
+            n_aln = n_aln + write_hit.astype(I32)
+
+            # ---- expansion (bwtgap.c:201-259) ----
+            i2 = e_i - 1
+            occ_width = e_l - e_k + 1
+
+            # strand plane may have changed via shadow; re-select
+            w_plane = jnp.where(a0, pw0[:], pw1[:])
+            pk_i2m1 = _extract(w_plane, i2 - 1)
+            pk_i2 = _extract(w_plane, i2)
+            bid_i2m1 = pk_i2m1 & 0xFF
+            bid_i2 = pk_i2 & 0xFF
+            w_i2m1 = jax.lax.shift_right_logical(pk_i2m1, 8)
+            w_i2 = jax.lax.shift_right_logical(pk_i2, 8)
+            i2_pos = i2 > 0
+            allow_diff = ~i2_pos | ~(bid_i2m1 > m - 1)
+            allow_m = ~i2_pos | ~((bid_i2m1 == m - 1) & (bid_i2 == m - 1)
+                                  & (w_i2m1 == w_i2))
+            # seed bounds (bwtgap.c:210-214)
+            hseed = getreg(R_HAS_SEED) != 0
+            ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
+            sp = jnp.where(a0, sw_f_ref[:, :], sw_r_ref[:, :])
+            sk_iim1 = _extract(sp, ii - 1)
+            sk_ii = _extract(sp, ii)
+            sbid_iim1 = sk_iim1 & 0xFF
+            sbid_ii = sk_ii & 0xFF
+            sw_iim1 = jax.lax.shift_right_logical(sk_iim1, 8)
+            sw_ii = jax.lax.shift_right_logical(sk_ii, 8)
+            m_seed = max_seed_diff - (e_nmm + e_go) \
+                - (e_ge if gape_mode else 0)
+            seed_gate = (i2 > 0) & (ii > 0)
+            allow_diff = allow_diff & ~(seed_gate
+                                        & (sbid_iim1 > m_seed - 1))
+            allow_m = allow_m & ~(seed_gate & (sbid_iim1 == m_seed - 1)
+                                  & (sbid_ii == m_seed - 1)
+                                  & (sw_iim1 == sw_ii))
+
+            # indel gating (bwtgap.c:217-218)
+            vsum = e_go + e_ge
+            if loggap:
+                tmp = _int_log2(vsum) // 2 + 1
+            else:
+                tmp = vsum
+            ind_ok = (allow_diff & (i2 >= indel_end_skip + tmp)
+                      & (lengths - i2 >= indel_end_skip + tmp))
+
+            is_m = e_state == STATE_M
+            is_i = e_state == STATE_I
+            is_d = e_state == STATE_D
+            can_open = is_m & (e_go < max_gapo)
+            can_ext_i = is_i & (e_ge < max_gape)
+            can_ext_d = (is_d & (e_ge < max_gape)
+                         & ((e_go + e_ge < max_diff)
+                            | (occ_width < max_del_occ)))
+
+            sc = base_c          # seq at i2 (shared lookup above)
+
+            cand = []
+            # slot 0: insertion open (M) or extension (I)
+            cand.append(dict(
+                valid=expand & ind_ok & (can_open | can_ext_i),
+                i=i2, k=e_k, l=e_l, nmm=e_nmm,
+                go=e_go + is_m.astype(I32), ge=e_ge + is_i.astype(I32),
+                state=STATE_I, diff=true_col))
+            # slots 1-4: deletion for bases 0..3
+            dcnt_k = cnt_k
+            dcnt_l = cnt_l
+            l2s = (l2_0, l2_1, l2_2, l2_3)
+            for c in range(4):
+                dk = l2s[c] + dcnt_k[c] + 1
+                dl = l2s[c] + dcnt_l[c]
+                cand.append(dict(
+                    valid=expand & ind_ok & (can_open | can_ext_d)
+                    & (dk <= dl),
+                    i=i2 + 1, k=dk, l=dl, nmm=e_nmm,
+                    go=e_go + is_m.astype(I32),
+                    ge=e_ge + is_d.astype(I32),
+                    state=STATE_D, diff=true_col))
+            # slots 5-8: mismatch/match c=(sc+j)&3 for j=1..4
+            mm_all = allow_diff & allow_m
+            exact_only = ~mm_all & (sc < 4)
+            for jj in range(1, 5):
+                c = (sc + jj) & 3
+                is_mm = ((sc > 3) | true_col) if jj != 4 else (sc > 3)
+                l2c_j = _sel4(l2_0, l2_1, l2_2, l2_3, c)
+                mk = l2c_j + _sel4(*cnt_k, c) + 1
+                ml = l2c_j + _sel4(*cnt_l, c)
+                cand.append(dict(
+                    valid=expand & (mk <= ml)
+                    & (mm_all | (exact_only & (jj == 4))),
+                    i=i2, k=mk, l=ml, nmm=e_nmm + is_mm.astype(I32),
+                    go=e_go, ge=e_ge, state=STATE_M, diff=is_mm))
+
+            # push-time pruning (provably inert, see ops/dfs.py)
+            seq_ctr = getreg(R_SEQCTR)
+            bscore_lim = best_score + s_mm
+            for cd in cand:
+                cdiffsum = cd["nmm"] + cd["go"] \
+                    + (cd["ge"] if gape_mode else 0)
+                keep = cdiffsum <= max_diff
+                csc = aln_score(cd["nmm"], cd["go"], cd["ge"])
+                if not nonstop:
+                    keep = keep & (csc <= bscore_lim)
+                cd["valid"] = cd["valid"] & keep
+                cd["score"] = csc
+
+            # prefix over the 9 static slots
+            pref = jnp.zeros((BB, 1), I32)
+            for cd in cand:
+                cd["pref"] = pref
+                pref = pref + cd["valid"].astype(I32)
+            n_push = pref
+
+            free_n = S - n_ent
+            sovf = expand & ((n_push > free_n)
+                             | (seq_ctr + n_push > 0xFFFF))
+            overflow = overflow | sovf
+            done = done | sovf
+
+            freem = s_key[:] == FREE
+            frank = _prefix_incl(freem.astype(I32), S)
+            for cd in cand:
+                v = cd["valid"] & ~sovf
+                meta_c = (cd["i"] | (e_a << M_A)
+                          | (jnp.where(cd["diff"], cd["i"], 0) << M_LDP)
+                          | (cd["state"] << M_STATE)
+                          | (cd["nmm"] << M_NMM) | (cd["go"] << M_GO)
+                          | (cd["ge"] << M_GE))
+                ckey = (cd["score"] << 16) | (0xFFFF - seq_ctr
+                                              - cd["pref"])
+                mask = v & freem & (frank == cd["pref"] + 1)
+                s_key[:] = jnp.where(mask, ckey, s_key[:])
+                s_meta[:] = jnp.where(mask, meta_c, s_meta[:])
+                s_k[:] = jnp.where(mask, cd["k"], s_k[:])
+                s_l[:] = jnp.where(mask, cd["l"], s_l[:])
+            n_pushed = jnp.where(sovf, 0, n_push)
+            n_ent = n_ent + n_pushed
+            seq_ctr = seq_ctr + n_pushed
+
+            it = it + 1
+            fin = jnp.where(active & done, it, getreg(R_FIN))
+            cap_hit = it >= max_iters
+            overflow = overflow | (~done & cap_hit)
+            done = done | cap_hit
+
+            # ---- write back registers ----
+            rr = regs[:]
+            for idx, val in ((R_NENT, n_ent), (R_BEST_SCORE, best_score),
+                             (R_BEST_DIFF, best_diff),
+                             (R_BEST_CNT, best_cnt),
+                             (R_MAXDIFF, max_diff), (R_NALN, n_aln),
+                             (R_DONE, done.astype(I32)),
+                             (R_OVF, overflow.astype(I32)), (R_HW, hw),
+                             (R_PEND, pend.astype(I32)),
+                             (R_PEND_I, pend_i), (R_PEND_K, pend_k),
+                             (R_PEND_L, pend_l), (R_PEND_CNT, pend_cnt),
+                             (R_PEND_A, pend_a), (R_PEND_LDP, pend_ldp),
+                             (R_FIN, fin), (R_SEQCTR, seq_ctr)):
+                rr = jnp.where(lane_p == idx, val, rr)
+            regs[:] = rr
+            live = (done == 0).astype(I32).sum()
+            return it, live
+
+        def cond(carry):
+            return carry[1] > 0
+
+        it0 = jnp.int32(0)
+        live0 = (done0 == 0).astype(I32).sum()
+        iters, _ = jax.lax.while_loop(cond, body, (it0, live0))
+
+        # fix fin semantics: lanes done at init have fin 0; lanes done at
+        # iteration t have fin=t (set in-loop)
+        summ = jnp.zeros((BB, 8), I32)
+        lane8 = _lane_iota((BB, 8))
+        summ = jnp.where(lane8 == 0, getreg(R_NALN), summ)
+        summ = jnp.where(lane8 == 1, getreg(R_HW), summ)
+        summ = jnp.where(lane8 == 2, getreg(R_OVF), summ)
+        summ = jnp.where(lane8 == 3, getreg(R_FIN), summ)
+        summ = jnp.where(lane8 == 4, iters, summ)
+        summ_ref[:] = summ
+
+    return kernel
+
+
+_STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
+            "indel_end_skip", "max_del_occ", "max_entries", "max_top2",
+            "max_seed_diff", "seed_len", "mode", "stack_cap", "hits_cap",
+            "max_iters", "BB", "interpret")
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS)
+def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
+                    max_diff, *, s_mm, s_gapo, s_gape, max_gape,
+                    max_gapo, indel_end_skip, max_del_occ, max_entries,
+                    max_top2, max_seed_diff, seed_len, mode,
+                    stack_cap=256, hits_cap=32, max_iters=200000,
+                    BB=256, interpret=False):
+    """Run the pallas DFS.  Inputs:
+
+    table: int32 [n_rows, 128] block16 table (build_table);
+    params: int32 [1, 16]: l2[0..4], pad, primary_f, primary_r, seq_len,
+        rev_row0 at the indices the kernel reads;
+    seqs: int32 [B, 2, L<=128] (seq/rseq);
+    pw/sw: int32 [B, 2, 128] packed (w<<8|bid) main/seed planes;
+    lengths, has_seed, max_diff: int32 [B].
+
+    Returns packed [B, 4H+5] matching ops.dfs.dfs_match_gap."""
+    B = seqs.shape[0]
+    S = stack_cap
+    H = hits_cap
+    assert B % BB == 0, (B, BB)
+    L = seqs.shape[2]
+
+    kernel = make_kernel(
+        BB=BB, S=S, H=H, L=L, s_mm=s_mm, s_gapo=s_gapo, s_gape=s_gape,
+        max_gape=max_gape, max_gapo=max_gapo,
+        indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
+        max_entries=max_entries, max_top2=max_top2,
+        max_seed_diff=max_seed_diff, seed_len=seed_len, mode=mode,
+        max_iters=max_iters)
+
+    grid = (B // BB,)
+
+    def bmap(i):
+        return (i, 0)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0)),           # params
+            pl.BlockSpec((BB, 128), bmap),                     # seq fwd
+            pl.BlockSpec((BB, 128), bmap),                     # seq rev
+            pl.BlockSpec((BB, 128), bmap),                     # pw fwd
+            pl.BlockSpec((BB, 128), bmap),                     # pw rev
+            pl.BlockSpec((BB, 128), bmap),                     # sw fwd
+            pl.BlockSpec((BB, 128), bmap),                     # sw rev
+            pl.BlockSpec((BB, 1), bmap),                       # max_diff
+            pl.BlockSpec((BB, 1), bmap),                       # lengths
+            pl.BlockSpec((BB, 1), bmap),                       # has_seed
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # table
+        ],
+        out_specs=[
+            pl.BlockSpec((BB, H), bmap),
+            pl.BlockSpec((BB, H), bmap),
+            pl.BlockSpec((BB, H), bmap),
+            pl.BlockSpec((BB, H), bmap),
+            pl.BlockSpec((BB, 8), bmap),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H), I32),
+            jax.ShapeDtypeStruct((B, H), I32),
+            jax.ShapeDtypeStruct((B, H), I32),
+            jax.ShapeDtypeStruct((B, H), I32),
+            jax.ShapeDtypeStruct((B, 8), I32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BB, S), I32),       # s_key
+            pltpu.VMEM((BB, S), I32),       # s_meta
+            pltpu.VMEM((BB, S), I32),       # s_k
+            pltpu.VMEM((BB, S), I32),       # s_l
+            pltpu.VMEM((BB, 128), I32),     # regs
+            pltpu.VMEM((2 * BB, 128), I32),  # stage
+            pltpu.VMEM((BB, 128), I32),     # rowidx
+            pltpu.VMEM((BB, 128), I32),     # pw0 (mutable planes)
+            pltpu.VMEM((BB, 128), I32),     # pw1
+        ],
+        interpret=interpret,
+    )(params,
+      seqs[:, 0, :], seqs[:, 1, :],
+      pw[:, 0, :], pw[:, 1, :],
+      sw[:, 0, :], sw[:, 1, :],
+      max_diff[:, None], lengths[:, None],
+      has_seed[:, None].astype(I32), table)
+
+    hmeta, hk, hl, hscore, summ = outs
+    packed = jnp.concatenate([
+        hmeta, hk, hl, hscore,
+        summ[:, 0:1], summ[:, 1:2], summ[:, 2:3], summ[:, 3:4],
+        summ[:, 4:5],
+    ], axis=1)
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=_STATICS + ("rev_word_offset",))
+def aln_device_step_pallas(table, params, bwt_fwd, bwt_rev, rev_word_offset,
+                           primary_fwd, primary_rev, l2, seq_len, seqs,
+                           lengths, seed_seqs, seed_lengths, has_seed,
+                           max_diff, **statics):
+    """cal_width (jnp scans) + plane packing + the pallas DFS, fused in
+    one jit (the pallas counterpart of ops.dfs.aln_device_step)."""
+    from .occ import cal_width
+
+    w0, b0 = cal_width(bwt_fwd, l2, primary_fwd, seq_len,
+                       seqs[:, 0, :], lengths)
+    w1, b1 = cal_width(bwt_rev, l2, primary_rev, seq_len,
+                       seqs[:, 1, :], lengths)
+    sw0, sb0 = cal_width(bwt_fwd, l2, primary_fwd, seq_len,
+                         seed_seqs[:, 0, :], seed_lengths)
+    sw1, sb1 = cal_width(bwt_rev, l2, primary_rev, seq_len,
+                         seed_seqs[:, 1, :], seed_lengths)
+
+    def pack(w, b):
+        return _pf((w.astype(I32) << 8) | b.astype(I32))
+
+    pw = jnp.stack([pack(w0, b0), pack(w1, b1)], axis=1)
+    sw = jnp.stack([pack(sw0, sb0), pack(sw1, sb1)], axis=1)
+    seqs_p = _pf(seqs.astype(I32))
+    return dfs_pallas_call(table, params, seqs_p, lengths.astype(I32),
+                           pw, sw, has_seed, max_diff.astype(I32),
+                           **statics)
+
+
+def build_params(l2, primary_fwd, primary_rev, seq_len, rev_row0):
+    p = np.zeros((1, 16), dtype=np.int32)
+    p[0, 0:5] = np.asarray(l2[:5], dtype=np.int64).astype(np.int32)
+    p[0, 5] = np.int64(primary_fwd)
+    p[0, 6] = np.int64(primary_rev)
+    p[0, 7] = np.int64(seq_len)
+    p[0, 8] = rev_row0
+    return p
