@@ -322,8 +322,29 @@ class AlnEngine:
             return
 
         if fallback:
-            fms = self.scalar_fms()
             fb_reads = [reads[i] for i in fallback]
+            fb_maxdiff = np.empty(len(fallback), dtype=np.int32)
+            for j, r in enumerate(fb_reads):
+                fb_maxdiff[j] = (cal_maxdiff(r.len, BWA_AVG_ERR,
+                                             self.opt.fnr)
+                                 if self.opt.fnr > 0.0 else local.max_diff)
+            # pathological reads that overflow even the retry tier drain
+            # on the host: threaded native C++ DFS (native/dfsgap.cpp) —
+            # an irregular pointer-chasing search is what scalar cores do
+            # best — with the Python scalar oracle as last resort
+            from ..index.native import dfs_match_gap_native
+            lo = copy.copy(local)
+            lo.seed_len = self.opt.seed_len
+            native = dfs_match_gap_native(
+                np.asarray(self.bwt_fwd), int(self.primary_fwd),
+                np.asarray(self.bwt_rev), int(self.primary_rev),
+                np.asarray(self.l2), int(self.seq_len),
+                fb_reads, fb_maxdiff, lo)
+            if native is not None:
+                for i, res in zip(fallback, native):
+                    results[base + i] = res
+                return
+            fms = self.scalar_fms()
             # scalar path recomputes its own local opts from the full-chunk
             # semantics: reuse `local` by running the per-read portion
             from ..refmodel.dfs_scalar import match_gap

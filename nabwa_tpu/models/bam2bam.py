@@ -535,20 +535,48 @@ def pass2_work(engine, gopt, popt, iinfos, payload):
     skip_duplicates = payload["skip_duplicates"]
     debug_bam = payload["debug_bam"]
     null_ii = NullIsize()
+    # Three sweeps over the chunk so the heavy DPs batch on device:
+    # (1) pairing + multi-hit expansion per record, collecting the mate-
+    # rescue jobs; (2) ONE batched rescue (paired_sw_batch) and ONE
+    # batched gapped refinement across all states; (3) BAM splicing.
+    # Per-record results are unchanged — pairing/refine/update are pure
+    # per pair, and phase B consumes no drand48 (sampling ran in order at
+    # the posn phase, mirroring the reference's worker split).
     out = []
     pos_memo = {}
     counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+    rescue_pairs = []
+    rescue_iis = []
+    refine_states = []
+    done = []
     for pi, pair in payload["items"]:
         p = _copy.deepcopy(pair)
         if unique(p, skip_duplicates):
             if p.kind == SINGLETON:
-                _finish_singleton(engine, bns, pac, p, debug_bam=debug_bam)
+                refine_states.append(p.states[0])
             else:
-                _finish_pair(engine, bns, pac, p, gopt, popt, iinfos,
-                             null_ii, pos_memo, counters,
-                             debug_bam=debug_bam)
-        out.append((pi, p.recs[:p.kind]))
-    return out, counters
+                ii = _finish_pair_pre(engine, bns, pac, p, gopt, popt,
+                                      iinfos, null_ii, pos_memo)
+                rescue_pairs.append((p.states[0], p.states[1]))
+                rescue_iis.append(ii)
+                refine_states.extend((p.states[0], p.states[1]))
+            done.append(p)
+        out.append((pi, p))
+    if rescue_pairs:
+        pe.paired_sw_batch(bns, pac, rescue_pairs, popt, rescue_iis,
+                           counters)
+    se.refine_gapped(bns, pac, refine_states)
+    for p in done:
+        if p.kind == SINGLETON:
+            update_bam1(p.recs[0], bns, p.states[0], None, engine.opt.mode,
+                        engine.opt.max_top2, debug_bam=debug_bam)
+        else:
+            s = p.states
+            update_bam1(p.recs[0], bns, s[0], s[1], gopt.mode,
+                        gopt.max_top2, debug_bam=debug_bam)
+            update_bam1(p.recs[1], bns, s[1], s[0], gopt.mode,
+                        gopt.max_top2, debug_bam=debug_bam)
+    return [(pi, p.recs[:p.kind]) for pi, p in out], counters
 
 
 def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
@@ -748,15 +776,11 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     return counters
 
 
-def _finish_singleton(engine, bns, pac, p, debug_bam=False):
-    s = p.states[0]
-    se.refine_gapped(bns, pac, [s])
-    update_bam1(p.recs[0], bns, s, None, engine.opt.mode,
-                engine.opt.max_top2, debug_bam=debug_bam)
-
-
-def _finish_pair(engine, bns, pac, p, gopt, popt, iinfos, null_ii, pos_memo,
-                 counters, debug_bam=False):
+def _finish_pair_pre(engine, bns, pac, p, gopt, popt, iinfos, null_ii,
+                     pos_memo):
+    """Pairing + multi-hit expansion for one pair (the part of
+    pair_finish before mate rescue, bam2bam.c:705-811).  Returns the
+    pair's per-RG isize info for the batched rescue."""
     s = p.states
     rg = p.recs[0].get_rg()
     ii = iinfos.get(rg, null_ii)
@@ -827,13 +851,7 @@ def _finish_pair(engine, bns, pac, p, gopt, popt, iinfos, null_ii, pos_memo,
             for m, v in zip(refs, vals):
                 m["pos"] = int(v)
 
-    pe.paired_sw1(bns, pac, (s[0], s[1]), popt, ii, counters)
-    se.refine_gapped(bns, pac, [s[0]])
-    se.refine_gapped(bns, pac, [s[1]])
-    update_bam1(p.recs[0], bns, s[0], s[1], gopt.mode, gopt.max_top2,
-                debug_bam=debug_bam)
-    update_bam1(p.recs[1], bns, s[1], s[0], gopt.mode, gopt.max_top2,
-                debug_bam=debug_bam)
+    return ii
 
 
 def _batch_positions(engine, jobs):

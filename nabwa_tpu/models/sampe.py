@@ -249,9 +249,11 @@ def pairing(p, d_arr, alns, popt, s_mm, ii):
     return cnt_chg
 
 
-def sw_core(l_pac, pac, seq_codes, beg, reglen):
-    """bwa_sw_core (bwape.c:433-517).  Returns (cigar, new_beg, cnt) or
-    (None, beg, 0)."""
+def sw_core_gen(l_pac, pac, seq_codes, beg, reglen):
+    """bwa_sw_core (bwape.c:433-517) as a generator: yields the one
+    local-SW job (ref_seq, seq_codes) and expects (score, path) sent
+    back, so callers can batch the quadratic DP across records.  Returns
+    (cigar, new_beg, cnt) or (None, beg, 0)."""
     length = len(seq_codes)
     if reglen < SW_MIN_MATCH_LEN or l_pac - beg < length:
         return None, beg, 0
@@ -260,8 +262,7 @@ def sw_core(l_pac, pac, seq_codes, beg, reglen):
         return None, beg, 0
     hi = min(beg + reglen, l_pac)
     ref_seq = pac[beg:hi]
-    score, path, _ = aln_local_core(ref_seq, seq_codes, ALN_PARAM_BWA,
-                                    _thres=1)
+    score, path = yield (ref_seq, seq_codes)
     if score < 0 or path is None:
         return None, beg, 0
     from ..refmodel.stdaln_scalar import path2cigar32
@@ -313,8 +314,65 @@ def sw_core(l_pac, pac, seq_codes, beg, reglen):
     return cigar, beg, cnt
 
 
+def _drive(gen, solver):
+    """Run a local-SW generator to completion with `solver(job)`."""
+    try:
+        job = next(gen)
+        while True:
+            job = gen.send(solver(job))
+    except StopIteration as s:
+        return s.value
+
+
+def sw_core(l_pac, pac, seq_codes, beg, reglen):
+    """Sequential bwa_sw_core over the scalar kernel."""
+    return _drive(
+        sw_core_gen(l_pac, pac, seq_codes, beg, reglen),
+        lambda j: aln_local_core(j[0], j[1], ALN_PARAM_BWA, _thres=1)[:2])
+
+
 def paired_sw1(bns, pac, p, popt, ii, counters):
-    """bwa_paired_sw1 (bwape.c:519-633)."""
+    """Sequential bwa_paired_sw1 over the scalar local-SW kernel."""
+    _drive(
+        paired_sw1_gen(bns, pac, p, popt, ii, counters),
+        lambda j: aln_local_core(j[0], j[1], ALN_PARAM_BWA, _thres=1)[:2])
+
+
+def paired_sw_batch(bns, pac, pairs, popt, iis, counters):
+    """bwa_paired_sw rescue loop (bwape.c:635-658) with the local-SW DPs
+    batched on device: drives one paired_sw1 generator per pair in
+    lockstep rounds, solving each round's job set through
+    ops.dp.local_sw_batch (device forward lattice + host banded reverse
+    + device banded-global paths).  Results are identical to the
+    sequential loop — jobs are pure functions of pre-rescue state.
+
+    iis: one isize_info per pair (bam2bam's per-read-group infos), or a
+    single info applied to all (sampe's batch estimate)."""
+    from ..ops.dp import local_sw_batch
+
+    if not isinstance(iis, (list, tuple)):
+        iis = [iis] * len(pairs)
+    live = []
+    for p, ii in zip(pairs, iis):
+        g = paired_sw1_gen(bns, pac, p, popt, ii, counters)
+        try:
+            live.append((g, next(g)))
+        except StopIteration:
+            pass
+    while live:
+        jobs = [j for _, j in live]
+        solved = local_sw_batch(jobs, ALN_PARAM_BWA, thres=1)
+        nxt = []
+        for (g, _), (score, path, _s) in zip(live, solved):
+            try:
+                nxt.append((g, g.send((score, path))))
+            except StopIteration:
+                pass
+        live = nxt
+
+
+def paired_sw1_gen(bns, pac, p, popt, ii, counters):
+    """bwa_paired_sw1 (bwape.c:519-633); local-SW DPs via yield."""
     if not ((p[0].mapQ >= SW_MIN_MAPQ or p[1].mapQ >= SW_MIN_MAPQ)
             and (p[0].extra_flag & SAM_FPP) == 0):
         return
@@ -370,8 +428,8 @@ def paired_sw1(bns, pac, p, popt, ii, counters):
                 a, b = rght_coor() if k == 0 else left_coor()
                 seq = rd.seq
         beg[k], end[k] = a, b
-        cigar[k], beg[k], cnt[k] = sw_core(bns.l_pac, pac, seq, beg[k],
-                                           end[k] - beg[k])
+        cigar[k], beg[k], cnt[k] = yield from sw_core_gen(
+            bns.l_pac, pac, seq, beg[k], end[k] - beg[k])
         if cigar[k] and p[k].type != BWA_TYPE_NO_MATCH:
             # re-evaluate (bwape.c:588-600)
             clip = 0
@@ -597,12 +655,13 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     for m, v in zip(multi_refs, batch_positions(multi_jobs)):
         m["pos"] = int(v)
 
-    # --- mate rescue (bwa_paired_sw, bwape.c:635-658) ---
+    # --- mate rescue (bwa_paired_sw, bwape.c:635-658), SW DPs batched
+    # on device across the whole chunk ---
     counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
     if popt.is_sw and ii.avg >= 0.0:
-        for i in range(n):
-            paired_sw1(bns, pac, (states[0][i], states[1][i]), popt, ii,
-                       counters)
+        paired_sw_batch(bns, pac,
+                        [(states[0][i], states[1][i]) for i in range(n)],
+                        popt, ii, counters)
 
     # --- refine + MD + trim-correct per end (bwape.c:725-726) ---
     for j in (0, 1):

@@ -145,13 +145,15 @@ def _banded_global_device(s1, len1, s2, len2, b1, b2, mat, *, go, ge, gend):
     return score, ctype, tb
 
 
-def banded_global_batch(pairs, ap):
+def banded_global_batch(pairs, ap, band_widths=None):
     """Batched aln_global_core: pairs = [(seq1, seq2), ...] (uint8 codes).
     Returns [(score, path), ...] exactly like the scalar oracle.
 
     Device computes scores + traceback lattices for the whole batch in one
     jit call; the short backtrace walks run on host.  Zero-length pairs are
-    answered host-side like the C (stdaln.c:351-352).
+    answered host-side like the C (stdaln.c:351-352).  band_widths, when
+    given, overrides ap.band_width per pair (the local-SW path-recovery
+    retry widens bands per job, stdaln.c:723-745).
     """
     res = [None] * len(pairs)
     todo = [i for i, (a, b) in enumerate(pairs)
@@ -179,7 +181,12 @@ def banded_global_batch(pairs, ap):
         s2[bi, 1:len(b) + 1] = b
         len1[bi] = len(a)
         len2[bi] = len(b)
-    bw = ap.band_width
+    if band_widths is None:
+        bw = np.full(Bb, ap.band_width, dtype=np.int64)
+    else:
+        bw = np.full(Bb, 1, dtype=np.int64)
+        for bi, i in enumerate(todo):
+            bw[bi] = band_widths[i]    # indexed by pair position
     b1 = np.where(len1 > len2, len1 - len2 + bw, bw)
     b2 = np.where(len1 > len2, bw, len2 - len1 + bw)
     b1 = np.minimum(b1, len1).astype(np.int32)
@@ -328,6 +335,181 @@ def extend_batch(jobs, ap, g0s):
     for bi, i in enumerate(todo):
         res[i] = (int(packed[bi, 0]), int(packed[bi, 1]),
                   int(packed[bi, 2]))
+    return res
+
+
+@functools.partial(jax.jit, static_argnames=("go", "ge"))
+def _local_fwd_device(s1, len1, s2, len2, mat, *, go, ge):
+    """Batched forward pass of aln_local_core (stdaln.c:556-637):
+    full-width SW scan returning (score_f, end_i, end_j) per lane.
+
+    Row recurrence vectorizes with the same lazy-F cummax as
+    _extend_device.  The C's `f` freeze over zero cells (f neither decays
+    nor applies while h[i-1]==0) is provably unobservable: a positive f
+    always keeps its own gate open (h[i] >= f > 0), and a frozen f is
+    never positive again except through a fresh h-q-r > 0 — so plain
+    lazy-F yields identical h lattices.
+
+    The E chain is gated per column: e[j][i] = h[j-1][i] > q+r ?
+    max(e[j-1][i]-r, h[j-1][i]-q-r) : 0 (the NT_LOCAL_SCORE packing drops
+    e when h doesn't fit, stdaln.c:563-571).
+
+    Best cell: C scans i then j ascending updating on strict '<', so the
+    winner is the first row-major cell attaining the max — argmax's
+    first-occurrence tie rule within a row, strict '>' across rows."""
+    B, L1p = s1.shape
+    qr = I32(go + ge)
+    r = I32(ge)
+    i_idx = jnp.arange(L1p, dtype=I32)
+    mat_flat = mat.reshape(-1)
+    NEGF = I32(-(1 << 29))
+    inb = (i_idx[None, :] >= 1) & (i_idx[None, :] <= len1[:, None])
+
+    h0 = jnp.zeros((B, L1p), I32)
+    e0 = jnp.zeros((B, L1p), I32)
+    init = (h0, e0, jnp.zeros(B, I32), jnp.zeros(B, I32),
+            jnp.zeros(B, I32))
+
+    def row_step(carry, j):
+        hprev, eprev, score, end_i, end_j = carry
+        j = j.astype(I32)
+        active = j <= len2
+
+        c2j = jnp.take_along_axis(
+            s2, jnp.clip(j, 0, s2.shape[1] - 1)[None, None].astype(I32)
+            * jnp.ones((B, 1), I32), axis=1)[:, 0]
+        sub = mat_flat[c2j[:, None] * 5 + s1]
+
+        hdiag = jnp.concatenate([jnp.zeros((B, 1), I32), hprev[:, :-1]], 1)
+        hp0 = jnp.maximum(hdiag + sub, 0)
+        e_cur = jnp.where(hprev > qr,
+                          jnp.maximum(eprev - r, hprev - qr), 0)
+        hpre = jnp.maximum(hp0, e_cur)
+        hpre = jnp.where(inb, hpre, 0)
+        hcut = jnp.maximum(hpre - qr, 0)
+        U = jnp.where(inb, hcut + r * i_idx[None, :], NEGF)
+        T = jax.lax.cummax(U, axis=1)
+        Tm1 = jnp.concatenate([jnp.full((B, 1), NEGF, I32), T[:, :-1]], 1)
+        f = jnp.maximum(Tm1 - r * (i_idx[None, :] - 1), 0)
+        h = jnp.where(inb, jnp.maximum(hpre, f), 0)
+
+        row_best = jnp.max(h, axis=1)
+        row_arg = jnp.argmax(h, axis=1).astype(I32)
+        better = active & (row_best > score)
+        score = jnp.where(better, row_best, score)
+        end_i = jnp.where(better, row_arg, end_i)
+        end_j = jnp.where(better, j, end_j)
+
+        upd = active[:, None]
+        hprev = jnp.where(upd, h, hprev)
+        eprev = jnp.where(upd, e_cur, eprev)
+        return (hprev, eprev, score, end_i, end_j), None
+
+    L2max = s2.shape[1] - 1
+    (h, e, score, end_i, end_j), _ = jax.lax.scan(
+        row_step, init, jnp.arange(1, L2max + 1, dtype=I32))
+    return score, end_i, end_j
+
+
+# device-coverage telemetry: local-SW jobs whose quadratic forward lattice
+# ran on device vs answered host-side (len-0 inputs only)
+N_LOCAL_SW_DEVICE = 0
+N_LOCAL_SW_HOST = 0
+
+
+def local_sw_batch(jobs, ap, thres=1):
+    """Batched aln_local_core for mate rescue: returns
+    [(score, path, subo), ...] bit-identical to the scalar oracle with
+    want_subo=False.
+
+    Split: the O(len1*len2) forward lattice runs on device for the whole
+    batch (one jit call); the short banded reverse walk (stdaln.c:639-696,
+    O(band*aln_len)) runs on host; path recovery batches through the
+    banded-global device kernel with the reference's bandwidth-doubling
+    retry (stdaln.c:723-745)."""
+    global N_LOCAL_SW_DEVICE, N_LOCAL_SW_HOST
+    from ..refmodel.local_aln_scalar import local_rev
+
+    res = [None] * len(jobs)
+    todo = [i for i, (a, b) in enumerate(jobs) if len(a) and len(b)]
+    for i, (a, b) in enumerate(jobs):
+        if not (len(a) and len(b)):
+            res[i] = (-1, None, 0)
+            N_LOCAL_SW_HOST += 1
+    if not todo:
+        return res
+    N_LOCAL_SW_DEVICE += len(todo)
+
+    B = len(todo)
+    L1 = -(-max(len(jobs[i][0]) for i in todo) // 32) * 32
+    L2 = -(-max(len(jobs[i][1]) for i in todo) // 32) * 32
+    Bb = max(8, -(-B // 8) * 8)
+    s1 = np.full((Bb, L1 + 1), 4, dtype=np.int32)
+    s2 = np.full((Bb, L2 + 1), 4, dtype=np.int32)
+    len1 = np.ones(Bb, dtype=np.int32)
+    len2 = np.ones(Bb, dtype=np.int32)
+    for bi, i in enumerate(todo):
+        a, b = jobs[i]
+        s1[bi, 1:len(a) + 1] = a
+        s2[bi, 1:len(b) + 1] = b
+        len1[bi] = len(a)
+        len2[bi] = len(b)
+    score_f, end_i, end_j = _local_fwd_device(
+        jnp.asarray(s1), jnp.asarray(len1), jnp.asarray(s2),
+        jnp.asarray(len2),
+        jnp.asarray(np.asarray(ap.matrix, dtype=np.int32)),
+        go=int(ap.gap_open), ge=int(ap.gap_ext))
+    packed = np.asarray(jnp.stack([score_f, end_i, end_j], axis=1))
+
+    # host reverse pass; collect path-recovery segments
+    seg = {}           # job idx -> (score_f, score_r, si, sj, ei, ej)
+    for bi, i in enumerate(todo):
+        sf, ei, ej = (int(packed[bi, 0]), int(packed[bi, 1]),
+                      int(packed[bi, 2]))
+        if sf < thres:
+            res[i] = (sf, None, 0)
+            continue
+        rev = local_rev(jobs[i][0], jobs[i][1], ap, sf, ei, ej)
+        if rev is None:
+            res[i] = (sf, None, 0)
+            continue
+        sr, si, sj = rev
+        seg[i] = (sf, sr, si, sj, ei, ej)
+
+    # batched bandwidth-doubling global DP (stdaln.c:723-745)
+    band = {i: ap.band_width for i in seg}
+    done_path = {}
+    pending = list(seg)
+    while pending:
+        pairs = []
+        for i in pending:
+            sf, sr, si, sj, ei, ej = seg[i]
+            pairs.append((np.asarray(jobs[i][0])[si - 1:ei],
+                          np.asarray(jobs[i][1])[sj - 1:ej]))
+        ap_real = type(ap)(ap.gap_open, ap.gap_ext, -1, ap.matrix,
+                           ap.row, 0)
+        out = banded_global_batch(
+            pairs, ap_real,
+            band_widths=[band[i] for i in pending])
+        nxt = []
+        for i, (score_g, path) in zip(pending, out):
+            sf, sr, si, sj, ei, ej = seg[i]
+            jmax = max(ei - si, ej - sj) + 1
+            if score_g == sr or sf == score_g or band[i] > jmax:
+                done_path[i] = (score_g, path)
+            else:
+                band[i] <<= 1
+                nxt.append(i)
+        pending = nxt
+
+    for i, (score_g, path) in done_path.items():
+        sf, sr, si, sj, ei, ej = seg[i]
+        if sr > score_g and sf > score_g:
+            res[i] = (-1, None, 0)
+        else:
+            res[i] = (score_g,
+                      [(ct, x + si - 1, y + sj - 1) for ct, x, y in path],
+                      0)
     return res
 
 

@@ -1,13 +1,19 @@
 """Scalar model of aln_local_core (stdaln.c:529-761) — banded local SW with
 the packed h/e rows, the `f` freeze-across-zero-cells behaviour, the reverse
 banded pass, and the bandwidth-doubling global-DP path recovery.  Exact
-semantics (C array indices kept literally); oracle for the Pallas
-mate-rescue kernel.
+semantics (C array indices kept literally); oracle for the device
+mate-rescue kernel (ops/dp.py local_sw_batch).
 
 C's eh[] packs (h << 16 | e); here split into eh_h/eh_e with the same
 indices.  In the forward pass, eh[i-1] is written with (h of current row at
 column i-1, e of current row at column i) — the offset storage the C pointer
 walk produces.
+
+The three phases are exposed separately (local_fwd / local_rev /
+local_path) so the batched solver can run the quadratic forward lattice
+on device, the short banded reverse walk on host, and the path recovery
+through the batched banded-global kernel, while this module remains the
+single definition of the semantics.
 """
 
 import numpy as np
@@ -18,20 +24,15 @@ LOCAL_OVERFLOW_THRESHOLD = 32000
 LOCAL_OVERFLOW_REDUCE = 16000
 
 
-def aln_local_core(seq1, seq2, ap, _thres=1, want_subo=False):
-    """Returns (score, path, subo).  path is last-to-first [(ctype, i, j)]
-    from the global re-alignment (only when _thres > 0), or None when below
-    threshold / no local match.
-    """
+def local_fwd(seq1, seq2, ap):
+    """Forward full-width SW scan (stdaln.c:556-637).  Returns
+    (score_f, end_i, end_j, suba) where suba[j] is row j's best cell
+    (used for the suboptimal-score report)."""
     len1, len2 = len(seq1), len(seq2)
-    if len1 == 0 or len2 == 0:
-        return -1, None, 0
     q = ap.gap_open
     r = ap.gap_ext
     qr = q + r
     mat = ap.matrix
-    thres = _thres if _thres > 0 else -_thres
-    max_score = int(mat.max())
 
     s1 = np.concatenate(([0], np.asarray(seq1, dtype=np.int64)))
     s2 = np.concatenate(([0], np.asarray(seq2, dtype=np.int64)))
@@ -81,16 +82,29 @@ def aln_local_core(seq1, seq2, ap, _thres=1, want_subo=False):
         eh_h[tmp_len - 1] = last_h
         eh_e[tmp_len - 1] = 0
         suba[j] = subo
+    return score_f, end_i, end_j, suba
 
-    if score_f < thres:
-        return score_f, None, 0
 
-    # reverse banded DP (stdaln.c:639-696)
-    for i in range(end_i, -1, -1):
-        eh_h[i] = 0
-        eh_e[i] = 0
+def local_rev(seq1, seq2, ap, score_f, end_i, end_j):
+    """Reverse banded pass (stdaln.c:639-696) locating the start cell.
+    Returns (score_r, start_i, start_j) with score_r already reduced by
+    the q+r the C seeds into the first cell, or None when end_i/end_j
+    is 0 (no local match)."""
     if end_i == 0 or end_j == 0:
-        return score_f, None, 0
+        return None
+    len1 = len(seq1)
+    q = ap.gap_open
+    r = ap.gap_ext
+    qr = q + r
+    mat = ap.matrix
+    max_score = int(mat.max())
+
+    s1 = np.concatenate(([0], np.asarray(seq1, dtype=np.int64)))
+    s2 = np.concatenate(([0], np.asarray(seq2, dtype=np.int64)))
+    prof = mat[:, s1]
+
+    eh_h = [0] * (len1 + 1)
+    eh_e = [0] * (len1 + 1)
     score_r = int(mat[s1[end_i], s2[end_j]])
     start_i, start_j = end_i, end_j
     eh_h[end_i] = qr + score_r
@@ -146,40 +160,71 @@ def aln_local_core(seq1, seq2, ap, _thres=1, want_subo=False):
         if end <= 0:
             end = 0
         j -= 1
+    return score_r - qr, start_i, start_j
 
-    subo_out = 0
-    if want_subo:
-        tmp2 = 0
-        tmp = int(start_j - .33 * (end_j - start_j) + .499)
-        for jj in range(1, tmp + 1):
-            tmp2 = max(tmp2, suba[jj])
-        tmp = int(end_j + .33 * (end_j - start_j) + .499)
-        for jj in range(tmp, len2 + 1):
-            tmp2 = max(tmp2, suba[jj])
-        subo_out = tmp2
 
-    score_r -= qr
+def local_subo(suba, start_j, end_j, len2):
+    """Suboptimal score outside the found segment (stdaln.c:707-716)."""
+    tmp2 = 0
+    tmp = int(start_j - .33 * (end_j - start_j) + .499)
+    for jj in range(1, tmp + 1):
+        tmp2 = max(tmp2, suba[jj])
+    tmp = int(end_j + .33 * (end_j - start_j) + .499)
+    for jj in range(tmp, len2 + 1):
+        tmp2 = max(tmp2, suba[jj])
+    return tmp2
+
+
+def local_path(seq1, seq2, ap, score_f, score_r, start_i, start_j,
+               end_i, end_j, global_core=None):
+    """Bandwidth-doubling global DP for the path (stdaln.c:723-745).
+    Returns (score, path) or (-1, None) when no band reproduces the
+    score.  `global_core(s1, s2, ap)` defaults to the scalar kernel."""
+    gc = global_core or aln_global_core
+    jmax = max(end_i - start_i, end_j - start_j) + 1
+    i_band = ap.band_width
+    while True:
+        ap_real = AlnParam(ap.gap_open, ap.gap_ext, -1, ap.matrix,
+                           ap.row, i_band)
+        score_g, path = gc(np.asarray(seq1)[start_i - 1:end_i],
+                           np.asarray(seq2)[start_j - 1:end_j], ap_real)
+        if score_g == score_r or score_f == score_g:
+            break
+        if i_band > jmax:
+            break
+        i_band <<= 1
+    if score_r > score_g and score_f > score_g:
+        return -1, None
+    path = [(ct, i + start_i - 1, j + start_j - 1) for ct, i, j in path]
+    return score_g, path
+
+
+def aln_local_core(seq1, seq2, ap, _thres=1, want_subo=False):
+    """Returns (score, path, subo).  path is last-to-first [(ctype, i, j)]
+    from the global re-alignment (only when _thres > 0), or None when below
+    threshold / no local match.
+    """
+    len1, len2 = len(seq1), len(seq2)
+    if len1 == 0 or len2 == 0:
+        return -1, None, 0
+    thres = _thres if _thres > 0 else -_thres
+
+    score_f, end_i, end_j, suba = local_fwd(seq1, seq2, ap)
+    if score_f < thres:
+        return score_f, None, 0
+
+    rev = local_rev(seq1, seq2, ap, score_f, end_i, end_j)
+    if rev is None:
+        return score_f, None, 0
+    score_r, start_i, start_j = rev
+
+    subo_out = local_subo(suba, start_j, end_j, len2) if want_subo else 0
 
     if _thres > 0:
-        # bandwidth-doubling global DP for the path (stdaln.c:723-745)
-        jmax = max(end_i - start_i, end_j - start_j) + 1
-        i_band = ap.band_width
-        path = None
-        while True:
-            ap_real = AlnParam(ap.gap_open, ap.gap_ext, -1, ap.matrix,
-                               ap.row, i_band)
-            score_g, path = aln_global_core(
-                np.asarray(seq1)[start_i - 1:end_i],
-                np.asarray(seq2)[start_j - 1:end_j], ap_real)
-            if score_g == score_r or score_f == score_g:
-                break
-            if i_band > jmax:
-                break
-            i_band <<= 1
-        if score_r > score_g and score_f > score_g:
+        score, path = local_path(seq1, seq2, ap, score_f, score_r,
+                                 start_i, start_j, end_i, end_j)
+        if path is None:
             return -1, None, subo_out
-        score_f = score_g
-        path = [(ct, i + start_i - 1, j + start_j - 1) for ct, i, j in path]
-        return score_f, path, subo_out
+        return score, path, subo_out
     return score_f, [(FROM_M, end_i, end_j), (FROM_M, start_i, start_j)], \
         subo_out

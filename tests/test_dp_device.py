@@ -115,3 +115,34 @@ def test_extend_matches_oracle():
         want = aln_extend_core(tgt, q, par, g0s[i], want_path=False)
         assert got[i] == (want[0], want[1], want[2]), \
             f"job {i}: {got[i]} != {want[:3]}"
+
+
+def test_local_sw_batch_vs_oracle():
+    """local_sw_batch == aln_local_core on mate-rescue-shaped jobs:
+    ref windows ~(6*std + 2L) with the read placed inside with errors,
+    plus junk-window cases (read absent) and short overlaps."""
+    from nabwa_tpu.ops.dp import local_sw_batch
+    from nabwa_tpu.refmodel.local_aln_scalar import aln_local_core
+
+    rng = np.random.default_rng(424)
+    jobs = []
+    for t in range(48):
+        wlen = int(rng.integers(60, 420))
+        ref = rng.integers(0, 4, size=wlen).astype(np.uint8)
+        if t % 4 == 3:
+            read = rng.integers(0, 4, size=int(
+                rng.integers(20, 80))).astype(np.uint8)  # junk
+        else:
+            rl = int(rng.integers(20, min(100, wlen)))
+            start = int(rng.integers(0, wlen - rl + 1))
+            read = _mutate(rng, ref[start:start + rl], 0.06, 0.03, 0.03)
+            if len(read) == 0:
+                read = ref[:1].copy()
+        jobs.append((ref, read))
+    jobs.append((np.zeros(0, np.uint8), jobs[0][1]))   # len-0 edge
+
+    got = local_sw_batch(jobs, ALN_PARAM_BWA, thres=1)
+    for i, (a, b) in enumerate(jobs):
+        want = aln_local_core(a, b, ALN_PARAM_BWA, _thres=1)
+        assert got[i][0] == want[0], f"job {i} score"
+        assert got[i][1] == want[1], f"job {i} path"
