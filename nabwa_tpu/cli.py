@@ -21,10 +21,22 @@ def cmd_index(argv):
     ap.add_argument("-p", dest="prefix", default=None)
     ap.add_argument("-a", dest="algo", default="is",
                     choices=["is", "div", "bwtsw"])
+    ap.add_argument("-c", dest="color", action="store_true")
     ap.add_argument("fasta")
     args = ap.parse_args(argv)
     from .index.build import build_index
-    build_index(args.fasta, args.prefix)
+    build_index(args.fasta, args.prefix, color=args.color)
+    return 0
+
+
+def cmd_pac2cspac(argv):
+    """bwa pac2cspac <in.nt.prefix> <out.cs.prefix> (bwtmisc.c:228-254)."""
+    if len(argv) < 2:
+        print("Usage: pac2cspac <in.nt.prefix> <out.cs.prefix>",
+              file=sys.stderr)
+        return 1
+    from .index.pack import pac2cspac
+    pac2cspac(argv[0], argv[1])
     return 0
 
 
@@ -49,6 +61,11 @@ def _parse_aln_args(argv):
     ap.add_argument("-N", dest="nonstop", action="store_true")
     ap.add_argument("-I", dest="il13", action="store_true")
     ap.add_argument("-Y", dest="cfy", action="store_true")
+    ap.add_argument("-c", dest="color", action="store_true")
+    ap.add_argument("-b", dest="bam", action="store_true")
+    ap.add_argument("-0", dest="bam_se", action="store_true")
+    ap.add_argument("-1", dest="bam_r1", action="store_true")
+    ap.add_argument("-2", dest="bam_r2", action="store_true")
     ap.add_argument("-f", dest="out", default=None)
     ap.add_argument("prefix")
     ap.add_argument("reads")
@@ -87,9 +104,51 @@ def _apply_aln_cli_opts(args, opt):
         opt.mode |= BWA_MODE_IL13
     if args.cfy:
         opt.mode |= BWA_MODE_CFY
+    if args.color:   # color space: no complement (bwtaln.c:327)
+        opt.mode &= ~BWA_MODE_COMPREAD
+    if args.bam:     # BAM input selection (bwtaln.c:332-335)
+        opt.mode |= BWA_MODE_BAM
+    if args.bam_se:
+        opt.mode |= BWA_MODE_BAM_SE
+    if args.bam_r1:
+        opt.mode |= BWA_MODE_BAM_READ1
+    if args.bam_r2:
+        opt.mode |= BWA_MODE_BAM_READ2
     if args.barcode_len:
         opt.mode |= args.barcode_len << 24
     return opt
+
+
+def _open_reads(path, mode):
+    """bwa_open_reads (bwtaln.c:164-176): a pull(n, trim_qual) closure over
+    FASTQ or (mode & BWA_MODE_BAM) a BAM stream with the -0/-1/-2 mask."""
+    from .io import fastq
+    if mode & BWA_MODE_BAM:
+        from .io.bam import BamReader
+        which = 0
+        if mode & BWA_MODE_BAM_SE:
+            which |= 4
+        if mode & BWA_MODE_BAM_READ1:
+            which |= 1
+        if mode & BWA_MODE_BAM_READ2:
+            which |= 2
+        if which == 0:
+            which = 7
+        reader = BamReader(path)
+        return lambda n, tq: fastq.read_bam_batch(reader, n, which,
+                                                  mode=mode, trim_qual=tq)
+    it = fastq.iter_fastq(path)
+    return lambda n, tq: fastq.read_fastq_batch(it, n, mode=mode,
+                                                trim_qual=tq)
+
+
+def _open_ntpac(prefix, mode):
+    """bwa_open_nt (bwase.c:594-602): the .nt nucleotide pac for
+    color-space decoding, unpacked — or None for Illumina reads."""
+    if mode & BWA_MODE_COMPREAD:
+        return None
+    from .index.pack import read_pac
+    return read_pac(str(prefix) + ".nt.pac")
 
 
 def _parse_aln_opts(argv):
@@ -167,18 +226,15 @@ def cmd_aln(argv):
     eng = AlnEngine(idx, opt)
     if header_needed:
         out.write(opt.pack())
-    it = fastq.iter_fastq(args.reads)
+    pull = _open_reads(args.reads, opt.mode)
     while skip > 0:
-        n = len(fastq.read_fastq_batch(it, min(skip, READ_CHUNK),
-                                       mode=opt.mode,
-                                       trim_qual=opt.trim_qual))
+        n = len(pull(min(skip, READ_CHUNK), opt.trim_qual))
         if n == 0:
             raise SystemExit("[aln] EOF while skipping done work.")
         skip -= n
     tot = 0
     while True:
-        reads = fastq.read_fastq_batch(it, READ_CHUNK, mode=opt.mode,
-                                       trim_qual=opt.trim_qual)
+        reads = pull(READ_CHUNK, opt.trim_qual)
         if not reads:
             break
         results = eng.run_chunk(reads)
@@ -225,22 +281,22 @@ def cmd_samse(argv):
     opt, per_read = sai.read_sai(args.sai)
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
+    ntpac = _open_ntpac(args.prefix, opt.mode)
     rng = Rand48(idx.bns.seed)
     rg_line, rg_id = _parse_rg(args.rg)
     out = open(args.out, "w") if args.out else sys.stdout
     out.write(se.sam_header(idx.bns, rg_line=rg_line))
-    it = fastq.iter_fastq(args.reads)
+    pull = _open_reads(args.reads, opt.mode)
     off = 0
     while True:
-        reads = fastq.read_fastq_batch(it, READ_CHUNK, mode=opt.mode,
-                                       trim_qual=opt.trim_qual)
+        reads = pull(READ_CHUNK, opt.trim_qual)
         if not reads:
             break
         alns = [sai.aln_records_to_dicts(r)
                 for r in per_read[off:off + len(reads)]]
         off += len(reads)
         for line in se.samse(eng, reads, alns, opt, n_occ=args.n_occ,
-                             rng=rng, rg_id=rg_id):
+                             rng=rng, rg_id=rg_id, ntpac=ntpac):
             out.write(line + "\n")
     if args.out:
         out.close()
@@ -288,22 +344,24 @@ def cmd_sampe(argv):
     opt, per_read1 = sai.read_sai(args.sai2)
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
+    ntpac = _open_ntpac(args.prefix, opt.mode)
+    if ntpac is not None:   # SOLiD pairing orientation (bwape.c:692-694)
+        from .constants import BWA_PET_SOLID
+        popt.type = BWA_PET_SOLID
     rng = Rand48(idx.bns.seed)
     rg_line, rg_id = _parse_rg(args.rg)
     out = open(args.out, "w") if args.out else sys.stdout
     out.write(se.sam_header(idx.bns, rg_line=rg_line))
-    it0 = fastq.iter_fastq(args.fq1)
-    it1 = fastq.iter_fastq(args.fq2)
+    pull0 = _open_reads(args.fq1, opt0.mode)
+    pull1 = _open_reads(args.fq2, opt.mode)
     off = 0
     last_ii = None
     memo = {}
     while True:
-        reads0 = fastq.read_fastq_batch(it0, READ_CHUNK, mode=opt0.mode,
-                                        trim_qual=opt0.trim_qual)
+        reads0 = pull0(READ_CHUNK, opt0.trim_qual)
         if not reads0:
             break
-        reads1 = fastq.read_fastq_batch(it1, READ_CHUNK, mode=opt.mode,
-                                        trim_qual=opt.trim_qual)
+        reads1 = pull1(READ_CHUNK, opt.trim_qual)
         n = len(reads0)
         alns0 = [sai.aln_records_to_dicts(r)
                  for r in per_read0[off:off + n]]
@@ -312,7 +370,7 @@ def cmd_sampe(argv):
         off += n
         lines, ii = pe.sampe(eng, (reads0, reads1), (alns0, alns1), opt,
                              popt, rng, rg_id=rg_id, last_ii=last_ii,
-                             pos_memo=memo)
+                             pos_memo=memo, ntpac=ntpac)
         last_ii = ii
         for line in lines:
             out.write(line + "\n")
@@ -698,6 +756,7 @@ COMMANDS = {
     "fa2pac": cmd_fa2pac,
     "pac_rev": cmd_pac_rev,
     "pac2bwt": cmd_pac2bwt,
+    "pac2cspac": cmd_pac2cspac,
     "pac2bwtgen": cmd_pac2bwtgen,
     "bwtupdate": cmd_bwtupdate,
     "bwt2sa": cmd_bwt2sa,

@@ -255,7 +255,10 @@ class AlnEngine:
             max_iters=(self.tier0_max_iters
                        if tier == 0 and self.retry_stack_cap > stack_cap
                        else self.max_iters))
-        use_pal = (self._pal_table is not None and L <= 127
+        # the meta packing holds i in 7 bits — gate on the true read
+        # length, not the 32-bucketed L (100 bp reads bucket to L=128)
+        use_pal = (self._pal_table is not None
+                   and int(lengths.max(initial=0)) <= 127
                    and int(maxdiff.max(initial=0)) <= 15
                    and local.max_gapo <= 15 and local.max_gape <= 15
                    and stack_cap <= self.PALLAS_MAX_STACK

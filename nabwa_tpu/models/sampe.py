@@ -493,7 +493,7 @@ def paired_sw1_gen(bns, pac, p, popt, ii, counters):
 
 
 def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
-          last_ii=None, pos_memo=None):
+          last_ii=None, pos_memo=None, ntpac=None):
     """Full sampe for one chunk.
 
     reads: (reads0, reads1); per_read_alns: (alns0, alns1).
@@ -665,7 +665,7 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
 
     # --- refine + MD + trim-correct per end (bwape.c:725-726) ---
     for j in (0, 1):
-        se.refine_gapped(bns, pac, states[j])
+        se.refine_gapped(bns, pac, states[j], ntpac=ntpac)
 
     # --- print interleaved with the bc concat quirk (bwape.c:731-740) ---
     lines = []

@@ -348,12 +348,35 @@ def correct_trimmed(s):
 DEVICE_DP_COUNTERS = {"device": 0, "host": 0}
 
 
-def refine_gapped(bns, pac, states, use_device=True):
-    """bwa_refine_gapped (bwase.c:356-423) minus color space.
+def _refine_jobs(jobs, pac, l_pac, use_device, is_end_correct=True):
+    """Solve a list of (apply, seq_codes, pos, ext) refinement jobs —
+    device-batched banded-global DPs, scalar fallback."""
+    paths = [None] * len(jobs)
+    if use_device and jobs:
+        from ..ops.dp import banded_global_batch
+        pairs = [refine_window(l_pac, pac, seqc, pos, ext,
+                               is_end_correct)[0:1] + (np.asarray(seqc),)
+                 for _, seqc, pos, ext in jobs]
+        paths = [p for _, p in banded_global_batch(pairs, ALN_PARAM_BWA)]
+        DEVICE_DP_COUNTERS["device"] += len(jobs)
+    else:
+        DEVICE_DP_COUNTERS["host"] += len(jobs)
+    for (apply, seqc, pos, ext), path in zip(jobs, paths):
+        cig, newpos = refine_gapped_core(l_pac, pac, seqc, pos, ext,
+                                         is_end_correct, path=path)
+        apply(cig, newpos)
+
+
+def refine_gapped(bns, pac, states, use_device=True, ntpac=None):
+    """bwa_refine_gapped (bwase.c:356-423).
 
     All gapped-refinement DPs of the batch run as ONE device
     banded-global call (ops.dp.banded_global_batch); use_device=False
-    keeps the scalar host oracle path."""
+    keeps the scalar host oracle path.  ntpac (unpacked nucleotide pac)
+    switches on the color-space path (bwase.c:383-401): decode each read
+    via cs2nt, re-refine every cigar against the nucleotide reference
+    with is_end_correct=0, and compute MD/NM from ntpac; quality-trim
+    correction is Illumina-only (bwase.c:418)."""
     jobs = []   # (apply, seq_codes, pos, ext)
     for s in states:
         r = s.read
@@ -382,29 +405,50 @@ def refine_gapped(bns, pac, states, use_device=True):
         jobs.append((apply_s, seqc, s.pos,
                      (1 if s.strand else -1) * (s.n_gapo + s.n_gape)))
 
-    paths = [None] * len(jobs)
-    if use_device and jobs:
-        from ..ops.dp import banded_global_batch
-        pairs = [refine_window(bns.l_pac, pac, seqc, pos, ext)[0:1]
-                 + (np.asarray(seqc),)
-                 for _, seqc, pos, ext in jobs]
-        paths = [p for _, p in banded_global_batch(pairs, ALN_PARAM_BWA)]
-        DEVICE_DP_COUNTERS["device"] += len(jobs)
-    else:
-        DEVICE_DP_COUNTERS["host"] += len(jobs)
-    for (apply, seqc, pos, ext), path in zip(jobs, paths):
-        cig, newpos = refine_gapped_core(bns.l_pac, pac, seqc, pos, ext,
-                                         path=path)
-        apply(cig, newpos)
+    _refine_jobs(jobs, pac, bns.l_pac, use_device)
 
+    if ntpac is not None:       # color space (bwase.c:383-401)
+        from ..refmodel.cs2nt import cs2nt_core
+        jobs2 = []
+        for s in states:
+            cs2nt_core(s, bns.l_pac, ntpac)
+            r = s.read
+            fwd_codes = r.seq[::-1]
+            for m in s.multi:
+                if m["gap"] == 0:
+                    continue
+                seqc = r.rseq if m["strand"] else fwd_codes
+
+                def apply_m(cig, newpos, m=m):
+                    m["cigar"] = cig
+                    m["n_cigar"] = len(cig)
+                    m["pos"] = newpos
+
+                jobs2.append((apply_m, seqc, m["pos"],
+                              (1 if m["strand"] else -1) * m["gap"]))
+            if s.type != BWA_TYPE_NO_MATCH and s.cigar:
+
+                def apply_s(cig, newpos, s=s):
+                    s.cigar = cig if cig else None
+                    s.pos = newpos
+
+                jobs2.append((apply_s,
+                              r.rseq if s.strand else fwd_codes, s.pos,
+                              (1 if s.strand else -1)
+                              * (s.n_gapo + s.n_gape)))
+        _refine_jobs(jobs2, ntpac, bns.l_pac, use_device,
+                     is_end_correct=False)
+
+    md_pac = ntpac if ntpac is not None else pac
     for s in states:
         if s.type != BWA_TYPE_NO_MATCH:
             r = s.read
             seqc = r.rseq if s.strand else r.seq[::-1]
-            s.md, s.nm = cal_md1(s.cigar, seqc, s.pos, bns, pac)
+            s.md, s.nm = cal_md1(s.cigar, seqc, s.pos, bns, md_pac)
 
-    for s in states:
-        correct_trimmed(s)
+    if ntpac is None:   # trimming correction is Illumina-only
+        for s in states:
+            correct_trimmed(s)
 
 
 def pos_end(s):
@@ -635,8 +679,10 @@ def sam_header(bns, rg_line=None, version="0.5.10-evan.6.3-nabwa"):
 
 
 def samse(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
-          rg_id=None):
-    """Core of samse for one chunk: returns list of SAM lines."""
+          rg_id=None, ntpac=None):
+    """Core of samse for one chunk: returns list of SAM lines.  ntpac
+    (the .nt nucleotide pac, bwa_open_nt bwase.c:594-602) switches on
+    color-space decoding."""
     from ..utils.rand48 import Rand48
 
     bns = engine.index.bns
@@ -649,6 +695,6 @@ def samse(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
         aln2seq_core(alns, s, rng, set_main=True, n_multi=n_occ)
         states.append(s)
     cal_pac_pos(engine, states, opt.max_diff, opt.fnr)
-    refine_gapped(bns, pac, states)
+    refine_gapped(bns, pac, states, ntpac=ntpac)
     return [print_sam1(bns, s, None, opt.mode, opt.max_top2, rg_id=rg_id)
             for s in states]

@@ -335,24 +335,41 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             # every FREE slot, e_k = sum of stale values) — the load must
             # stay in bounds even though its result is masked out
             n_rows = table_ref.shape[0]
-            rowidx[:, 0:1] = jnp.clip(krow + row0, 0, n_rows - 1)
-            rowidx[:, 1:2] = jnp.clip(lrow + row0, 0, n_rows - 1)
+            rk_col = jnp.clip(krow + row0, 0, n_rows - 1)
+            rl_col = jnp.clip(lrow + row0, 0, n_rows - 1)
+            # bwt_2occ4's shared-checkpoint shortcut (bwt.c:118-153): k-1
+            # and l usually land in the same block row once the interval
+            # narrows — mark those lanes -1 and skip their second copy
+            same_row = rl_col == rk_col
+            rowidx[:, 0:1] = rk_col
+            rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
 
             def load(i, _):
                 rk = rowidx[i, 0]
                 stage[pl.ds(i, 1), :] = table_ref[pl.ds(rk, 1), :]
                 rl = rowidx[i, 1]
-                stage[pl.ds(i + BB, 1), :] = table_ref[pl.ds(rl, 1), :]
+
+                @pl.when(rl >= 0)
+                def _():
+                    stage[pl.ds(i + BB, 1), :] = table_ref[pl.ds(rl, 1), :]
                 return 0
-            jax.lax.fori_loop(0, BB, load, 0)
+            # full unroll: the copies are cheap, the per-iteration scalar
+            # loop control is not (measured: same-row skip alone changed
+            # nothing; loop overhead dominates)
+            jax.lax.fori_loop(0, BB, load, 0, unroll=BB)
 
             # ---- occ math over both staged banks ----
+            # same-row lanes read the k bank for l too (their slot in the
+            # second bank is stale)
+            same_b = jnp.broadcast_to(same_row.astype(I32),
+                                      (BB, LANES)) != 0
+            stage_l = jnp.where(same_b, stage[0:BB, :], stage[BB:, :])
             sub2 = jnp.concatenate([ksub, lsub], axis=0)      # [2BB,1]
             woff2 = jnp.concatenate([kwoff, lwoff], axis=0)
             win2 = jnp.concatenate([kwin, lwin], axis=0)
             neg2 = jnp.concatenate([kneg, lneg], axis=0)
             lane2 = _lane_iota((2 * BB, LANES))
-            rows = stage[:]
+            rows = jnp.concatenate([stage[0:BB, :], stage_l], axis=0)
             rel = lane2 - sub2 * 16
             j = rel - 4
             partial = (-1) << ((15 - win2) * 2)

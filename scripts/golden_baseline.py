@@ -1,0 +1,254 @@
+"""The five BASELINE north-star configs at scale, diffed against the
+reference binary (SURVEY §4 / BASELINE.md).  Run on the real backend:
+
+  python scripts/golden_baseline.py            # all five
+  ONLY=1,3 python scripts/golden_baseline.py   # subset
+
+1. E.coli-scale samse: 4.6 Mbp genome, 10k x 36 bp reads (exact/1-mm).
+2. Gapped aln: -n4 -o2 75 bp reads with indels, .sai diff.
+3. 100k-pair sampe with mate rescue, SAM diff.
+4. bwasw 1 kb reads, SAM diff.
+5. bam2bam through the chunk-lease scheduler, BAM record diff vs the
+   reference's sequential bam2bam output (reference networking is
+   stubbed out in the test build).
+
+Each stage prints PASS/FAIL + reads/s for ours and the 1-thread
+reference.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import numpy as np
+
+WORK = pathlib.Path(os.environ.get("WORKDIR", "/tmp/nabwa_golden"))
+ONLY = set(int(x) for x in os.environ.get("ONLY", "1,2,3,4,5").split(","))
+FAILED = []
+
+
+def bwa():
+    sys.path.insert(0, "tests")
+    from tests.refbin import ensure_bwa
+    return str(ensure_bwa())
+
+
+def ensure_genome(name, glen, seed):
+    from tests import genomes
+    from nabwa_tpu.index.build import build_index
+    fa = WORK / f"{name}.fa"
+    if not (WORK / f"{name}.fa.sa").exists():
+        fa_b, seqs = genomes.random_genome(glen, seed=seed)
+        fa.write_bytes(fa_b)
+        t0 = time.time()
+        build_index(str(fa))
+        print(f"[{name}] index built in {time.time()-t0:.0f}s")
+    g = b"".join(l for l in fa.read_bytes().split(b"\n")
+                 if not l.startswith(b">"))
+    return fa, g
+
+
+def run(cmd, out=None):
+    t0 = time.time()
+    with open(out or os.devnull, "wb") as o:
+        subprocess.run(cmd, check=True, stdout=o,
+                       stderr=subprocess.DEVNULL)
+    return time.time() - t0
+
+
+def ours(args):
+    from nabwa_tpu import cli
+    t0 = time.time()
+    rc = cli.main(args)
+    assert rc == 0, args
+    return time.time() - t0
+
+
+def verdict(stage, ok, n, dt_ours, dt_ref):
+    FAILED.extend([] if ok else [stage])
+    print(json.dumps({
+        "config": stage, "result": "PASS" if ok else "FAIL",
+        "reads": n, "ours_rps": round(n / dt_ours, 1),
+        "ref_rps": round(n / dt_ref, 1) if dt_ref else None}))
+
+
+def sam_eq(a, b):
+    """Compare SAM text ignoring the @PG version token."""
+    la = [l for l in pathlib.Path(a).read_text().splitlines()
+          if not l.startswith("@PG")]
+    lb = [l for l in pathlib.Path(b).read_text().splitlines()
+          if not l.startswith("@PG")]
+    if la == lb:
+        return True
+    for i, (x, y) in enumerate(zip(la, lb)):
+        if x != y:
+            print(f"  first diff line {i}:\n  ref: {x}\n  got: {y}")
+            break
+    print(f"  ({len(la)} vs {len(lb)} lines)")
+    return False
+
+
+def sample_reads(g, n, L, seed, err, indel=0.0):
+    from tests import genomes
+    return genomes.sample_reads(g, n, L, seed=seed, err_rate=err,
+                                indel_rate=indel)
+
+
+def config1():
+    fa, g = ensure_genome("ecoli", 4_600_000, 11)
+    fq = WORK / "c1.fq"
+    fq.write_bytes(sample_reads(g, 10_000, 36, 201, 0.01))
+    B = bwa()
+    rdt = run([B, "aln", str(fa), str(fq), "-f", str(WORK / "c1.ref.sai")])
+    rdt += run([B, "samse", str(fa), str(WORK / "c1.ref.sai"), str(fq)],
+               out=str(WORK / "c1.ref.sam"))
+    odt = ours(["aln", str(fa), str(fq), "-f", str(WORK / "c1.got.sai")])
+    odt += ours(["samse", str(fa), str(WORK / "c1.got.sai"), str(fq),
+                 "-f", str(WORK / "c1.got.sam")])
+    ok = (WORK / "c1.ref.sai").read_bytes() == \
+        (WORK / "c1.got.sai").read_bytes() \
+        and sam_eq(WORK / "c1.ref.sam", WORK / "c1.got.sam")
+    verdict("1_ecoli_36bp_samse", ok, 10_000, odt, rdt)
+
+
+def config2():
+    fa, g = ensure_genome("ecoli", 4_600_000, 11)
+    fq = WORK / "c2.fq"
+    fq.write_bytes(sample_reads(g, 10_000, 75, 202, 0.02, indel=0.4))
+    B = bwa()
+    args = ["-n", "4", "-o", "2"]
+    rdt = run([B, "aln"] + args + [str(fa), str(fq), "-f",
+                                   str(WORK / "c2.ref.sai")])
+    odt = ours(["aln"] + args + [str(fa), str(fq), "-f",
+                                 str(WORK / "c2.got.sai")])
+    ok = (WORK / "c2.ref.sai").read_bytes() == \
+        (WORK / "c2.got.sai").read_bytes()
+    verdict("2_gapped_aln_n4_o2", ok, 10_000, odt, rdt)
+
+
+def config3():
+    fa, g = ensure_genome("ecoli", 4_600_000, 11)
+    rng = np.random.default_rng(203)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    f1, f2 = [], []
+    n_pairs = int(os.environ.get("C3_PAIRS", "100000"))
+    for i in range(n_pairs):
+        isz = int(rng.normal(300, 40))
+        start = int(rng.integers(0, len(g) - abs(isz) - 110))
+        r1 = bytearray(g[start:start + 100])
+        r2 = bytearray(g[start + isz - 100:start + isz]
+                       .translate(comp)[::-1])
+        for r in (r1, r2):
+            for _ in range(int(rng.integers(0, 4))):
+                p = int(rng.integers(0, len(r)))
+                r[p] = b"ACGT"[int(rng.integers(0, 4))]
+        if i % 23 == 5:   # shred one mate to force rescue
+            for _ in range(30):
+                p = int(rng.integers(0, len(r2)))
+                r2[p] = b"ACGT"[int(rng.integers(0, 4))]
+        q = b"I" * 100
+        f1.append(b"@p%d/1\n%s\n+\n%s\n" % (i, bytes(r1), q))
+        f2.append(b"@p%d/2\n%s\n+\n%s\n" % (i, bytes(r2), q))
+    (WORK / "c3_1.fq").write_bytes(b"".join(f1))
+    (WORK / "c3_2.fq").write_bytes(b"".join(f2))
+    B = bwa()
+    rdt = odt = 0.0
+    for e in (1, 2):
+        rdt += run([B, "aln", str(fa), str(WORK / f"c3_{e}.fq"), "-f",
+                    str(WORK / f"c3_{e}.ref.sai")])
+        odt += ours(["aln", str(fa), str(WORK / f"c3_{e}.fq"), "-f",
+                     str(WORK / f"c3_{e}.got.sai")])
+    rdt2 = run([B, "sampe", str(fa), str(WORK / "c3_1.ref.sai"),
+                str(WORK / "c3_2.ref.sai"), str(WORK / "c3_1.fq"),
+                str(WORK / "c3_2.fq")], out=str(WORK / "c3.ref.sam"))
+    odt2 = ours(["sampe", str(fa), str(WORK / "c3_1.got.sai"),
+                 str(WORK / "c3_2.got.sai"), str(WORK / "c3_1.fq"),
+                 str(WORK / "c3_2.fq"), "-f", str(WORK / "c3.got.sam")])
+    ok = sam_eq(WORK / "c3.ref.sam", WORK / "c3.got.sam")
+    verdict("3_sampe_aln", ok, 2 * n_pairs, odt, rdt)
+    verdict("3_sampe_post", ok, 2 * n_pairs, odt2, rdt2)
+
+
+def config4():
+    fa, g = ensure_genome("ecoli", 4_600_000, 11)
+    rng = np.random.default_rng(204)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    n_reads = int(os.environ.get("C4_READS", "300"))
+    out = []
+    for i in range(n_reads):
+        L = int(rng.integers(800, 1200))
+        start = int(rng.integers(0, len(g) - L))
+        r = bytearray(g[start:start + L])
+        j = 0
+        while j < len(r):           # ~2% err with indels
+            x = rng.random()
+            if x < 0.01:
+                r[j] = b"ACGT"[int(rng.integers(0, 4))]
+            elif x < 0.015:
+                del r[j]
+                continue
+            elif x < 0.02:
+                r.insert(j, b"ACGT"[int(rng.integers(0, 4))])
+                j += 1
+            j += 1
+        rb = bytes(r)
+        if i % 2:
+            rb = rb.translate(comp)[::-1]
+        q = b"I" * len(rb)
+        out.append(b"@L%d\n%s\n+\n%s\n" % (i, rb, q))
+    fq = WORK / "c4.fq"
+    fq.write_bytes(b"".join(out))
+    B = bwa()
+    rdt = run([B, "bwasw", str(fa), str(fq)], out=str(WORK / "c4.ref.sam"))
+    odt = ours(["bwasw", str(fa), str(fq), "-f", str(WORK / "c4.got.sam")])
+    ok = sam_eq(WORK / "c4.ref.sam", WORK / "c4.got.sam")
+    verdict("4_bwasw_1kb", ok, n_reads, odt, rdt)
+
+
+def config5():
+    fa, g = ensure_genome("ecoli", 4_600_000, 11)
+    from tests.test_bam2bam import make_input_bam, dump_records
+    bam_in = WORK / "c5.bam"
+    if not bam_in.exists():
+        make_input_bam(str(bam_in), (WORK / "c3_1.fq").read_bytes(),
+                       (WORK / "c3_2.fq").read_bytes())
+    B = bwa()
+    rdt = run([B, "bam2bam", "-g", str(fa), "-f",
+               str(WORK / "c5.ref.bam"), str(bam_in)])
+    t0 = time.time()
+    odt = ours(["bam2bam", "-g", str(fa), "-f", str(WORK / "c5.got.bam"),
+                str(bam_in), "-t", "4"])
+    ref_recs = dump_records(str(WORK / "c5.ref.bam"))
+    got_recs = dump_records(str(WORK / "c5.got.bam"))
+    ok = ref_recs == got_recs
+    if not ok:
+        for i, (a, b) in enumerate(zip(ref_recs, got_recs)):
+            if a != b:
+                print(f"  first record diff at {i}")
+                break
+    n = int(os.environ.get("C3_PAIRS", "100000")) * 2
+    verdict("5_bam2bam", ok, n, odt, rdt)
+
+
+def main():
+    WORK.mkdir(exist_ok=True)
+    for i, fn in ((1, config1), (2, config2), (3, config3), (4, config4),
+                  (5, config5)):
+        if i in ONLY:
+            fn()
+    print("ALL PASS" if not FAILED else f"FAILED: {FAILED}")
+    sys.exit(1 if FAILED else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,30 @@ def test_stdsw_global(tmp_path, capsys):
     want = _stdsw_ref(args)
     got = _stdsw_ours(args, capsys)
     assert got == want
+
+
+def test_aln_bam_input(tmp_path):
+    """aln -b -1/-2/-0 BAM input vs the reference (bwa_read_bam,
+    bwaseqio.c:125-165), including a reverse-strand pre-mapped record."""
+    from .test_bam2bam import make_input_bam
+    from nabwa_tpu.index.build import build_index
+
+    fa, seqs = genomes.random_genome(30000, seed=81)
+    (tmp_path / "g.fa").write_bytes(fa)
+    refbin.run_bwa(["index", str(tmp_path / "g.fa")])
+    fq1 = genomes.sample_reads(seqs[0], 40, 60, seed=82, err_rate=0.02)
+    fq2 = genomes.sample_reads(seqs[0], 40, 60, seed=83, err_rate=0.02)
+    make_input_bam(str(tmp_path / "in.bam"), fq1, fq2)
+
+    for flags in (["-b", "-1"], ["-b", "-2"], ["-b"]):
+        # fresh outputs: a stale .sai triggers -f recovery mode
+        (tmp_path / "ref.sai").unlink(missing_ok=True)
+        refbin.run_bwa(["aln"] + flags + [str(tmp_path / "g.fa"),
+                       str(tmp_path / "in.bam"),
+                       "-f", str(tmp_path / "ref.sai")])
+        got = tmp_path / "got.sai"
+        got.unlink(missing_ok=True)
+        assert cli.main(["aln"] + flags + [str(tmp_path / "g.fa"),
+                        str(tmp_path / "in.bam"),
+                        "-f", str(got)]) == 0
+        assert got.read_bytes() == (tmp_path / "ref.sai").read_bytes(), flags
