@@ -28,7 +28,9 @@ WORK = pathlib.Path("/tmp/nabwa_bench")
 GLEN = 2_000_000
 N_READS = 8192
 READ_LEN = 100
-DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "8192"))
+# 1024-read slices keep the device-call geometry fixed while the
+# adaptive device/host split varies the device share per chunk
+DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "1024"))
 STACK_CAP = int(os.environ.get("NABWA_BENCH_STACK", "256"))
 
 
@@ -62,8 +64,12 @@ def bench_ours(fa_path, fq_path):
     idx = BwaIndex.load(str(fa_path))
     reads = fastq.read_fastq_batch(fastq.iter_fastq(str(fq_path)), 1 << 22)
     eng = AlnEngine(idx, GapOpt(), stack_cap=STACK_CAP)
-    # warm-up / compile
+    # warm-up / compile: full device share so the timed slices hit the
+    # compile cache; one split chunk to calibrate the host fraction
+    eng.host_frac = 0.0
     eng.run_chunk(reads[:DEVICE_BATCH], device_batch=DEVICE_BATCH)
+    eng.host_frac = 0.5
+    eng.run_chunk(reads[:2 * DEVICE_BATCH], device_batch=DEVICE_BATCH)
     t0 = time.time()
     res = eng.run_chunk(reads, device_batch=DEVICE_BATCH)
     dt = time.time() - t0

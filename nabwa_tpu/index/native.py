@@ -39,7 +39,8 @@ def _load():
         if not _SO.exists() or _SO.stat().st_mtime < newest_src:
             _BUILD.mkdir(parents=True, exist_ok=True)
             subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                ["g++", "-O3", "-march=native", "-funroll-loops",
+                 "-std=c++17", "-shared", "-fPIC",
                  "-pthread"] + [str(s) for s in _SRCS]
                 + ["-o", str(_SO)],
                 check=True, capture_output=True)

@@ -44,12 +44,13 @@ class AlnEngine:
     # fastest of 256/128/64/32 on v5e), retry stack must fit VMEM
     PALLAS_BB = 64
     PALLAS_MAX_TABLE = 10 << 20       # ~10 Mbp genome in VMEM
+    PALLAS_MXU_ROWS = 16384           # one-hot matmul gather cutoff
     PALLAS_MAX_STACK = 1024
 
     def __init__(self, index, opt, stack_cap=256, hits_cap=32,
                  max_iters=2_000_000, retry_stack_cap=1024,
                  retry_hits_cap=128, tier0_max_iters=768, mesh=None,
-                 use_pallas="auto"):
+                 use_pallas="auto", host_frac="auto"):
         """stack_cap is deliberately small: per-DFS-iteration cost on TPU is
         dominated by whole-stack-array traffic, and the observed per-read
         stack high-water is ~250 typical / ~1000 for hard reads.  Reads that
@@ -71,6 +72,15 @@ class AlnEngine:
         # read makes every lane iterate), so unfinished reads at the cap
         # re-run in the retry tier instead of stalling the whole batch
         self.tier0_max_iters = tier0_max_iters
+        # device/host work split (see run_chunk): starting fraction of
+        # each chunk handed to the host's native engine, adapted per
+        # chunk toward rate-balanced finish times.  "auto" starts at
+        # 0.5 and converges within a couple of chunks; 0 disables.
+        import os as _os
+        env = _os.environ.get("NABWA_HOST_FRAC")
+        if env is not None:
+            host_frac = float(env)
+        self.host_frac = 0.5 if host_frac == "auto" else float(host_frac)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -107,12 +117,21 @@ class AlnEngine:
             use_pallas = (mesh is None
                           and jax.default_backend() == "tpu")
         self._pal_table = None
+        self._pal_mxu = False
         if use_pallas:
             table, rev_row0 = dfs_pallas.build_table(
                 np.concatenate([fwd.bwt.view(np.int32),
                                 rev.bwt.view(np.int32)]), self.rev_off)
             if table.nbytes <= self.PALLAS_MAX_TABLE:
-                self._pal_table = jnp.asarray(table)
+                # small genomes: byte-plane table, occ fetches become ONE
+                # int8 one-hot matmul on the MXU per iteration instead of
+                # 2*BB scalar-core row copies
+                if table.shape[0] <= self.PALLAS_MXU_ROWS:
+                    self._pal_table = jnp.asarray(
+                        dfs_pallas.build_table_i8(table))
+                    self._pal_mxu = True
+                else:
+                    self._pal_table = jnp.asarray(table)
                 self._pal_params = jnp.asarray(dfs_pallas.build_params(
                     fwd.l2.view(np.int32), self.primary_fwd,
                     self.primary_rev, self.seq_len, rev_row0))
@@ -160,17 +179,89 @@ class AlnEngine:
                 local.max_diff = cal_maxdiff(max_len, BWA_AVG_ERR, opt.fnr)
             if local.max_diff < local.max_gapo:
                 local.max_gapo = local.max_diff
-            # tier-0 pass over all chunks, deferring overflow reads so the
-            # retry tier runs ONCE over the whole set — retried reads are
-            # sorted hardest-first so deep searches share lockstep blocks
-            # instead of each stalling a mostly-idle batch
+
+            # Heterogeneous split: the DFS is a scalar pointer-chase whose
+            # TPU rate is bounded by the scalar core's issue rate (two
+            # random block fetches per read per step), while the host's
+            # threaded native engine (native/dfsgap.cpp) runs the same
+            # search bit-exactly.  A slice of each chunk therefore runs on
+            # host threads CONCURRENTLY with the device batch; the split
+            # fraction adapts to the measured rates of both engines.
+            n_host = 0
+            host_thread = None
+            use_native = self._native_ok()
+            if (use_native and self.mesh is None and len(reads) >= 256
+                    and jax.default_backend() == "tpu"
+                    and self.host_frac > 0.0):
+                # round the device share DOWN to whole device_batch slices
+                # so the split never creates a new compile bucket
+                n_dev = int(len(reads) * (1.0 - self.host_frac))
+                n_dev = (n_dev // device_batch) * device_batch
+                if n_dev == 0 and len(reads) >= device_batch:
+                    n_dev = device_batch
+                n_host = len(reads) - n_dev
+            if n_host > 0:
+                import threading
+                import time as _time
+                h_idx = list(range(len(reads) - n_host, len(reads)))
+                h_stats = {}
+
+                def _host_work():
+                    t0 = _time.time()
+                    self._drain_native([reads[i] for i in h_idx],
+                                       per_read_maxdiff[h_idx], local,
+                                       results, h_idx)
+                    h_stats["dt"] = _time.time() - t0
+                host_thread = threading.Thread(target=_host_work,
+                                               daemon=True)
+                host_thread.start()
+                reads_dev = reads[:len(reads) - n_host]
+            else:
+                reads_dev = reads
+
+            # Pipelined tier-0 over the device share: dispatch EVERY
+            # slice's device call up front (jax dispatch is async — the
+            # chip works through the queue), then collect in order;
+            # overflow reads queue for the host drain.
+            import time as _time
+            t_dev0 = _time.time()
             defer = []
-            for start in range(0, len(reads), device_batch):
-                part = reads[start:start + device_batch]
-                self._run_device(part,
-                                 per_read_maxdiff[start:start + len(part)],
-                                 local, results, start, max_len,
-                                 defer=defer)
+            ovf = []
+            handles = []
+            for start in range(0, len(reads_dev), device_batch):
+                part = reads_dev[start:start + device_batch]
+                handles.append((start, part, self._run_device(
+                    part, per_read_maxdiff[start:start + len(part)],
+                    local, results, start, max_len, defer=defer,
+                    dispatch_only=True)))
+            for start, part, ctx in handles:
+                fb = self._collect_device(ctx, part, results, start)
+                if not fb:
+                    continue
+                if use_native:
+                    ovf.extend(start + i for i in fb)
+                else:
+                    # hw sorts the device retry hardest-first below
+                    hw = ctx["hw"]
+                    defer.extend((start + i, int(hw[i])) for i in fb)
+            t_dev = _time.time() - t_dev0
+            if host_thread is not None:
+                host_thread.join()
+            if ovf:
+                self._drain_native([reads[i] for i in ovf],
+                                   per_read_maxdiff[ovf], local,
+                                   results, ovf)
+            if n_host > 0 and len(reads_dev) and t_dev > 0:
+                # adapt the split: equalize projected finish times (full
+                # jump on the first measurement, EMA afterwards)
+                dev_rate = len(reads_dev) / t_dev
+                host_rate = n_host / max(h_stats.get("dt", 1e-9), 1e-9)
+                f = host_rate / max(dev_rate + host_rate, 1e-9)
+                w = 1.0 if not getattr(self, "_split_seen", False) else 0.5
+                self._split_seen = True
+                self.host_frac = min(0.97, max(0.05,
+                                               (1 - w) * self.host_frac
+                                               + w * f))
             if defer:
                 defer.sort(key=lambda t: -t[1])
                 idxs = [i for i, _ in defer]
@@ -211,8 +302,80 @@ class AlnEngine:
                 results[i] = res
         return results
 
+    def _native_ok(self):
+        from ..index import native as native_mod
+        return native_mod._load() is not None
+
+    def _drain_native(self, fb_reads, fb_maxdiff, local, results, idxs):
+        """Solve reads on the host's threaded C++ DFS (bit-exact with the
+        device engines); scalar-oracle fallback without the library."""
+        from ..index.native import dfs_match_gap_native
+        lo = copy.copy(local)
+        lo.seed_len = self.opt.seed_len
+        fb_maxdiff = np.asarray(fb_maxdiff, dtype=np.int32)
+        native = dfs_match_gap_native(
+            np.asarray(self.bwt_fwd), int(self.primary_fwd),
+            np.asarray(self.bwt_rev), int(self.primary_rev),
+            np.asarray(self.l2), int(self.seq_len),
+            fb_reads, fb_maxdiff, lo)
+        if native is not None:
+            for i, res in zip(idxs, native):
+                results[i] = res
+            return
+        fms = self.scalar_fms()
+        from ..refmodel.dfs_scalar import match_gap
+        from ..refmodel.aln_scalar import scalar_cal_width
+        for i, r in zip(idxs, fb_reads):
+            lo = copy.copy(local)
+            if self.opt.fnr > 0.0:
+                lo.max_diff = cal_maxdiff(r.len, BWA_AVG_ERR, self.opt.fnr)
+            lo.seed_len = self.opt.seed_len \
+                if self.opt.seed_len < r.len else 0x7FFFFFFF
+            widths_s = (scalar_cal_width(fms[0], r.seq),
+                        scalar_cal_width(fms[1], r.rseq))
+            seed_w = None
+            if r.len > self.opt.seed_len:
+                seed_w = (
+                    scalar_cal_width(fms[0],
+                                     r.seq[r.len - self.opt.seed_len:]),
+                    scalar_cal_width(fms[1],
+                                     r.rseq[r.len - self.opt.seed_len:]))
+            alns, hwv = match_gap(fms, r.len, (r.seq, r.rseq), widths_s,
+                                  seed_w, lo, lo.max_diff, local.max_gapo)
+            results[i] = (alns, hwv)
+
+    def _collect_device(self, ctx, reads, results, base):
+        """Block on one dispatched device call, unpack (ONE host transfer),
+        fill `results`; returns the overflow index list (into reads)."""
+        out = unpack_result(np.asarray(ctx["out"]), ctx["hits_cap"])
+        n_aln = out["n_aln"]
+        hit_meta = out["hit_meta"].view(np.uint32)
+        hit_k = out["hit_k"].view(np.uint32)
+        hit_l = out["hit_l"].view(np.uint32)
+        hit_score = out["hit_score"]
+        hw = out["hw"]
+        ctx["hw"] = hw
+        overflow = out["overflow"]
+        fallback = []
+        for i, r in enumerate(reads):
+            if overflow[i]:
+                fallback.append(i)
+                continue
+            alns = []
+            for h in range(n_aln[i]):
+                meta = int(hit_meta[i, h])
+                alns.append(dict(n_mm=meta & 0xFF,
+                                 n_gapo=(meta >> 8) & 0xFF,
+                                 n_gape=(meta >> 16) & 0xFF,
+                                 a=(meta >> 24) & 1, k=int(hit_k[i, h]),
+                                 l=int(hit_l[i, h]),
+                                 score=int(hit_score[i, h])))
+            results[base + i] = (alns, int(hw[i]))
+        return fallback
+
     def _run_device(self, reads, maxdiff, local, results, base, max_len,
-                    stack_cap=None, hits_cap=None, tier=0, defer=None):
+                    stack_cap=None, hits_cap=None, tier=0, defer=None,
+                    dispatch_only=False):
         # Bucket shapes (B to 64s, L to 32s) so recurring batch geometries
         # reuse compiled kernels; padding lanes are len-0 (done immediately).
         stack_cap = stack_cap or self.stack_cap
@@ -271,7 +434,7 @@ class AlnEngine:
                 jnp.asarray(seqs), jnp.asarray(lengths),
                 jnp.asarray(sseq), jnp.asarray(slen),
                 jnp.asarray(has_seed), jnp.asarray(maxdiff),
-                BB=self.PALLAS_BB, **statics)
+                BB=self.PALLAS_BB, mxu=self._pal_mxu, **statics)
         else:
             out = aln_device_step(
                 self.bwt_cat, self.bwt_fwd, self.bwt_rev, self.rev_off,
@@ -281,31 +444,12 @@ class AlnEngine:
                 self._shard_batch(has_seed), self._shard_batch(maxdiff),
                 **statics)
 
-        # ONE host transfer for the whole packed result (tunnel latency
-        # is per-array, not per-byte)
-        out = unpack_result(np.asarray(out), hits_cap)
-        n_aln = out["n_aln"]
-        hit_meta = out["hit_meta"].view(np.uint32)
-        hit_k = out["hit_k"].view(np.uint32)
-        hit_l = out["hit_l"].view(np.uint32)
-        hit_score = out["hit_score"]
-        hw = out["hw"]
-        overflow = out["overflow"]
+        ctx = dict(out=out, hits_cap=hits_cap)
+        if dispatch_only:
+            return ctx
 
-        fallback = []
-        for i, r in enumerate(reads):
-            if overflow[i]:
-                fallback.append(i)
-                continue
-            alns = []
-            for h in range(n_aln[i]):
-                meta = int(hit_meta[i, h])
-                alns.append(dict(n_mm=meta & 0xFF, n_gapo=(meta >> 8) & 0xFF,
-                                 n_gape=(meta >> 16) & 0xFF,
-                                 a=(meta >> 24) & 1, k=int(hit_k[i, h]),
-                                 l=int(hit_l[i, h]),
-                                 score=int(hit_score[i, h])))
-            results[base + i] = (alns, int(hw[i]))
+        fallback = self._collect_device(ctx, reads, results, base)
+        hw = ctx["hw"]
 
         if fallback and tier == 0 and self.retry_stack_cap > stack_cap:
             if defer is not None:
@@ -333,41 +477,10 @@ class AlnEngine:
                                  if self.opt.fnr > 0.0 else local.max_diff)
             # pathological reads that overflow even the retry tier drain
             # on the host: threaded native C++ DFS (native/dfsgap.cpp) —
-            # an irregular pointer-chasing search is what scalar cores do
-            # best — with the Python scalar oracle as last resort
-            from ..index.native import dfs_match_gap_native
-            lo = copy.copy(local)
-            lo.seed_len = self.opt.seed_len
-            native = dfs_match_gap_native(
-                np.asarray(self.bwt_fwd), int(self.primary_fwd),
-                np.asarray(self.bwt_rev), int(self.primary_rev),
-                np.asarray(self.l2), int(self.seq_len),
-                fb_reads, fb_maxdiff, lo)
-            if native is not None:
-                for i, res in zip(fallback, native):
-                    results[base + i] = res
-                return
-            fms = self.scalar_fms()
-            # scalar path recomputes its own local opts from the full-chunk
-            # semantics: reuse `local` by running the per-read portion
-            from ..refmodel.dfs_scalar import match_gap
-            from ..refmodel.aln_scalar import scalar_cal_width
-            for i, r in zip(fallback, fb_reads):
-                lo = copy.copy(local)
-                if self.opt.fnr > 0.0:
-                    lo.max_diff = cal_maxdiff(r.len, BWA_AVG_ERR,
-                                              self.opt.fnr)
-                lo.seed_len = self.opt.seed_len \
-                    if self.opt.seed_len < r.len else 0x7FFFFFFF
-                widths_s = (scalar_cal_width(fms[0], r.seq),
-                            scalar_cal_width(fms[1], r.rseq))
-                seed_w = None
-                if r.len > self.opt.seed_len:
-                    seed_w = (
-                        scalar_cal_width(fms[0],
-                                         r.seq[r.len - self.opt.seed_len:]),
-                        scalar_cal_width(fms[1],
-                                         r.rseq[r.len - self.opt.seed_len:]))
-                alns, hwv = match_gap(fms, r.len, (r.seq, r.rseq), widths_s,
-                                      seed_w, lo, lo.max_diff, local.max_gapo)
-                results[base + i] = (alns, hwv)
+            # an irregular, pointer-chasing search is what scalar cores
+            # do best — with the Python scalar oracle as last resort
+            self._drain_native(fb_reads, fb_maxdiff, local, results,
+                               [base + i for i in fallback])
+            return
+        return
+

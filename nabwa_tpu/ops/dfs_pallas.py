@@ -147,9 +147,19 @@ def _int_log2(v):
     return bits
 
 
+def build_table_i8(table):
+    """int32 [n_rows, 128] block16 table → int8 [n_rows, 512] in byte-
+    plane layout (cols 0-127 = byte0 of each word, 128-255 = byte1, …)
+    for the MXU one-hot gather."""
+    t = np.asarray(table, dtype=np.int64) & 0xFFFFFFFF
+    planes = [((t >> (8 * b)) & 0xFF).astype(np.uint8).view(np.int8)
+              for b in range(4)]
+    return np.concatenate(planes, axis=1)
+
+
 def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 indel_end_skip, max_del_occ, max_entries, max_top2,
-                max_seed_diff, seed_len, mode, max_iters):
+                max_seed_diff, seed_len, mode, max_iters, mxu=False):
     gape_mode = bool(mode & BWA_MODE_GAPE)
     nonstop = bool(mode & BWA_MODE_NONSTOP)
     loggap = bool(mode & BWA_MODE_LOGGAP)
@@ -337,39 +347,55 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             n_rows = table_ref.shape[0]
             rk_col = jnp.clip(krow + row0, 0, n_rows - 1)
             rl_col = jnp.clip(lrow + row0, 0, n_rows - 1)
-            # bwt_2occ4's shared-checkpoint shortcut (bwt.c:118-153): k-1
-            # and l usually land in the same block row once the interval
-            # narrows — mark those lanes -1 and skip their second copy
-            same_row = rl_col == rk_col
-            rowidx[:, 0:1] = rk_col
-            rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
+            if mxu:
+                # MXU gather: one-hot [2BB, n_rows] int8 times the byte-
+                # plane table [n_rows, 512] — the whole batch's 2occ4
+                # block fetch as ONE int8 matmul, no scalar-core loop.
+                idx2 = jnp.concatenate([rk_col, rl_col], axis=0)  # [2BB,1]
+                riota = jax.lax.broadcasted_iota(I32, (2 * BB, n_rows), 1)
+                onehot = (riota == idx2).astype(jnp.int8)
+                planes = jax.lax.dot_general(
+                    onehot, table_ref[:, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=I32)      # [2BB, 512]
+                rows = ((planes[:, 0:128] & 0xFF)
+                        | ((planes[:, 128:256] & 0xFF) << 8)
+                        | ((planes[:, 256:384] & 0xFF) << 16)
+                        | (planes[:, 384:512] << 24))
+            else:
+                # bwt_2occ4's shared-checkpoint shortcut (bwt.c:118-153):
+                # k-1 and l usually land in the same block row once the
+                # interval narrows — skip their second copy
+                same_row = rl_col == rk_col
+                rowidx[:, 0:1] = rk_col
+                rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
 
-            def load(i, _):
-                rk = rowidx[i, 0]
-                stage[pl.ds(i, 1), :] = table_ref[pl.ds(rk, 1), :]
-                rl = rowidx[i, 1]
+                def load(i, _):
+                    rk = rowidx[i, 0]
+                    stage[pl.ds(i, 1), :] = table_ref[pl.ds(rk, 1), :]
+                    rl = rowidx[i, 1]
 
-                @pl.when(rl >= 0)
-                def _():
-                    stage[pl.ds(i + BB, 1), :] = table_ref[pl.ds(rl, 1), :]
-                return 0
-            # full unroll: the copies are cheap, the per-iteration scalar
-            # loop control is not (measured: same-row skip alone changed
-            # nothing; loop overhead dominates)
-            jax.lax.fori_loop(0, BB, load, 0, unroll=BB)
+                    @pl.when(rl >= 0)
+                    def _():
+                        stage[pl.ds(i + BB, 1), :] = \
+                            table_ref[pl.ds(rl, 1), :]
+                    return 0
+                # full unroll: the copies are cheap, the per-iteration
+                # scalar loop control is not
+                jax.lax.fori_loop(0, BB, load, 0, unroll=BB)
 
-            # ---- occ math over both staged banks ----
-            # same-row lanes read the k bank for l too (their slot in the
-            # second bank is stale)
-            same_b = jnp.broadcast_to(same_row.astype(I32),
-                                      (BB, LANES)) != 0
-            stage_l = jnp.where(same_b, stage[0:BB, :], stage[BB:, :])
+                # same-row lanes read the k bank for l too (their slot in
+                # the second bank is stale)
+                same_b = jnp.broadcast_to(same_row.astype(I32),
+                                          (BB, LANES)) != 0
+                stage_l = jnp.where(same_b, stage[0:BB, :], stage[BB:, :])
             sub2 = jnp.concatenate([ksub, lsub], axis=0)      # [2BB,1]
             woff2 = jnp.concatenate([kwoff, lwoff], axis=0)
             win2 = jnp.concatenate([kwin, lwin], axis=0)
             neg2 = jnp.concatenate([kneg, lneg], axis=0)
             lane2 = _lane_iota((2 * BB, LANES))
-            rows = jnp.concatenate([stage[0:BB, :], stage_l], axis=0)
+            if not mxu:
+                rows = jnp.concatenate([stage[0:BB, :], stage_l], axis=0)
             rel = lane2 - sub2 * 16
             j = rel - 4
             partial = (-1) << ((15 - win2) * 2)
@@ -694,7 +720,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 _STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
             "indel_end_skip", "max_del_occ", "max_entries", "max_top2",
             "max_seed_diff", "seed_len", "mode", "stack_cap", "hits_cap",
-            "max_iters", "BB", "interpret")
+            "max_iters", "BB", "interpret", "mxu")
 
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
@@ -703,7 +729,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
                     max_gapo, indel_end_skip, max_del_occ, max_entries,
                     max_top2, max_seed_diff, seed_len, mode,
                     stack_cap=256, hits_cap=32, max_iters=200000,
-                    BB=256, interpret=False):
+                    BB=256, interpret=False, mxu=False):
     """Run the pallas DFS.  Inputs:
 
     table: int32 [n_rows, 128] block16 table (build_table);
@@ -726,7 +752,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
         indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
         max_entries=max_entries, max_top2=max_top2,
         max_seed_diff=max_seed_diff, seed_len=seed_len, mode=mode,
-        max_iters=max_iters)
+        max_iters=max_iters, mxu=mxu)
 
     grid = (B // BB,)
 
@@ -769,8 +795,9 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
             pltpu.VMEM((BB, S), I32),       # s_k
             pltpu.VMEM((BB, S), I32),       # s_l
             pltpu.VMEM((BB, 128), I32),     # regs
-            pltpu.VMEM((2 * BB, 128), I32),  # stage
-            pltpu.VMEM((BB, 128), I32),     # rowidx
+            # stage/rowidx are only used by the scalar-fetch path
+            pltpu.VMEM((2 * BB if not mxu else 1, 128), I32),   # stage
+            pltpu.VMEM((BB if not mxu else 1, 128), I32),       # rowidx
             pltpu.VMEM((BB, 128), I32),     # pw0 (mutable planes)
             pltpu.VMEM((BB, 128), I32),     # pw1
         ],

@@ -167,10 +167,12 @@ def banded_global_batch(pairs, ap, band_widths=None):
     B = len(todo)
     L1 = max(len(pairs[i][0]) for i in todo)
     L2 = max(len(pairs[i][1]) for i in todo)
-    # bucket for compile reuse
+    # bucket for compile reuse (B in powers of two)
     L1 = -(-L1 // 32) * 32
     L2 = -(-L2 // 32) * 32
-    Bb = max(8, -(-B // 8) * 8)
+    Bb = 8
+    while Bb < B:
+        Bb <<= 1
     s1 = np.zeros((Bb, L1 + 1), dtype=np.int32)
     s2 = np.zeros((Bb, L2 + 1), dtype=np.int32)
     len1 = np.ones(Bb, dtype=np.int32)
@@ -313,7 +315,9 @@ def extend_batch(jobs, ap, g0s):
     B = len(todo)
     L1 = -(-max(len(jobs[i][0]) for i in todo) // 32) * 32
     L2 = -(-max(len(jobs[i][1]) for i in todo) // 32) * 32
-    Bb = max(8, -(-B // 8) * 8)
+    Bb = 8
+    while Bb < B:
+        Bb <<= 1
     s1 = np.zeros((Bb, L1 + 2), dtype=np.int32)
     s2 = np.zeros((Bb, L2 + 1), dtype=np.int32)
     len1 = np.ones(Bb, dtype=np.int32)
@@ -441,9 +445,13 @@ def local_sw_batch(jobs, ap, thres=1):
     N_LOCAL_SW_DEVICE += len(todo)
 
     B = len(todo)
-    L1 = -(-max(len(jobs[i][0]) for i in todo) // 32) * 32
+    # coarse buckets: rescue windows are isize-dependent (~6*std + 2L),
+    # so fine-grained shapes would compile a kernel per batch
+    L1 = -(-max(len(jobs[i][0]) for i in todo) // 128) * 128
     L2 = -(-max(len(jobs[i][1]) for i in todo) // 32) * 32
-    Bb = max(8, -(-B // 8) * 8)
+    Bb = 8
+    while Bb < B:
+        Bb <<= 1
     s1 = np.full((Bb, L1 + 1), 4, dtype=np.int32)
     s2 = np.full((Bb, L2 + 1), 4, dtype=np.int32)
     len1 = np.ones(Bb, dtype=np.int32)

@@ -81,6 +81,57 @@ static void occ4_edge(const Fm& fm, uint32_t k, uint32_t cnt[4]) {
     occ4_raw(fm, k, cnt);
 }
 
+// bwt_2occ (bwt.c:118-153) semantics for cal_width: occ of c at k and l
+// sharing one checkpoint scan when both land in the same 128-base block
+static inline void occ2(const Fm& fm, uint32_t k, uint32_t l, int c,
+                        uint32_t* ok, uint32_t* ol) {
+    uint32_t _k = (k >= fm.primary) ? k - 1 : k;
+    uint32_t _l = (l >= fm.primary) ? l - 1 : l;
+    if (_l >> 7 != _k >> 7 || k == NEG1 || l == NEG1
+        || k == fm.seq_len || l == fm.seq_len) {
+        *ok = occ1(fm, k, c);
+        *ol = occ1(fm, l, c);
+        return;
+    }
+    const uint32_t* p = fm.bwt + (_k / 128) * 12;
+    uint32_t n = p[c];
+    p += 4;
+    int wk = (int)((_k % 128) / 16);
+    int wl = (int)((_l % 128) / 16);
+    for (int j = 0; j < wk; ++j) n += word_cnt(p[j], c, 16);
+    uint32_t nk = n + word_cnt(p[wk], c, (int)(_k % 16) + 1);
+    for (int j = wk; j < wl; ++j) n += word_cnt(p[j], c, 16);
+    *ok = nk;
+    *ol = n + word_cnt(p[wl], c, (int)(_l % 16) + 1);
+}
+
+// bwt_2occ4 (bwt.c:179-216): occ4 at k and l with one shared scan when
+// both fall in the same checkpoint block
+static void two_occ4(const Fm& fm, uint32_t k, uint32_t l,
+                     uint32_t cnt_k[4], uint32_t cnt_l[4]) {
+    uint32_t _k = (k >= fm.primary) ? k - 1 : k;
+    uint32_t _l = (l >= fm.primary) ? l - 1 : l;
+    if (_l >> 7 != _k >> 7 || k == NEG1 || l == NEG1
+        || k == fm.seq_len || l == fm.seq_len) {
+        occ4_edge(fm, k, cnt_k);
+        occ4_edge(fm, l, cnt_l);
+        return;
+    }
+    const uint32_t* p = fm.bwt + (_k / 128) * 12;
+    uint32_t common[4] = { p[0], p[1], p[2], p[3] };
+    p += 4;
+    int wk = (int)((_k % 128) / 16);
+    int wl = (int)((_l % 128) / 16);
+    for (int j = 0; j < wk; ++j)
+        for (int c = 0; c < 4; ++c) common[c] += word_cnt(p[j], c, 16);
+    for (int c = 0; c < 4; ++c)
+        cnt_k[c] = common[c] + word_cnt(p[wk], c, (int)(_k % 16) + 1);
+    for (int j = wk; j < wl; ++j)
+        for (int c = 0; c < 4; ++c) common[c] += word_cnt(p[j], c, 16);
+    for (int c = 0; c < 4; ++c)
+        cnt_l[c] = common[c] + word_cnt(p[wl], c, (int)(_l % 16) + 1);
+}
+
 // bwt_match_exact_alt (bwt.c:237-252)
 static int match_exact_alt(const Fm& fm, const uint8_t* str, int len,
                            uint32_t& k, uint32_t& l) {
@@ -102,8 +153,10 @@ static void cal_width(const Fm& fm, const uint8_t* str, int len,
     for (int i = 0; i < len; ++i) {
         int c = str[i];
         if (c < 4) {
-            k = fm.L2[c] + occ1(fm, k - 1, c) + 1;
-            l = fm.L2[c] + occ1(fm, l, c);
+            uint32_t ok, ol;
+            occ2(fm, k - 1, l, c, &ok, &ol);
+            k = fm.L2[c] + ok + 1;
+            l = fm.L2[c] + ol;
         }
         if (k > l || c > 3) { k = 0; l = fm.seq_len; ++cur; }
         w[i] = l - k + 1;
@@ -158,7 +211,14 @@ struct Stack {
     std::vector<std::vector<Entry>> bins;
     int best;
     int64_t n_entries = 0;
+    Stack() : best(0) {}
     explicit Stack(int n_bins) : bins(n_bins), best(n_bins) {}
+    void reset(int n_bins) {
+        if ((int)bins.size() < n_bins) bins.resize(n_bins);
+        for (auto& b : bins) b.clear();
+        best = n_bins;
+        n_entries = 0;
+    }
     void push(const Entry& e, int score) {
         bins[score].push_back(e);
         ++n_entries;
@@ -179,11 +239,20 @@ struct Stack {
     }
 };
 
+// per-thread reusable buffers: the per-read allocations (width arrays +
+// ~100 score-bin vectors) cost more than the search itself on short reads
+struct Arena {
+    std::vector<uint32_t> w0, w1, sw0, sw1;
+    std::vector<int32_t> b0, b1, sb0, sb1;
+    Stack stack;
+};
+
 // bwt_match_gap (bwtgap.c:104-266) for one read.  Returns n_aln
 // (-1 = hits_cap exceeded); hw_out gets the stack high-water mark.
 static int match_gap(const Fm fms[2], int length, const uint8_t* seq,
                      const uint8_t* rseq, int max_diff, int max_gapo,
-                     const Opts& opt, Hit* hits, int32_t* hw_out) {
+                     const Opts& opt, Hit* hits, int32_t* hw_out,
+                     Arena& ar) {
     auto score_of = [&](int m, int o, int e) {
         return m * opt.s_mm + o * opt.s_gapo + e * opt.s_gape;
     };
@@ -206,29 +275,30 @@ static int match_gap(const Fm fms[2], int length, const uint8_t* seq,
     // widths on the strand's own search index (models/aln.py: w0 from
     // fwd bwt with seq, w1 from rev bwt with rseq; strand a searches
     // fms[1-a], bwtgap.c:149)
-    std::vector<uint32_t> w0(length + 1), w1(length + 1);
-    std::vector<int32_t> b0(length + 1), b1(length + 1);
-    cal_width(fms[0], seq, length, w0.data(), b0.data());
-    cal_width(fms[1], rseq, length, w1.data(), b1.data());
-    uint32_t* W[2] = { w0.data(), w1.data() };
-    int32_t* BID[2] = { b0.data(), b1.data() };
+    ar.w0.resize(length + 1); ar.w1.resize(length + 1);
+    ar.b0.resize(length + 1); ar.b1.resize(length + 1);
+    cal_width(fms[0], seq, length, ar.w0.data(), ar.b0.data());
+    cal_width(fms[1], rseq, length, ar.w1.data(), ar.b1.data());
+    uint32_t* W[2] = { ar.w0.data(), ar.w1.data() };
+    int32_t* BID[2] = { ar.b0.data(), ar.b1.data() };
 
     const bool has_seed = opt.seed_len < length;
-    std::vector<uint32_t> sw0, sw1;
-    std::vector<int32_t> sb0, sb1;
     uint32_t* SW[2] = { nullptr, nullptr };
     int32_t* SBID[2] = { nullptr, nullptr };
     if (has_seed) {
         int sl = opt.seed_len;
-        sw0.resize(sl + 1); sw1.resize(sl + 1);
-        sb0.resize(sl + 1); sb1.resize(sl + 1);
-        cal_width(fms[0], seq + (length - sl), sl, sw0.data(), sb0.data());
-        cal_width(fms[1], rseq + (length - sl), sl, sw1.data(), sb1.data());
-        SW[0] = sw0.data(); SW[1] = sw1.data();
-        SBID[0] = sb0.data(); SBID[1] = sb1.data();
+        ar.sw0.resize(sl + 1); ar.sw1.resize(sl + 1);
+        ar.sb0.resize(sl + 1); ar.sb1.resize(sl + 1);
+        cal_width(fms[0], seq + (length - sl), sl, ar.sw0.data(),
+                  ar.sb0.data());
+        cal_width(fms[1], rseq + (length - sl), sl, ar.sw1.data(),
+                  ar.sb1.data());
+        SW[0] = ar.sw0.data(); SW[1] = ar.sw1.data();
+        SBID[0] = ar.sb0.data(); SBID[1] = ar.sb1.data();
     }
 
-    Stack stack(n_bins + 1);
+    Stack& stack = ar.stack;
+    stack.reset(n_bins + 1);
     stack.push({0, fms[0].seq_len, (int16_t)length, 0, 0, 0, 0, 0,
                 STATE_M}, 0);
     stack.push({0, fms[0].seq_len, (int16_t)length, 0, 1, 0, 0, 0,
@@ -316,8 +386,7 @@ static int match_gap(const Fm fms[2], int length, const uint8_t* seq,
 
         --i;
         uint32_t cnt_k[4], cnt_l[4];
-        occ4_edge(fm, k - 1, cnt_k);
-        occ4_edge(fm, l, cnt_l);
+        two_occ4(fm, k - 1, l, cnt_k, cnt_l);
         uint32_t occw = l - k + 1;
 
         bool allow_diff = true, allow_M = true;
@@ -443,6 +512,7 @@ int dfs_match_gap_batch(
 
     std::atomic<int> cursor{0};
     auto work = [&]() {
+        Arena ar;
         for (;;) {
             int i = cursor.fetch_add(1);
             if (i >= n) break;
@@ -452,7 +522,7 @@ int dfs_match_gap_batch(
                 fms, lengths[i], seq, rseq, maxdiff[i], max_gapo, opt,
                 reinterpret_cast<Hit*>(hits_out
                                        + (size_t)i * hits_cap * 7),
-                &hw_out[i]);
+                &hw_out[i], ar);
         }
     };
     std::vector<std::thread> threads;

@@ -115,6 +115,9 @@ print(f"jnp DFS done in {time.time()-t0:.1f}s")
 table, rev_row0 = dfs_pallas.build_table(
     np.asarray(eng.bwt_cat), eng.rev_off)
 print(f"table rows={table.shape[0]} bytes={table.nbytes}")
+MXU = os.environ.get("MXU", "1") == "1"
+if MXU:
+    table = dfs_pallas.build_table_i8(table)
 params = dfs_pallas.build_params(np.asarray(eng.l2), eng.primary_fwd,
                                  eng.primary_rev, eng.seq_len, rev_row0)
 BB = int(os.environ.get("BB", "8" if mode == "cpu" else "256"))
@@ -127,7 +130,7 @@ pal_out = dfs_pallas.aln_device_step_pallas(
     jnp.asarray(seqs_a), jnp.asarray(lengths), jnp.asarray(sseq),
     jnp.asarray(slen), jnp.asarray(has_seed), jnp.asarray(maxdiff),
     stack_cap=S, hits_cap=H, max_iters=200000, BB=BB,
-    interpret=(mode == "cpu"), **statics)
+    interpret=(mode == "cpu"), mxu=MXU, **statics)
 pal_np = np.asarray(pal_out)
 print(f"pallas DFS done in {time.time()-t0:.1f}s")
 
