@@ -183,7 +183,7 @@ def config4():
     fa, g = ensure_genome("ecoli", 4_600_000, 11)
     rng = np.random.default_rng(204)
     comp = bytes.maketrans(b"ACGT", b"TGCA")
-    n_reads = int(os.environ.get("C4_READS", "300"))
+    n_reads = int(os.environ.get("C4_READS", "150"))
     out = []
     for i in range(n_reads):
         L = int(rng.integers(800, 1200))

@@ -119,3 +119,20 @@ def test_aln_bam_input(tmp_path):
                         str(tmp_path / "in.bam"),
                         "-f", str(got)]) == 0
         assert got.read_bytes() == (tmp_path / "ref.sai").read_bytes(), flags
+
+
+def test_stdsw_protein(tmp_path, capsys):
+    """-p protein mode (aln_param_aa2aa + blosum62 + aa table)."""
+    rng = __import__("numpy").random.default_rng(91)
+    aas = b"ARNDCQEGHILKMFPSTWYV"
+    long_seq = bytes(aas[int(rng.integers(0, 20))] for _ in range(300))
+    s = bytearray(long_seq[40:120])
+    s[10] = ord("W") if s[10] != ord("W") else ord("C")
+    s[30] = ord("H") if s[30] != ord("H") else ord("K")
+    (tmp_path / "long.fa").write_bytes(b">prot\n" + long_seq + b"\n")
+    (tmp_path / "short.fa").write_bytes(b">q\n" + bytes(s) + b"\n")
+    args = ["-p", "-T", "30", str(tmp_path / "long.fa"),
+            str(tmp_path / "short.fa")]
+    want = _stdsw_ref(args)
+    got = _stdsw_ours(args, capsys)
+    assert got == want

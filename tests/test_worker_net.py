@@ -46,7 +46,10 @@ def spawn_worker(port, idle=30.0):
         [sys.executable, "-m", "nabwa_tpu", "worker", "-p", str(port),
          "--idle-timeout", str(idle)],
         env=env, cwd=ROOT, stdout=subprocess.DEVNULL,
-        stderr=subprocess.PIPE)
+        # stderr must NOT be an undrained PIPE: the worker logs per chunk
+        # (plus the backend's per-AOT-load warnings) and a full 64 KB pipe
+        # freezes it mid-chunk, deadlocking the coordinator
+        stderr=subprocess.DEVNULL)
 
 
 def test_networked_workers_and_kill(tmp_path):
@@ -76,7 +79,7 @@ def test_networked_workers_and_kill(tmp_path):
         result["recs"] = run("net.bam", n_workers=0, chunk_size=6,
                              port=port, prefix=str(tmp_path / "g.fa"))
 
-    th = threading.Thread(target=coordinator)
+    th = threading.Thread(target=coordinator, daemon=True)
     th.start()
     w1 = spawn_worker(port)
     w2 = spawn_worker(port)
