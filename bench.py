@@ -26,10 +26,14 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 WORK = pathlib.Path("/tmp/nabwa_bench")
 GLEN = 2_000_000
-N_READS = 8192
+# chunk long enough that the host drain window exceeds the device link's
+# fixed latency — below ~16k reads the hybrid split correctly leaves the
+# (30 ms RTT) tunnel idle and the chip contributes nothing
+N_READS = 32768
 READ_LEN = 100
-# 1024-read slices keep the device-call geometry fixed while the
-# adaptive device/host split varies the device share per chunk
+# large fixed device slices: every device sync costs a ~30 ms tunnel
+# round trip, so the hybrid split hands the device a few big slices
+# (one compile bucket) and overlaps the host drain with their queue
 DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "1024"))
 STACK_CAP = int(os.environ.get("NABWA_BENCH_STACK", "256"))
 
@@ -45,7 +49,8 @@ def setup_data():
         fa, seqs = genomes.random_genome(GLEN, seed=99)
         fa_path.write_bytes(fa)
         build_index(str(fa_path))
-    if not fq_path.exists():
+    if (not fq_path.exists()
+            or fq_path.read_bytes().count(b"\n") != 4 * N_READS):
         fa_txt = fa_path.read_bytes()
         seq = b"".join(l for l in fa_txt.split(b"\n")
                        if not l.startswith(b">"))
@@ -64,17 +69,24 @@ def bench_ours(fa_path, fq_path):
     idx = BwaIndex.load(str(fa_path))
     reads = fastq.read_fastq_batch(fastq.iter_fastq(str(fq_path)), 1 << 22)
     eng = AlnEngine(idx, GapOpt(), stack_cap=STACK_CAP)
-    # warm-up / compile: full device share so the timed slices hit the
-    # compile cache; one split chunk to calibrate the host fraction
+    # warm-up / compile: a device-only chunk compiles the slice bucket the
+    # timed run reuses (excluded from the rate EMA), a second one measures
+    # the clean device rate, then one hybrid chunk warms the native engine
     eng.host_frac = 0.0
     eng.run_chunk(reads[:DEVICE_BATCH], device_batch=DEVICE_BATCH)
+    eng.run_chunk(reads[:4 * DEVICE_BATCH], device_batch=DEVICE_BATCH)
     eng.host_frac = 0.5
-    eng.run_chunk(reads[:2 * DEVICE_BATCH], device_batch=DEVICE_BATCH)
-    t0 = time.time()
-    res = eng.run_chunk(reads, device_batch=DEVICE_BATCH)
-    dt = time.time() - t0
+    eng.run_chunk(reads[:4 * DEVICE_BATCH], device_batch=DEVICE_BATCH)
+    # median of 3: the shared-vCPU host and the device tunnel both jitter
+    # (+-30% observed run to run)
+    rates = []
+    for _ in range(3):
+        t0 = time.time()
+        res = eng.run_chunk(reads, device_batch=DEVICE_BATCH)
+        dt = time.time() - t0
+        rates.append(len(reads) / dt)
     n_hit = sum(1 for a, hw in res if a)
-    return len(reads) / dt, n_hit
+    return sorted(rates)[1], n_hit
 
 
 def bench_reference(fa_path, fq_path):
@@ -96,12 +108,15 @@ def bench_reference(fa_path, fq_path):
         ref_fa.write_bytes(fa_path.read_bytes())
         subprocess.run([bwa, "index", str(ref_fa)], check=True,
                        capture_output=True)
-    ref_sai.unlink(missing_ok=True)
-    t0 = time.time()
-    subprocess.run([bwa, "aln", str(ref_fa), str(fq_path), "-f",
-                    str(ref_sai)], check=True, capture_output=True)
-    dt = time.time() - t0
-    return N_READS / dt
+    rates = []
+    for _ in range(3):
+        ref_sai.unlink(missing_ok=True)
+        t0 = time.time()
+        subprocess.run([bwa, "aln", str(ref_fa), str(fq_path), "-f",
+                        str(ref_sai)], check=True, capture_output=True)
+        dt = time.time() - t0
+        rates.append(N_READS / dt)
+    return sorted(rates)[1]
 
 
 def main():

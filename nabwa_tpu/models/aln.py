@@ -46,6 +46,10 @@ class AlnEngine:
     PALLAS_MAX_TABLE = 10 << 20       # ~10 Mbp genome in VMEM
     PALLAS_MXU_ROWS = 16384           # one-hot matmul gather cutoff
     PALLAS_MAX_STACK = 1024
+    # fixed per-chunk device overhead (s): dispatch + result collection
+    # round trips over the device link (measured ~30 ms/RTT through the
+    # tunnel, a few RTTs per chunk)
+    DEV_LAT = 0.12
 
     def __init__(self, index, opt, stack_cap=256, hits_cap=32,
                  max_iters=2_000_000, retry_stack_cap=1024,
@@ -107,6 +111,12 @@ class AlnEngine:
         self.primary_rev = _i32(rev.primary)
         self.seq_len = _i32(fwd.seq_len)
         self._scalar_fms = None
+        # host-side uint32 views for the native engine: _drain_native must
+        # NOT round-trip the device copies (np.asarray on a jax array is a
+        # device->host transfer per call on this backend)
+        self._host_fwd = np.ascontiguousarray(fwd.bwt, dtype=np.uint32)
+        self._host_rev = np.ascontiguousarray(rev.bwt, dtype=np.uint32)
+        self._host_l2 = np.ascontiguousarray(fwd.l2, dtype=np.uint32)
 
         # Pallas DFS kernel (ops/dfs_pallas.py): whole search in one
         # pallas_call with VMEM-resident BWT + stacks — ~2.2x the jnp
@@ -180,56 +190,99 @@ class AlnEngine:
             if local.max_diff < local.max_gapo:
                 local.max_gapo = local.max_diff
 
-            # Heterogeneous split: the DFS is a scalar pointer-chase whose
+            # Heterogeneous overlap: the DFS is a scalar pointer-chase whose
             # TPU rate is bounded by the scalar core's issue rate (two
             # random block fetches per read per step), while the host's
             # threaded native engine (native/dfsgap.cpp) runs the same
-            # search bit-exactly.  A slice of each chunk therefore runs on
-            # host threads CONCURRENTLY with the device batch; the split
-            # fraction adapts to the measured rates of both engines.
-            n_host = 0
-            host_thread = None
+            # search bit-exactly.  jax dispatch is async, so the overlap is
+            # threadless: dispatch the device share (whole slices, one
+            # compile bucket), run the native drain in THIS thread (the C
+            # call drops the GIL; the device works through its queue
+            # meanwhile), then collect.  Every sync point with the device
+            # costs a tunnel round trip (~30 ms measured), so the device
+            # share is a few large slices, not a polled work queue; the
+            # split fraction comes from per-engine rate EMAs.
             use_native = self._native_ok()
-            if (use_native and self.mesh is None and len(reads) >= 256
-                    and jax.default_backend() == "tpu"
-                    and self.host_frac > 0.0):
-                # round the device share DOWN to whole device_batch slices
-                # so the split never creates a new compile bucket
-                n_dev = int(len(reads) * (1.0 - self.host_frac))
-                n_dev = (n_dev // device_batch) * device_batch
-                if n_dev == 0 and len(reads) >= device_batch:
-                    n_dev = device_batch
-                n_host = len(reads) - n_dev
-            if n_host > 0:
-                import threading
-                import time as _time
-                h_idx = list(range(len(reads) - n_host, len(reads)))
-                h_stats = {}
-
-                def _host_work():
-                    t0 = _time.time()
-                    self._drain_native([reads[i] for i in h_idx],
-                                       per_read_maxdiff[h_idx], local,
-                                       results, h_idx)
-                    h_stats["dt"] = _time.time() - t0
-                host_thread = threading.Thread(target=_host_work,
-                                               daemon=True)
-                host_thread.start()
-                reads_dev = reads[:len(reads) - n_host]
-            else:
-                reads_dev = reads
-
-            # Pipelined tier-0 over the device share: dispatch EVERY
-            # slice's device call up front (jax dispatch is async — the
-            # chip works through the queue), then collect in order;
-            # overflow reads queue for the host drain.
-            import time as _time
-            t_dev0 = _time.time()
+            hybrid = (use_native and self.mesh is None and len(reads) >= 256
+                      and jax.default_backend() == "tpu"
+                      and self.host_frac > 0.0)
             defer = []
             ovf = []
+            if hybrid:
+                import os as _os
+                import time as _time
+                dev_rate = getattr(self, "_dev_rate", 8_000.0)
+                host_rate = getattr(self, "_host_rate", 25_000.0)
+                n_dev = int(len(reads) * dev_rate / (dev_rate + host_rate))
+                n_dev = (n_dev // device_batch) * device_batch
+                n_dev = min(n_dev, len(reads))
+                # opportunity-cost check: driving the device costs ~one
+                # host core of runtime/transfer work (measured: the device
+                # queue stalls when native saturates every core), so the
+                # device share must out-produce the per-core host rate it
+                # displaces.  With a locally-attached chip dev_rate clears
+                # this easily; through a high-latency tunnel it may not,
+                # and the right call is to leave the link idle.
+                per_core = host_rate / max(_os.cpu_count() or 1, 1)
+                if dev_rate < 1.1 * per_core:
+                    n_dev = 0
+                # latency guard: a device share also pays a fixed tunnel
+                # cost (dispatch + result round trips); shed slices until
+                # the predicted device window fits inside the host drain
+                # window (short chunks end up host-only)
+                while n_dev and (self.DEV_LAT + n_dev / dev_rate) > \
+                        1.1 * (len(reads) - n_dev) / host_rate:
+                    n_dev -= device_batch
+                handles = []
+                t_disp0 = _time.time()
+                for start in range(0, n_dev, device_batch):
+                    part = reads[start:start + device_batch]
+                    handles.append((start, part, self._run_device(
+                        part, per_read_maxdiff[start:start + len(part)],
+                        local, results, start, max_len,
+                        dispatch_only=True)))
+                t_host0 = _time.time()
+                if n_dev < len(reads):
+                    self._drain_native(
+                        reads[n_dev:], per_read_maxdiff[n_dev:], local,
+                        results, list(range(n_dev, len(reads))))
+                t_host1 = _time.time()
+                for start, part, ctx in handles:
+                    fb = self._collect_device(ctx, part, results, start)
+                    if fb:
+                        ovf.extend(start + i for i in fb)
+                t_dev1 = _time.time()
+                if ovf:
+                    self._drain_native([reads[i] for i in ovf],
+                                       per_read_maxdiff[ovf], local,
+                                       results, ovf)
+                # rate EMAs for the next chunk's split.  The host window is
+                # always clean (the drain is timed exactly).  The device
+                # window (dispatch -> last collect) is only a valid rate
+                # measurement when the device outlived the host drain —
+                # otherwise the device finished somewhere inside the host
+                # window and the quotient just echoes the host time, which
+                # would decay the estimate until the device gets no work.
+                if n_dev and (t_dev1 - t_host1) > 0.1 * (t_dev1 - t_disp0):
+                    r = n_dev / max(t_dev1 - t_disp0, 1e-9)
+                    self._dev_rate = (0.5 * dev_rate + 0.5 * r
+                                      if hasattr(self, "_dev_rate") else r)
+                if n_dev < len(reads):
+                    r = (len(reads) - n_dev) / max(t_host1 - t_host0, 1e-9)
+                    self._host_rate = (0.5 * host_rate + 0.5 * r
+                                       if hasattr(self, "_host_rate")
+                                       else r)
+                return results
+
+            # Device-only (or CPU/mesh) pipelined tier-0: dispatch EVERY
+            # slice's device call up front (jax dispatch is async — the
+            # chip works through the queue), then collect in order;
+            # overflow reads queue for the retry tier / host drain.
+            import time as _time
+            t_dev0 = _time.time()
             handles = []
-            for start in range(0, len(reads_dev), device_batch):
-                part = reads_dev[start:start + device_batch]
+            for start in range(0, len(reads), device_batch):
+                part = reads[start:start + device_batch]
                 handles.append((start, part, self._run_device(
                     part, per_read_maxdiff[start:start + len(part)],
                     local, results, start, max_len, defer=defer,
@@ -244,24 +297,19 @@ class AlnEngine:
                     # hw sorts the device retry hardest-first below
                     hw = ctx["hw"]
                     defer.extend((start + i, int(hw[i])) for i in fb)
-            t_dev = _time.time() - t_dev0
-            if host_thread is not None:
-                host_thread.join()
+            if self.mesh is None and jax.default_backend() == "tpu":
+                # clean device-only rate: seeds the hybrid split estimate.
+                # The first device-only chunk per engine is compile-laden
+                # (minutes on a cold cache) — never let it into the EMA.
+                if getattr(self, "_dev_warmed", False):
+                    r = len(reads) / max(_time.time() - t_dev0, 1e-9)
+                    self._dev_rate = (0.5 * self._dev_rate + 0.5 * r
+                                      if hasattr(self, "_dev_rate") else r)
+                self._dev_warmed = True
             if ovf:
                 self._drain_native([reads[i] for i in ovf],
                                    per_read_maxdiff[ovf], local,
                                    results, ovf)
-            if n_host > 0 and len(reads_dev) and t_dev > 0:
-                # adapt the split: equalize projected finish times (full
-                # jump on the first measurement, EMA afterwards)
-                dev_rate = len(reads_dev) / t_dev
-                host_rate = n_host / max(h_stats.get("dt", 1e-9), 1e-9)
-                f = host_rate / max(dev_rate + host_rate, 1e-9)
-                w = 1.0 if not getattr(self, "_split_seen", False) else 0.5
-                self._split_seen = True
-                self.host_frac = min(0.97, max(0.05,
-                                               (1 - w) * self.host_frac
-                                               + w * f))
             if defer:
                 defer.sort(key=lambda t: -t[1])
                 idxs = [i for i, _ in defer]
@@ -314,9 +362,9 @@ class AlnEngine:
         lo.seed_len = self.opt.seed_len
         fb_maxdiff = np.asarray(fb_maxdiff, dtype=np.int32)
         native = dfs_match_gap_native(
-            np.asarray(self.bwt_fwd), int(self.primary_fwd),
-            np.asarray(self.bwt_rev), int(self.primary_rev),
-            np.asarray(self.l2), int(self.seq_len),
+            self._host_fwd, int(self.primary_fwd),
+            self._host_rev, int(self.primary_rev),
+            self._host_l2, int(self.seq_len),
             fb_reads, fb_maxdiff, lo)
         if native is not None:
             for i, res in zip(idxs, native):
