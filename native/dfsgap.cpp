@@ -44,31 +44,85 @@ static inline uint32_t word_cnt(uint32_t w, int c, int n) {
     return (uint32_t)__builtin_popcount(x0 & x1 & m);
 }
 
+// bit mask of lanes holding code c in a 64-bit word pair (one bit set per
+// matching 2-bit base, at the base's low bit position)
+static inline uint64_t code_bits64(uint64_t v, int c) {
+    uint64_t lo = v & 0x5555555555555555ull;
+    uint64_t hi = (v >> 1) & 0x5555555555555555ull;
+    return ((c & 1) ? lo : lo ^ 0x5555555555555555ull)
+        & ((c & 2) ? hi : hi ^ 0x5555555555555555ull);
+}
+
+// count of code c among bases [0, kk] of a block's data words (pairs of
+// full words fold into one 64-bit popcount; word_cnt handles the leftover
+// and the masked partial word, including c == 0)
+static inline uint32_t scan_cnt(const uint32_t* w, int kk, int c) {
+    int wi = kk / 16;
+    uint32_t n = 0;
+    int j = 0;
+    for (; j + 2 <= wi; j += 2)
+        n += (uint32_t)__builtin_popcountll(
+            code_bits64(((uint64_t)w[j] << 32) | w[j + 1], c));
+    if (j < wi)
+        n += word_cnt(w[j], c, 16);
+    return n + word_cnt(w[wi], c, (kk & 15) + 1);
+}
+
 // bwt_occ (bwt.c:92-115)
 static uint32_t occ1(const Fm& fm, uint32_t k, int c) {
     if (k == fm.seq_len) return fm.L2[c + 1] - fm.L2[c];
     if (k == NEG1) return 0;
     if (k >= fm.primary) --k;
     const uint32_t* p = fm.bwt + (k / 128) * 12;
-    uint32_t n = p[c];
-    p += 4;
-    int wi = (int)((k % 128) / 16);
-    for (int j = 0; j < wi; ++j) n += word_cnt(p[j], c, 16);
-    n += word_cnt(p[wi], c, (int)(k % 16) + 1);
-    return n;
+    return p[c] + scan_cnt(p + 4, (int)(k % 128), c);
+}
+
+// all-4-codes counting: tally codes 1..3 with three popcounts (code 0 is
+// derived from the base count), fusing word pairs into one 64-bit
+// popcount each — ~4x fewer ops than a per-code word_cnt sweep
+static inline void word_cnt123(uint32_t v, uint32_t* c1, uint32_t* c2,
+                               uint32_t* c3) {
+    uint32_t lo = v & 0x55555555u, hi = (v >> 1) & 0x55555555u;
+    *c1 += (uint32_t)__builtin_popcount(lo & ~hi);
+    *c2 += (uint32_t)__builtin_popcount(hi & ~lo);
+    *c3 += (uint32_t)__builtin_popcount(hi & lo);
+}
+
+static inline void pair_cnt123(uint64_t v, uint32_t* c1, uint32_t* c2,
+                               uint32_t* c3) {
+    uint64_t lo = v & 0x5555555555555555ull;
+    uint64_t hi = (v >> 1) & 0x5555555555555555ull;
+    *c1 += (uint32_t)__builtin_popcountll(lo & ~hi);
+    *c2 += (uint32_t)__builtin_popcountll(hi & ~lo);
+    *c3 += (uint32_t)__builtin_popcountll(hi & lo);
+}
+
+// mask keeping the top ((kk & 15) + 1) bases of a 16-base word (bases are
+// MSB-first); masked-off bases become code 0, never counted in c1..c3
+static inline uint32_t part_mask(int kk) {
+    return ~((1u << ((15 - (kk & 15)) << 1)) - 1u);
 }
 
 // bwt_occ4 core (bwt.c:159-176) for k not in {-1, seq_len}
 static void occ4_raw(const Fm& fm, uint32_t k, uint32_t cnt[4]) {
     if (k >= fm.primary) --k;
     const uint32_t* p = fm.bwt + (k / 128) * 12;
-    for (int c = 0; c < 4; ++c) cnt[c] = p[c];
-    p += 4;
-    int wi = (int)((k % 128) / 16);
-    int n = (int)(k % 16) + 1;
-    for (int j = 0; j < wi; ++j)
-        for (int c = 0; c < 4; ++c) cnt[c] += word_cnt(p[j], c, 16);
-    for (int c = 0; c < 4; ++c) cnt[c] += word_cnt(p[wi], c, n);
+    const uint32_t* w = p + 4;
+    int kk = (int)(k % 128);
+    int wi = kk / 16;
+    uint32_t c1 = 0, c2 = 0, c3 = 0;
+    int j = 0;
+    for (; j + 2 <= wi; j += 2)
+        pair_cnt123(((uint64_t)w[j] << 32) | w[j + 1], &c1, &c2, &c3);
+    uint32_t last = w[wi] & part_mask(kk);
+    if (j < wi)
+        pair_cnt123(((uint64_t)w[j] << 32) | last, &c1, &c2, &c3);
+    else
+        word_cnt123(last, &c1, &c2, &c3);
+    cnt[0] = p[0] + (uint32_t)(kk + 1) - c1 - c2 - c3;
+    cnt[1] = p[1] + c1;
+    cnt[2] = p[2] + c2;
+    cnt[3] = p[3] + c3;
 }
 
 // bwt_2occ4 semantics (scalar model two_occ4): edge cases per operand
@@ -94,15 +148,23 @@ static inline void occ2(const Fm& fm, uint32_t k, uint32_t l, int c,
         return;
     }
     const uint32_t* p = fm.bwt + (_k / 128) * 12;
-    uint32_t n = p[c];
-    p += 4;
-    int wk = (int)((_k % 128) / 16);
-    int wl = (int)((_l % 128) / 16);
-    for (int j = 0; j < wk; ++j) n += word_cnt(p[j], c, 16);
-    uint32_t nk = n + word_cnt(p[wk], c, (int)(_k % 16) + 1);
-    for (int j = wk; j < wl; ++j) n += word_cnt(p[j], c, 16);
-    *ok = nk;
-    *ol = n + word_cnt(p[wl], c, (int)(_l % 16) + 1);
+    const uint32_t* w = p + 4;
+    int kk = (int)(_k % 128), ll = (int)(_l % 128);
+    int wk = kk / 16, wl = ll / 16;
+    uint32_t n = 0;      // count over full words [0, wk)
+    int j = 0;
+    for (; j + 2 <= wk; j += 2)
+        n += (uint32_t)__builtin_popcountll(
+            code_bits64(((uint64_t)w[j] << 32) | w[j + 1], c));
+    if (j < wk)
+        n += word_cnt(w[j], c, 16);
+    *ok = p[c] + n + word_cnt(w[wk], c, (kk & 15) + 1);
+    for (j = wk; j + 2 <= wl; j += 2)
+        n += (uint32_t)__builtin_popcountll(
+            code_bits64(((uint64_t)w[j] << 32) | w[j + 1], c));
+    if (j < wl)
+        n += word_cnt(w[j], c, 16);
+    *ol = p[c] + n + word_cnt(w[wl], c, (ll & 15) + 1);
 }
 
 // bwt_2occ4 (bwt.c:179-216): occ4 at k and l with one shared scan when
@@ -118,18 +180,30 @@ static void two_occ4(const Fm& fm, uint32_t k, uint32_t l,
         return;
     }
     const uint32_t* p = fm.bwt + (_k / 128) * 12;
-    uint32_t common[4] = { p[0], p[1], p[2], p[3] };
-    p += 4;
-    int wk = (int)((_k % 128) / 16);
-    int wl = (int)((_l % 128) / 16);
-    for (int j = 0; j < wk; ++j)
-        for (int c = 0; c < 4; ++c) common[c] += word_cnt(p[j], c, 16);
-    for (int c = 0; c < 4; ++c)
-        cnt_k[c] = common[c] + word_cnt(p[wk], c, (int)(_k % 16) + 1);
-    for (int j = wk; j < wl; ++j)
-        for (int c = 0; c < 4; ++c) common[c] += word_cnt(p[j], c, 16);
-    for (int c = 0; c < 4; ++c)
-        cnt_l[c] = common[c] + word_cnt(p[wl], c, (int)(_l % 16) + 1);
+    const uint32_t* w = p + 4;
+    int kk = (int)(_k % 128), ll = (int)(_l % 128);
+    int wk = kk / 16, wl = ll / 16;
+    uint32_t f1 = 0, f2 = 0, f3 = 0;    // shared full-word tallies
+    int j = 0;
+    for (; j + 2 <= wk; j += 2)
+        pair_cnt123(((uint64_t)w[j] << 32) | w[j + 1], &f1, &f2, &f3);
+    if (j < wk)
+        word_cnt123(w[j], &f1, &f2, &f3);
+    uint32_t k1 = f1, k2 = f2, k3 = f3;
+    word_cnt123(w[wk] & part_mask(kk), &k1, &k2, &k3);
+    cnt_k[0] = p[0] + (uint32_t)(kk + 1) - k1 - k2 - k3;
+    cnt_k[1] = p[1] + k1;
+    cnt_k[2] = p[2] + k2;
+    cnt_k[3] = p[3] + k3;
+    for (j = wk; j + 2 <= wl; j += 2)
+        pair_cnt123(((uint64_t)w[j] << 32) | w[j + 1], &f1, &f2, &f3);
+    if (j < wl)
+        word_cnt123(w[j], &f1, &f2, &f3);
+    word_cnt123(w[wl] & part_mask(ll), &f1, &f2, &f3);
+    cnt_l[0] = p[0] + (uint32_t)(ll + 1) - f1 - f2 - f3;
+    cnt_l[1] = p[1] + f1;
+    cnt_l[2] = p[2] + f2;
+    cnt_l[3] = p[3] + f3;
 }
 
 // bwt_match_exact_alt (bwt.c:237-252)
