@@ -11,11 +11,14 @@ from ..constants import SA_INTERVAL
 
 
 def _build_one(codes, prefix, ext_bwt, ext_sa, sa_intv):
-    bwt, primary, l2, sa_full = samod.bwt_from_codes(codes)
+    # chunked derivations: the suffix array (8 B/char) is freed before
+    # the interleave/sample staging allocates
+    bwt, primary, l2, sa_samp = samod.bwt_and_sample_from_codes(
+        codes, sa_intv)
     words = samod.pack_bwt_words(bwt)
     inter = samod.interleave_occ(words, bwt, len(codes))
+    del bwt, words
     formats.write_bwt(str(prefix) + ext_bwt, primary, l2, inter)
-    sa_samp = samod.cal_sa_sample(sa_full, len(codes), sa_intv)
     formats.write_sa(str(prefix) + ext_sa, primary, l2, sa_samp,
                      len(codes), sa_intv)
 

@@ -47,6 +47,8 @@ def _load():
         lib = ctypes.CDLL(str(_SO))
         lib.sais_u8.argtypes = [_u8, _i64, ctypes.c_int64]
         lib.sais_u8.restype = ctypes.c_int
+        lib.sais_u8_big.argtypes = [_u8, _i64, ctypes.c_int64]
+        lib.sais_u8_big.restype = ctypes.c_int
         lib.bwt_cal_sa_u32.argtypes = [
             _u32, ctypes.c_uint32, _u32, ctypes.c_uint32, ctypes.c_int,
             _u32]
@@ -72,16 +74,19 @@ def have_native():
 
 
 def suffix_array_native(codes):
-    """SA-IS suffix array via the native library; None if unavailable."""
+    """SA-IS suffix array via the native library; None if unavailable.
+
+    Uses the in-place Gbp entry point (SA buffer of n+1 entries doubles as
+    the construction workspace above 2^31 chars — saves an 8n shadow)."""
     lib = _load()
     if lib is None:
         return None
     t = np.ascontiguousarray(codes, dtype=np.uint8)
-    sa = np.empty(len(t), dtype=np.int64)
-    rc = lib.sais_u8(t, sa, len(t))
+    sa = np.empty(len(t) + 1, dtype=np.int64)
+    rc = lib.sais_u8_big(t, sa, len(t))
     if rc != 0:
         return None
-    return sa
+    return sa[:len(t)]
 
 
 def cal_sa_native(bwt_words, primary, l2, seq_len, intv):

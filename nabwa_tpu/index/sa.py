@@ -73,16 +73,63 @@ def bwt_from_codes(codes):
     return bwt.astype(np.uint8), primary, l2, sa_full
 
 
+def bwt_and_sample_from_codes(codes, sa_intv=SA_INTERVAL):
+    """Gbp-scale bwt_from_codes + cal_sa_sample: derives the BWT string
+    and the sampled SA directly from the raw suffix array in chunks —
+    no sa_full concatenation, no deleted-row copy (each of those is an
+    extra 8 B/char at build scale)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = len(codes)
+    if n == 0:
+        raise ValueError("empty sequence")
+    sa = suffix_array(codes)
+    # row of the suffix starting at 0 (+1 for the sentinel row SA_full[0])
+    primary = int(np.argmin(sa)) + 1
+    bwt = np.empty(n, dtype=np.uint8)
+    bwt[0] = codes[n - 1]      # sentinel row: char before suffix n
+    CH = 1 << 26
+    # sa_full = [n] ++ sa with the '$' row at `primary` dropped: rows
+    # [1, primary) map to sa[0:primary-1], rows [primary, n) to sa[primary:]
+    for lo in range(0, primary - 1, CH):
+        hi = min(primary - 1, lo + CH)
+        bwt[1 + lo:1 + hi] = codes[sa[lo:hi] - 1]
+    for lo in range(primary, n, CH):
+        hi = min(n, lo + CH)
+        bwt[lo:hi] = codes[sa[lo:hi] - 1]
+    counts = np.zeros(4, dtype=np.int64)
+    for lo in range(0, n, CH):
+        counts += np.bincount(codes[lo:lo + CH], minlength=4)[:4]
+    l2 = np.zeros(5, dtype=np.uint32)
+    l2[1:] = np.cumsum(counts)
+    # sampled SA: sa_full[j*intv] = sa[j*intv - 1] for j >= 1 (bwt.c:48-70)
+    n_sa = (n + sa_intv) // sa_intv
+    samp = np.empty(n_sa, dtype=np.uint32)
+    if n_sa > 1:
+        idx = np.arange(1, n_sa, dtype=np.int64) * sa_intv - 1
+        samp[1:] = sa[idx].astype(np.uint32)
+    samp[0] = np.uint32(0xFFFFFFFF)
+    return bwt, primary, l2, samp
+
+
 def pack_bwt_words(bwt):
     """Pack BWT base codes into uint32 words, 16 bases per word, base i at
-    bits (15 - i%16)*2 (bwtmisc.c:97-98)."""
+    bits (15 - i%16)*2 (bwtmisc.c:97-98).  Chunked: the unpacked uint32
+    staging would otherwise cost ~8 B/char transiently at build scale."""
+    bwt = np.asarray(bwt)
     n = len(bwt)
     n_words = (n + 15) >> 4
-    padded = np.zeros(n_words * 16, dtype=np.uint32)
-    padded[:n] = bwt
-    q = padded.reshape(-1, 16)
+    out = np.empty(n_words, dtype=np.uint32)
     shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-    return (q << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    CH = 1 << 22    # words per chunk
+    for w0 in range(0, n_words, CH):
+        w1 = min(n_words, w0 + CH)
+        seg = bwt[w0 * 16:w1 * 16]
+        if len(seg) < (w1 - w0) * 16:
+            seg = np.concatenate(
+                [seg, np.zeros((w1 - w0) * 16 - len(seg), dtype=bwt.dtype)])
+        q = seg.astype(np.uint32).reshape(-1, 16)
+        out[w0:w1] = (q << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    return out
 
 
 def unpack_bwt_words(words, seq_len):
@@ -129,31 +176,46 @@ def interleave_occ(bwt_words, bwt, seq_len):
     counts (occ *before* the block) then 8 uint32 BWT words; a trailing
     4-word checkpoint carries the final counts.
     """
+    bwt = np.asarray(bwt, dtype=np.uint8)
+    bwt_words = np.asarray(bwt_words, dtype=np.uint32)
     n_occ = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL + 1
     plain_words = (seq_len + 15) >> 4
     out_size = plain_words + n_occ * 4
     out = np.zeros(out_size, dtype=np.uint32)
 
-    # cumulative counts of each base before each 128-bp block
+    # cumulative counts of each base before each 128-bp block (chunked:
+    # the old one-hot staging cost 16 B/char)
     n_blocks = n_occ - 1  # full/partial data blocks
-    onehot = np.zeros((4, (n_blocks) * OCC_INTERVAL), dtype=np.uint32)
-    for c in range(4):
-        hits = (bwt == c).astype(np.uint32)
-        onehot[c, : len(bwt)] = hits
-    per_block = onehot.reshape(4, n_blocks, OCC_INTERVAL).sum(axis=2)
-    cum = np.zeros((4, n_blocks + 1), dtype=np.uint32)
-    cum[:, 1:] = np.cumsum(per_block, axis=1)
+    per = np.zeros((n_blocks, 4), dtype=np.uint32)
+    BC = 1 << 20    # blocks per chunk
+    for b0 in range(0, n_blocks, BC):
+        b1 = min(n_blocks, b0 + BC)
+        seg = bwt[b0 * OCC_INTERVAL:b1 * OCC_INTERVAL]
+        want = (b1 - b0) * OCC_INTERVAL
+        if len(seg) < want:
+            seg = np.concatenate(
+                [seg, np.full(want - len(seg), 255, dtype=np.uint8)])
+        seg2 = seg.reshape(b1 - b0, OCC_INTERVAL)
+        for c in range(4):
+            per[b0:b1, c] = (seg2 == c).sum(axis=1, dtype=np.uint32)
+    cum = np.zeros((n_blocks + 1, 4), dtype=np.uint32)
+    np.cumsum(per, axis=0, out=cum[1:])
+    del per
 
-    k = 0
-    wi = 0
-    for b in range(n_blocks):
-        out[k : k + 4] = cum[:, b]
-        k += 4
-        n_words_here = min(8, plain_words - wi)
-        out[k : k + n_words_here] = bwt_words[wi : wi + n_words_here]
-        k += n_words_here
-        wi += n_words_here
-    out[k : k + 4] = cum[:, n_blocks]
+    # layout: [cnt4 | 8 words] per full block, partial tail words, final
+    # checkpoint — written as array views, no per-block Python loop
+    n_full = plain_words >> 3
+    main = out[:n_full * 12].reshape(n_full, 12) if n_full else \
+        out[:0].reshape(0, 12)
+    main[:, :4] = cum[:n_full]
+    main[:, 4:] = bwt_words[:n_full * 8].reshape(-1, 8)
+    k = n_full * 12
+    r_words = plain_words - n_full * 8
+    if r_words:
+        out[k:k + 4] = cum[n_full]
+        out[k + 4:k + 4 + r_words] = bwt_words[n_full * 8:]
+        k += 4 + r_words
+    out[k:k + 4] = cum[n_blocks]
     k += 4
     assert k == out_size, "inconsistent bwt_size"
     return out

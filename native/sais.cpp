@@ -63,12 +63,13 @@ void sais_core(const C* T, I* SA, I n, I K) {
         if (is_lms(i)) SA[--cur[T[i]]] = i;
     induce();
 
-    // step 2: name LMS substrings in sorted order
+    // step 2: name LMS substrings in sorted order.  LMS positions are
+    // never adjacent, so names index by i >> 1 (halves the array).
     std::vector<I> lms_sorted;
     lms_sorted.reserve(n / 2 + 1);
     for (I i = 0; i < n; ++i)
         if (SA[i] > 0 && is_lms(SA[i])) lms_sorted.push_back(SA[i]);
-    std::vector<I> name(n, -1);
+    std::vector<I> name(n / 2 + 1, -1);
     I names = 0, prev = -1;
     for (I p : lms_sorted) {
         bool diff = prev < 0;
@@ -83,7 +84,7 @@ void sais_core(const C* T, I* SA, I n, I K) {
             }
         }
         if (diff) { ++names; prev = p; }
-        name[p] = names - 1;
+        name[p >> 1] = names - 1;
     }
     lms_sorted.clear();
     lms_sorted.shrink_to_fit();
@@ -91,7 +92,7 @@ void sais_core(const C* T, I* SA, I n, I K) {
     // reduced problem in text order (always ends at the sentinel LMS)
     std::vector<I> pos1, s1;
     for (I i = 1; i < n; ++i)
-        if (is_lms(i)) { pos1.push_back(i); s1.push_back(name[i]); }
+        if (is_lms(i)) { pos1.push_back(i); s1.push_back(name[i >> 1]); }
     name.clear();
     name.shrink_to_fit();
     I n1 = (I)s1.size();
@@ -117,17 +118,43 @@ void sais_core(const C* T, I* SA, I n, I K) {
     induce();
 }
 
-template <class I>
-int sais_run(const uint8_t* T, int64_t* SA, int64_t n) {
+template <class I, class C>
+int sais_run_c(const uint8_t* T, int64_t* SA, int64_t n, int64_t K) {
     // append explicit sentinel, shift alphabet by +1
-    std::vector<uint16_t> T2(n + 1);
-    for (int64_t i = 0; i < n; ++i) T2[i] = (uint16_t)(T[i] + 1);
+    std::vector<C> T2(n + 1);
+    for (int64_t i = 0; i < n; ++i) T2[i] = (C)(T[i] + 1);
     T2[n] = 0;
     std::vector<I> SA2(n + 1);
-    sais_core<I, uint16_t>(T2.data(), SA2.data(), (I)(n + 1), (I)257);
+    sais_core<I, C>(T2.data(), SA2.data(), (I)(n + 1), (I)K);
     // SA2[0] is the sentinel suffix; drop it
     for (int64_t i = 0; i < n; ++i) SA[i] = (int64_t)SA2[i + 1];
     return 0;
+}
+
+template <class C>
+int sais_run64(const uint8_t* T, int64_t* SA, int64_t n, int64_t K) {
+    // int64 indices: run in-place in the caller's buffer (n+1 entries,
+    // see sais_u8_big) — saves an 8n-byte shadow copy at Gbp scale
+    std::vector<C> T2(n + 1);
+    for (int64_t i = 0; i < n; ++i) T2[i] = (C)(T[i] + 1);
+    T2[n] = 0;
+    sais_core<int64_t, C>(T2.data(), SA, n + 1, K);
+    T2.clear();
+    T2.shrink_to_fit();
+    std::memmove(SA, SA + 1, sizeof(int64_t) * n);  // drop sentinel suffix
+    return 0;
+}
+
+template <class I>
+int sais_run(const uint8_t* T, int64_t* SA, int64_t n) {
+    // narrow text type when the shifted alphabet fits a byte (genome
+    // codes are 0..3; halves vs uint16 at the top level)
+    uint8_t mx = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (T[i] > mx) mx = T[i];
+    if (mx <= 254)
+        return sais_run_c<I, uint8_t>(T, SA, n, (int64_t)mx + 2);
+    return sais_run_c<I, uint16_t>(T, SA, n, 257);
 }
 
 }  // namespace
@@ -142,6 +169,22 @@ int sais_u8(const uint8_t* T, int64_t* SA, int64_t n) {
     if (n + 1 < 0x7FFFFFFFLL)
         return sais_run<int32_t>(T, SA, n);
     return sais_run<int64_t>(T, SA, n);
+}
+
+// Gbp-scale entry: SA must have n+1 entries; the construction runs
+// in-place in it (no 8n shadow buffer).  SA[0..n) receives the result;
+// SA[n] is scratch.
+int sais_u8_big(const uint8_t* T, int64_t* SA, int64_t n) {
+    if (n < 0) return -1;
+    if (n == 0) return 0;
+    if (n + 1 < 0x7FFFFFFFLL)
+        return sais_run<int32_t>(T, SA, n);
+    uint8_t mx = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (T[i] > mx) mx = T[i];
+    if (mx <= 254)
+        return sais_run64<uint8_t>(T, SA, n, (int64_t)mx + 2);
+    return sais_run64<uint16_t>(T, SA, n, 257);
 }
 
 }  // extern "C"
