@@ -440,6 +440,7 @@ def cmd_bwasw(argv):
     out.write(bwasw(idx, reads, opt))
     if args.out:
         out.close()
+        from .utils.files import final_rename
         final_rename("bwasw", args.out)
     return 0
 

@@ -334,6 +334,17 @@ class AlnEngine:
                 (opt.max_gapo if opt.max_diff >= opt.max_gapo
                  else opt.max_diff)
             groups.setdefault(mg, []).append(i)
+        # engine choice per group (results are bit-identical either way):
+        # the jnp lockstep DFS on the CPU backend is the slowest option by
+        # ~2 orders, so groups drain natively there; on TPU the device
+        # runs unless measurements say it loses its opportunity cost
+        import os as _os
+        use_native = self._native_ok() and self.mesh is None and (
+            jax.default_backend() != "tpu"
+            or (getattr(self, "_dev_rate", None) is not None
+                and getattr(self, "_host_rate", None) is not None
+                and self._dev_rate < 1.1 * self._host_rate
+                / max(_os.cpu_count() or 1, 1)))
         for mg, idxs in groups.items():
             local = copy.copy(opt)
             local.max_gapo = int(mg)
@@ -342,10 +353,14 @@ class AlnEngine:
             sub_md = per_read_maxdiff[idxs]
             sub_res = [None] * len(idxs)
             sub_maxlen = max(r.len for r in sub_reads)
-            for start in range(0, len(sub_reads), device_batch):
-                part = sub_reads[start:start + device_batch]
-                self._run_device(part, sub_md[start:start + len(part)],
-                                 local, sub_res, start, sub_maxlen)
+            if use_native:
+                self._drain_native(sub_reads, sub_md, local, sub_res,
+                                   list(range(len(idxs))))
+            else:
+                for start in range(0, len(sub_reads), device_batch):
+                    part = sub_reads[start:start + device_batch]
+                    self._run_device(part, sub_md[start:start + len(part)],
+                                     local, sub_res, start, sub_maxlen)
             for i, res in zip(idxs, sub_res):
                 results[i] = res
         return results

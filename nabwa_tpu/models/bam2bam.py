@@ -549,19 +549,33 @@ def pass2_work(engine, gopt, popt, iinfos, payload):
     rescue_iis = []
     refine_states = []
     done = []
+    pairs_todo = []
     for pi, pair in payload["items"]:
-        p = _copy.deepcopy(pair)
+        p = _clone_pair(pair)
         if unique(p, skip_duplicates):
             if p.kind == SINGLETON:
                 refine_states.append(p.states[0])
             else:
-                ii = _finish_pair_pre(engine, bns, pac, p, gopt, popt,
-                                      iinfos, null_ii, pos_memo)
-                rescue_pairs.append((p.states[0], p.states[1]))
-                rescue_iis.append(ii)
-                refine_states.extend((p.states[0], p.states[1]))
+                pairs_todo.append(p)
             done.append(p)
         out.append((pi, p))
+    # pairing-expansion SA lookups batch once per chunk (a per-hit device
+    # call costs a link round trip per RECORD and a fresh while_loop
+    # lowering per interval width — measured minutes/chunk)
+    positions = _expand_positions_batch(engine, pairs_todo, popt, pos_memo)
+    multi_jobs = []
+    multi_refs = []
+    for idx, p in enumerate(pairs_todo):
+        ii = _finish_pair_pre(engine, bns, pac, p, gopt, popt, iinfos,
+                              null_ii, positions.get(idx), multi_jobs,
+                              multi_refs)
+        rescue_pairs.append((p.states[0], p.states[1]))
+        rescue_iis.append(ii)
+        refine_states.extend((p.states[0], p.states[1]))
+    if multi_jobs:
+        vals = _batch_positions(engine, multi_jobs)
+        for m, v in zip(multi_refs, vals):
+            m["pos"] = int(v)
     if rescue_pairs:
         pe.paired_sw_batch(bns, pac, rescue_pairs, popt, rescue_iis,
                            counters)
@@ -776,54 +790,141 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     return counters
 
 
+def _clone_rec(r):
+    if r is None:
+        return None
+    c = BamRec()
+    c.tid, c.pos, c.bin, c.qual = r.tid, r.pos, r.bin, r.qual
+    c.l_qname, c.flag, c.n_cigar = r.l_qname, r.flag, r.n_cigar
+    c.l_qseq, c.mtid, c.mpos = r.l_qseq, r.mtid, r.mpos
+    c.isize = r.isize
+    c.data = bytearray(r.data)
+    return c
+
+
+def _clone_state(s):
+    if s is None:
+        return None
+    c = se.SeqState.__new__(se.SeqState)
+    for f in se.SeqState.__slots__:
+        setattr(c, f, getattr(s, f))
+    c.cigar = list(s.cigar) if s.cigar is not None else None
+    c.multi = [dict(m) for m in s.multi]
+    return c
+
+
+def _clone_pair(p):
+    """Targeted copy of everything pass-2 mutates (recs/states/alns) —
+    redelivery idempotence without deepcopy's per-record millisecond (the
+    read arrays and the sideload are never written in phase B and stay
+    shared)."""
+    c = Pair(p.kind, [_clone_rec(r) for r in p.recs])
+    c.phase = p.phase
+    c.states = [_clone_state(s) for s in p.states]
+    c.alns = [[dict(h) for h in a] if a is not None else None
+              for a in p.alns]
+    c.hw = list(p.hw)
+    c.side = p.side
+    try:
+        c.recno = p.recno
+    except AttributeError:
+        pass
+    return c
+
+
+def _expand_positions_batch(engine, pairs, popt, pos_memo):
+    """SA-interval → positions expansion for pairing, batched across the
+    whole chunk (bwape.c:368-396 semantics incl. the wide-interval memo):
+    one device call per strand instead of one per hit.  Returns
+    {pair_idx: {(j, ki): uint32 positions}} for pairs that pass the
+    both-mapped / max_occ gates (bam2bam.c:705-811)."""
+    import jax.numpy as jnp
+    from ..ops.sa_lookup import sa_lookup
+
+    slots = []       # (a, k, l, readlen) — first requester wins the memo
+    slot_of = {}     # wide-interval (k, l) -> slot
+    consumers = []   # ((pair_idx, j, ki), slot)
+    result = {}
+    for idx, p in enumerate(pairs):
+        s = p.states
+        if not all(x.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)
+                   for x in s):
+            continue
+        n_occ = [sum(h["l"] - h["k"] + 1 for h in p.alns[j])
+                 for j in range(2)]
+        if n_occ[0] > popt.max_occ or n_occ[1] > popt.max_occ:
+            continue
+        result[idx] = {}
+        for j in range(2):
+            for ki, h in enumerate(p.alns[j]):
+                key = (h["k"], h["l"])
+                wide = h["l"] - h["k"] + 1 >= pe.MIN_HASH_WIDTH
+                if wide and key in pos_memo:
+                    result[idx][(j, ki)] = pos_memo[key]
+                    continue
+                if wide and key in slot_of:
+                    sl = slot_of[key]
+                else:
+                    sl = len(slots)
+                    slots.append((h["a"], h["k"], h["l"], s[j].len))
+                    if wide:
+                        slot_of[key] = sl
+                consumers.append(((idx, j, ki), sl))
+
+    slot_pos = [None] * len(slots)
+    for a_val, bwt_dev, sa_dev, prim, intv in (
+            (1, engine.bwt_fwd, engine.sa_fwd, engine.primary_fwd,
+             engine.index.fwd.sa_intv),
+            (0, engine.bwt_rev, engine.sa_rev, engine.primary_rev,
+             engine.index.rev.sa_intv)):
+        sel = [i for i, t in enumerate(slots) if t[0] == a_val]
+        if not sel:
+            continue
+        rows = np.concatenate(
+            [np.arange(slots[i][1], slots[i][2] + 1, dtype=np.uint32)
+             for i in sel]).view(np.int32)
+        res = np.asarray(sa_lookup(
+            bwt_dev, engine.l2, prim, engine.seq_len, sa_dev, intv,
+            jnp.asarray(rows))).view(np.uint32)
+        off = 0
+        for i in sel:
+            w = slots[i][2] - slots[i][1] + 1
+            seg = res[off:off + w]
+            off += w
+            if a_val:
+                slot_pos[i] = seg
+            else:
+                slot_pos[i] = (np.uint32(engine.index.rev.seq_len)
+                               - (seg + np.uint32(slots[i][3])))
+    for (idx, j, ki), sl in consumers:
+        result[idx][(j, ki)] = slot_pos[sl]
+    for key, sl in slot_of.items():
+        pos_memo[key] = slot_pos[sl]
+    return result
+
+
 def _finish_pair_pre(engine, bns, pac, p, gopt, popt, iinfos, null_ii,
-                     pos_memo):
+                     positions, multi_jobs, multi_refs):
     """Pairing + multi-hit expansion for one pair (the part of
-    pair_finish before mate rescue, bam2bam.c:705-811).  Returns the
-    pair's per-RG isize info for the batched rescue."""
+    pair_finish before mate rescue, bam2bam.c:705-811).  positions: the
+    pair's pre-expanded {(j, ki): uint32 array} from
+    _expand_positions_batch, or None when the pair failed its gates.
+    Multi-hit position jobs are appended to multi_jobs/multi_refs for the
+    caller's chunk-batched lookup.  Returns the pair's per-RG isize info
+    for the batched rescue."""
     s = p.states
     rg = p.recs[0].get_rg()
     ii = iinfos.get(rg, null_ii)
 
-    both = all(x.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT) for x in s)
-    if both:
-        n_occ = [sum(h["l"] - h["k"] + 1 for h in p.alns[j])
-                 for j in range(2)]
-        if n_occ[0] <= popt.max_occ and n_occ[1] <= popt.max_occ:
-            d_arr = []
-            import jax.numpy as jnp
-            from ..ops.sa_lookup import sa_lookup
-            for j in range(2):
-                for ki, h in enumerate(p.alns[j]):
-                    width = h["l"] - h["k"] + 1
-                    key = (h["k"], h["l"])
-                    if width >= pe.MIN_HASH_WIDTH and key in pos_memo:
-                        positions = pos_memo[key]
-                    else:
-                        rows = np.arange(h["k"], h["l"] + 1,
-                                         dtype=np.uint32).view(np.int32)
-                        if h["a"]:
-                            res = np.asarray(sa_lookup(
-                                engine.bwt_fwd, engine.l2,
-                                engine.primary_fwd, engine.seq_len,
-                                engine.sa_fwd, engine.index.fwd.sa_intv,
-                                jnp.asarray(rows))).view(np.uint32)
-                            positions = res
-                        else:
-                            res = np.asarray(sa_lookup(
-                                engine.bwt_rev, engine.l2,
-                                engine.primary_rev, engine.seq_len,
-                                engine.sa_rev, engine.index.rev.sa_intv,
-                                jnp.asarray(rows))).view(np.uint32)
-                            positions = (np.uint32(engine.index.rev.seq_len)
-                                         - (res + np.uint32(s[j].len)))
-                        if width >= pe.MIN_HASH_WIDTH:
-                            pos_memo[key] = positions
-                    for v in positions:
-                        d_arr.append((int(v) << 32) | (ki << 1) | j)
-            d_arr = np.sort(np.asarray(d_arr, dtype=np.uint64))
-            pe.pairing((s[0], s[1]), d_arr, (p.alns[0], p.alns[1]), popt,
-                       gopt.s_mm, ii)
+    if positions is not None:
+        d_arr = []
+        for j in range(2):
+            for ki, h in enumerate(p.alns[j]):
+                for v in positions[(j, ki)]:
+                    d_arr.append((int(v) << 32) | (ki << 1) | j)
+        d_arr = np.sort(np.asarray(d_arr, dtype=np.uint64))
+        pe.pairing((s[0], s[1]), d_arr, (p.alns[0], p.alns[1]), popt,
+                   gopt.s_mm, ii)
 
     if popt.N_multi or popt.n_multi:
         for j in range(2):
@@ -837,19 +938,11 @@ def _finish_pair_pre(engine, bns, pac, p, gopt, popt, iinfos, null_ii,
                     nm = popt.n_multi
                 se.aln2seq_core(p.alns[j], s[j], None, set_main=False,
                                 n_multi=nm)
-        # multi positions
-        import jax.numpy as jnp
-        jobs = []
-        refs = []
+        # multi positions: deferred to the caller's chunk-wide batch
         for j in range(2):
             for m in s[j].multi:
-                jobs.append((m["strand"], m["pos"], s[j].len))
-                refs.append(m)
-        if jobs:
-            from ..models.sampe import sampe as _unused  # noqa
-            vals = _batch_positions(engine, jobs)
-            for m, v in zip(refs, vals):
-                m["pos"] = int(v)
+                multi_jobs.append((m["strand"], m["pos"], s[j].len))
+                multi_refs.append(m)
 
     return ii
 

@@ -31,9 +31,7 @@ def inv_psi(bwt, l2, primary, seq_len, k):
     return jnp.where(is_primary, I32(0), out)
 
 
-def sa_lookup(bwt, l2, primary, seq_len, sa_arr, sa_intv, k):
-    """Batched bwt_sa (bwt.c:72-81).  k: int32 [...] rows (uint32 bits);
-    returns int32 text positions (uint32 bit patterns)."""
+def _sa_lookup_impl(bwt, l2, primary, seq_len, sa_arr, sa_intv, k):
     intv = int(sa_intv)
     assert intv & (intv - 1) == 0, "sa_intv must be a power of two on device"
     mask = I32(intv - 1)
@@ -57,3 +55,28 @@ def sa_lookup(bwt, l2, primary, seq_len, sa_arr, sa_intv, k):
     kk = ushr(k, shift)
     base = jnp.where(kk == 0, NEG1, sa_arr[kk])
     return s + base  # int32 wraparound matches `sa + (-1)` (bwt.c:80)
+
+
+_sa_lookup_jit = jax.jit(_sa_lookup_impl, static_argnums=(5,))
+
+
+def sa_lookup(bwt, l2, primary, seq_len, sa_arr, sa_intv, k):
+    """Batched bwt_sa (bwt.c:72-81).  k: int32 [n] rows (uint32 bits);
+    returns int32 text positions (uint32 bit patterns).
+
+    Jitted with the batch padded up to a power-of-two bucket: callers pass
+    data-dependent interval widths, and an unjitted while_loop would
+    re-lower on every call (minutes per unique shape).  Padding lanes use
+    row 0, which is already at a sampled row (zero extra iterations)."""
+    k = jnp.asarray(k)
+    if k.ndim != 1:
+        return _sa_lookup_jit(bwt, l2, primary, seq_len, sa_arr,
+                              int(sa_intv), k)
+    n = int(k.shape[0])
+    if n == 0:
+        return jnp.zeros(0, dtype=I32)
+    m = max(64, 1 << max(n - 1, 1).bit_length())
+    if m != n:
+        k = jnp.concatenate([k, jnp.zeros(m - n, dtype=k.dtype)])
+    out = _sa_lookup_jit(bwt, l2, primary, seq_len, sa_arr, int(sa_intv), k)
+    return out[:n] if m != n else out

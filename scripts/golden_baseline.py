@@ -68,6 +68,11 @@ def run(cmd, out=None):
 
 def ours(args):
     from nabwa_tpu import cli
+    # fresh outputs only: a stale -f target from a previous run triggers
+    # the reference-faithful recovery mode, which skips all records and
+    # times (and diffs) a no-op — the round-1 bench bug, golden edition
+    if "-f" in args:
+        pathlib.Path(args[args.index("-f") + 1]).unlink(missing_ok=True)
     t0 = time.time()
     rc = cli.main(args)
     assert rc == 0, args
