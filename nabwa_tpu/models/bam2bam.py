@@ -920,9 +920,11 @@ def _finish_pair_pre(engine, bns, pac, p, gopt, popt, iinfos, null_ii,
         d_arr = []
         for j in range(2):
             for ki, h in enumerate(p.alns[j]):
-                for v in positions[(j, ki)]:
-                    d_arr.append((int(v) << 32) | (ki << 1) | j)
-        d_arr = np.sort(np.asarray(d_arr, dtype=np.uint64))
+                seg = positions[(j, ki)]
+                d_arr.append((np.asarray(seg, dtype=np.uint64) << 32)
+                             | np.uint64((ki << 1) | j))
+        d_arr = np.sort(np.concatenate(d_arr)) if d_arr else \
+            np.empty(0, dtype=np.uint64)
         pe.pairing((s[0], s[1]), d_arr, (p.alns[0], p.alns[1]), popt,
                    gopt.s_mm, ii)
 

@@ -621,9 +621,10 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
                 else:
                     width = h["l"] - h["k"] + 1
                     positions = expanded[ref:ref + width]
-                for pos_v in positions:
-                    d_arr.append((int(pos_v) << 32) | (ki << 1) | j)
-            d_arr = np.sort(np.asarray(d_arr, dtype=np.uint64))
+                d_arr.append((np.asarray(positions, dtype=np.uint64) << 32)
+                             | np.uint64((ki << 1) | j))
+            d_arr = np.sort(np.concatenate(d_arr)) if d_arr else \
+                np.empty(0, dtype=np.uint64)
             cnt_chg += pairing(p, d_arr,
                                (per_read_alns[0][i], per_read_alns[1][i]),
                                popt, gopt.s_mm, ii)

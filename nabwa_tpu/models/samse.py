@@ -264,6 +264,44 @@ def cal_md1(cigar, seq_codes, pos, bns, pac):
     p = pos
     l_pac = bns.l_pac
 
+    # fast path: no ambiguity hole overlaps the reference window and the
+    # window stays inside pac — per-M-segment numpy compares instead of
+    # the per-base Python walk (the dominant cost of refine_gapped)
+    ref_span = (len(seq_codes) if not cigar else
+                sum(ln for op, ln in cigar if op in (FROM_M, FROM_D)))
+    if (p + ref_span <= l_pac
+            and (ridx >= n_holes or holes[ridx].offset >= p + ref_span)):
+        seq = np.asarray(seq_codes)
+        y = 0
+        for op, ln in (cigar or ((FROM_M, len(seq)),)):
+            if op == FROM_M:
+                ref = pac[p:p + ln]
+                sseg = seq[y:y + ln]
+                mism = np.flatnonzero((ref != sseg) | (sseg > 3)).tolist()
+                last = -1
+                for mi in mism:
+                    out.append(str(u + (mi - last - 1)))
+                    out.append("ACGT"[int(ref[mi])])
+                    u = 0
+                    last = mi
+                u += ln - 1 - last
+                nm += len(mism)
+                p += ln
+                y += ln
+            elif op in (FROM_I, FROM_S):
+                y += ln
+                if op == FROM_I:
+                    nm += ln
+            elif op == FROM_D:
+                out.append(str(u))
+                out.append("^")
+                out.append("".join("ACGT"[int(c)] for c in pac[p:p + ln]))
+                u = 0
+                nm += ln
+                p += ln
+        out.append(str(u))
+        return "".join(out), nm
+
     def get_ref():
         if ridx < n_holes and p >= holes[ridx].offset:
             return ord(holes[ridx].amb)  # the raw ambiguity character
