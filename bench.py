@@ -124,10 +124,34 @@ def bench_reference(fa_path, fq_path):
     return sorted(rates)[1]
 
 
+def _device_alive(timeout_s=120):
+    """Probe the device link in a subprocess: a hung tunnel blocks any
+    in-process jax call forever (observed), which must not take the
+    benchmark down with it."""
+    code = "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"28" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     fa_path, fq_path = setup_data()
+    mode = "hybrid"
+    if not _device_alive():
+        # device link down: run host-native only (results identical);
+        # jax must be pinned to CPU before its first backend use or the
+        # engine's own device_put would hang too
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["NABWA_FORCE_NATIVE"] = "1"
+        mode = "host-native (device link down)"
     ref_rps = bench_reference(fa_path, fq_path)
     ours_rps, n_hit, extra = bench_ours(fa_path, fq_path)
+    extra["mode"] = mode
+    if mode != "hybrid":
+        extra["host_native_reads_per_sec"] = round(ours_rps, 1)
     # value = the self-tuned hybrid engine (chip + host cores vs the
     # single-thread reference process); the extra keys report each
     # engine's standalone rate for transparency — through a high-latency

@@ -202,7 +202,14 @@ class AlnEngine:
             # costs a tunnel round trip (~30 ms measured), so the device
             # share is a few large slices, not a polled work queue; the
             # split fraction comes from per-engine rate EMAs.
+            import os as _os
             use_native = self._native_ok()
+            if (use_native and self.mesh is None
+                    and _os.environ.get("NABWA_FORCE_NATIVE")):
+                # operator escape hatch: device link down / undesired
+                self._drain_native(reads, per_read_maxdiff, local, results,
+                                   list(range(len(reads))))
+                return results
             hybrid = (use_native and self.mesh is None and len(reads) >= 256
                       and jax.default_backend() == "tpu"
                       and self.host_frac > 0.0)
@@ -341,6 +348,7 @@ class AlnEngine:
         import os as _os
         use_native = self._native_ok() and self.mesh is None and (
             jax.default_backend() != "tpu"
+            or bool(_os.environ.get("NABWA_FORCE_NATIVE"))
             or (getattr(self, "_dev_rate", None) is not None
                 and getattr(self, "_host_rate", None) is not None
                 and self._dev_rate < 1.1 * self._host_rate
