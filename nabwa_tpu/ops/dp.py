@@ -24,7 +24,7 @@ import numpy as np
 from ..refmodel.stdaln_scalar import FROM_M, FROM_I, FROM_D, MINOR_INF
 
 I32 = jnp.int32
-NEG = jnp.int32(MINOR_INF)
+NEG = np.int32(MINOR_INF)
 
 
 @functools.partial(jax.jit, static_argnames=("go", "ge", "gend"))

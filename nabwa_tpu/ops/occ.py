@@ -20,14 +20,15 @@ ops are bit-identical to the C's uint32 wraparound.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .u32 import I32, NEG1, uge, ugt, ule, ushr
 
-_M55 = jnp.int32(0x55555555)
+_M55 = np.int32(0x55555555)
 
 # kept for callers that still pass uint32 host data
 U32 = jnp.uint32
-_FULL = jnp.uint32(0xFFFFFFFF)
+_FULL = np.uint32(0xFFFFFFFF)
 
 
 def gather_blocks(bwt, kk, word_offset=None):

@@ -11,8 +11,13 @@ import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
-BIAS = jnp.int32(-0x80000000)
-NEG1 = jnp.int32(-1)          # the uint32 0xFFFFFFFF
+# numpy scalars, NOT jnp: a module-level jnp constant materializes a
+# device array at import, initializing the backend (which hangs every
+# entry point when the device link is down)
+import numpy as _np
+
+BIAS = _np.int32(-0x80000000)
+NEG1 = _np.int32(-1)          # the uint32 0xFFFFFFFF
 
 
 def ult(a, b):

@@ -26,6 +26,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+if os.environ.get("NABWA_CPU"):
+    # correctness runs without the chip (or with a dead tunnel): pin CPU
+    # before first backend use and drain the aln engine natively
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("NABWA_FORCE_NATIVE", "1")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -233,9 +238,15 @@ def config5():
     t0 = time.time()
     odt = ours(["bam2bam", "-g", str(fa), "-f", str(WORK / "c5.got.bam"),
                 str(bam_in), "-t", "4"])
-    ref_recs = dump_records(str(WORK / "c5.ref.bam"))
-    got_recs = dump_records(str(WORK / "c5.got.bam"))
-    ok = ref_recs == got_recs
+    rtext, ref_recs = dump_records(str(WORK / "c5.ref.bam"))
+    gtext, got_recs = dump_records(str(WORK / "c5.got.bam"))
+
+    def _strip_pg(t):
+        # the @PG CL: token necessarily differs (-f path, -t): ignore it,
+        # same as sam_eq does for SAM text
+        return "\n".join(l for l in t.split("\n")
+                          if not l.startswith("@PG"))
+    ok = ref_recs == got_recs and _strip_pg(rtext) == _strip_pg(gtext)
     if not ok:
         for i, (a, b) in enumerate(zip(ref_recs, got_recs)):
             if a != b:
