@@ -63,6 +63,10 @@ def _load():
             ctypes.c_int, ctypes.c_int,
             _i32, _i32, _i32]
         lib.dfs_match_gap_batch.restype = ctypes.c_int
+        lib.bwt_sa_batch_u32.argtypes = [
+            _u32, ctypes.c_uint32, _u32, ctypes.c_uint32, _u32,
+            ctypes.c_int, _u32, ctypes.c_int64, _u32]
+        lib.bwt_sa_batch_u32.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -102,6 +106,22 @@ def cal_sa_native(bwt_words, primary, l2, seq_len, intv):
                             np.uint32(seq_len), intv, out)
     if rc != 0:
         return None
+    return out
+
+
+def bwt_sa_batch(bwt_words, primary, l2, seq_len, sa_sample, intv, rows):
+    """Batched bwt_sa via the native invPsi walk; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    out = np.empty(len(rows), dtype=np.uint32)
+    lib.bwt_sa_batch_u32(
+        np.ascontiguousarray(bwt_words, dtype=np.uint32),
+        np.uint32(primary), np.ascontiguousarray(l2, dtype=np.uint32),
+        np.uint32(seq_len),
+        np.ascontiguousarray(sa_sample, dtype=np.uint32), int(intv),
+        rows, len(rows), out)
     return out
 
 

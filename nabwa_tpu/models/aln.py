@@ -377,6 +377,35 @@ class AlnEngine:
         from ..index import native as native_mod
         return native_mod._load() is not None
 
+    def sa_rows(self, a, rows):
+        """Batched bwt_sa (bwt.c:72-81) for SA rows on strand-a's index:
+        uint32 rows -> raw uint32 bwt_sa values (callers apply the
+        reverse-index coordinate flip).  Routes to the native host walk
+        on non-TPU backends / NABWA_FORCE_NATIVE, else the device kernel."""
+        import os as _os
+        rows = np.ascontiguousarray(rows, dtype=np.uint32)
+        if len(rows) == 0:
+            return np.zeros(0, dtype=np.uint32)
+        fm = self.index.fwd if a else self.index.rev
+        use_native = self._native_ok() and (
+            jax.default_backend() != "tpu"
+            or bool(_os.environ.get("NABWA_FORCE_NATIVE")))
+        if use_native:
+            from ..index.native import bwt_sa_batch
+            out = bwt_sa_batch(
+                self._host_fwd if a else self._host_rev,
+                fm.primary, self._host_l2, fm.seq_len, fm.sa, fm.sa_intv,
+                rows)
+            if out is not None:
+                return out
+        from ..ops.sa_lookup import sa_lookup
+        res = sa_lookup(
+            self.bwt_fwd if a else self.bwt_rev, self.l2,
+            self.primary_fwd if a else self.primary_rev, self.seq_len,
+            self.sa_fwd if a else self.sa_rev, fm.sa_intv,
+            jnp.asarray(rows.view(np.int32)))
+        return np.asarray(res).view(np.uint32)
+
     def _drain_native(self, fb_reads, fb_maxdiff, local, results, idxs):
         """Solve reads on the host's threaded C++ DFS (bit-exact with the
         device engines); scalar-oracle fallback without the library."""

@@ -838,9 +838,6 @@ def _expand_positions_batch(engine, pairs, popt, pos_memo):
     one device call per strand instead of one per hit.  Returns
     {pair_idx: {(j, ki): uint32 positions}} for pairs that pass the
     both-mapped / max_occ gates (bam2bam.c:705-811)."""
-    import jax.numpy as jnp
-    from ..ops.sa_lookup import sa_lookup
-
     slots = []       # (a, k, l, readlen) — first requester wins the memo
     slot_of = {}     # wide-interval (k, l) -> slot
     consumers = []   # ((pair_idx, j, ki), slot)
@@ -872,20 +869,14 @@ def _expand_positions_batch(engine, pairs, popt, pos_memo):
                 consumers.append(((idx, j, ki), sl))
 
     slot_pos = [None] * len(slots)
-    for a_val, bwt_dev, sa_dev, prim, intv in (
-            (1, engine.bwt_fwd, engine.sa_fwd, engine.primary_fwd,
-             engine.index.fwd.sa_intv),
-            (0, engine.bwt_rev, engine.sa_rev, engine.primary_rev,
-             engine.index.rev.sa_intv)):
+    for a_val in (1, 0):
         sel = [i for i, t in enumerate(slots) if t[0] == a_val]
         if not sel:
             continue
         rows = np.concatenate(
             [np.arange(slots[i][1], slots[i][2] + 1, dtype=np.uint32)
-             for i in sel]).view(np.int32)
-        res = np.asarray(sa_lookup(
-            bwt_dev, engine.l2, prim, engine.seq_len, sa_dev, intv,
-            jnp.asarray(rows))).view(np.uint32)
+             for i in sel])
+        res = engine.sa_rows(a_val, rows)
         off = 0
         for i in sel:
             w = slots[i][2] - slots[i][1] + 1
@@ -950,21 +941,15 @@ def _finish_pair_pre(engine, bns, pac, p, gopt, popt, iinfos, null_ii,
 
 
 def _batch_positions(engine, jobs):
-    import jax.numpy as jnp
-    from ..ops.sa_lookup import sa_lookup
-
-    fwd, rev = engine.index.fwd, engine.index.rev
+    rev = engine.index.rev
     out = np.zeros(len(jobs), dtype=np.uint32)
-    for strand_val, bwt_dev, sa_dev, prim in (
-            (1, engine.bwt_fwd, engine.sa_fwd, engine.primary_fwd),
-            (0, engine.bwt_rev, engine.sa_rev, engine.primary_rev)):
+    for strand_val in (1, 0):
         sel = [(i, t) for i, t in enumerate(jobs) if t[0] == strand_val]
         if not sel:
             continue
-        arr = np.array([t[1] for _, t in sel], dtype=np.uint32).view(np.int32)
-        res = np.asarray(sa_lookup(bwt_dev, engine.l2, prim, engine.seq_len,
-                                   sa_dev, fwd.sa_intv,
-                                   jnp.asarray(arr))).view(np.uint32)
+        res = engine.sa_rows(strand_val,
+                             np.array([t[1] for _, t in sel],
+                                      dtype=np.uint32))
         for (i, t), v in zip(sel, res):
             if strand_val:
                 out[i] = v

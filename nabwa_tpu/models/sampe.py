@@ -499,9 +499,6 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     reads: (reads0, reads1); per_read_alns: (alns0, alns1).
     Returns (sam_lines, ii) — ii feeds the next chunk's last_ii.
     """
-    import jax.numpy as jnp
-    from ..ops.sa_lookup import sa_lookup
-
     bns = engine.index.bns
     pac = engine.index.pac
     fwd, rev = engine.index.fwd, engine.index.rev
@@ -528,21 +525,13 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
         rows_r = [(i, t) for i, t in enumerate(jobs) if t[0] == 0]
         out = np.zeros(len(jobs), dtype=np.uint32)
         if rows_f:
-            arr = np.array([t[1] for _, t in rows_f],
-                           dtype=np.uint32).view(np.int32)
-            res = np.asarray(sa_lookup(
-                engine.bwt_fwd, engine.l2, engine.primary_fwd,
-                engine.seq_len, engine.sa_fwd, fwd.sa_intv,
-                jnp.asarray(arr))).view(np.uint32)
+            res = engine.sa_rows(1, np.array([t[1] for _, t in rows_f],
+                                             dtype=np.uint32))
             for (i, t), v in zip(rows_f, res):
                 out[i] = v
         if rows_r:
-            arr = np.array([t[1] for _, t in rows_r],
-                           dtype=np.uint32).view(np.int32)
-            res = np.asarray(sa_lookup(
-                engine.bwt_rev, engine.l2, engine.primary_rev,
-                engine.seq_len, engine.sa_rev, rev.sa_intv,
-                jnp.asarray(arr))).view(np.uint32)
+            res = engine.sa_rows(0, np.array([t[1] for _, t in rows_r],
+                                             dtype=np.uint32))
             for (i, t), v in zip(rows_r, res):
                 out[i] = (rev.seq_len - (int(v) + t[2])) & _NEG1
         return out

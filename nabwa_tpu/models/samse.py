@@ -132,14 +132,12 @@ def approx_mapQ(s, mm):
 
 
 def cal_pac_pos(engine, states, max_mm, fnr):
-    """bwa_cal_pac_pos (bwase.c:156-183) with batched device sa_lookup.
+    """bwa_cal_pac_pos (bwase.c:156-183) with batched sa_lookup (native
+    host walk or device kernel via engine.sa_rows).
 
     Reverse-strand primary hits and multis resolve on the forward BWT;
     forward-strand ones on the reverse BWT with the seq_len-(sa+len) flip."""
-    import jax.numpy as jnp
-    from ..ops.sa_lookup import sa_lookup
-
-    fwd, rev = engine.index.fwd, engine.index.rev
+    rev = engine.index.rev
     jobs_f, jobs_r = [], []  # (state_idx, 'p'|('m',j), sa_row)
     for si, s in enumerate(states):
         matched = s.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)
@@ -150,19 +148,14 @@ def cal_pac_pos(engine, states, max_mm, fnr):
         for j, m in enumerate(s.multi):
             (jobs_f if m["strand"] else jobs_r).append((si, j, m["pos"]))
 
-    def run(jobs, fm, bwt_dev, sa_dev, primary):
+    def run(jobs, a):
         if not jobs:
             return np.zeros(0, dtype=np.uint32)
-        rows = np.array([t[2] for t in jobs],
-                        dtype=np.uint32).view(np.int32)
-        out = sa_lookup(bwt_dev, engine.l2, primary, engine.seq_len,
-                        sa_dev, fm.sa_intv, jnp.asarray(rows))
-        return np.asarray(out).view(np.uint32)
+        return engine.sa_rows(a, np.array([t[2] for t in jobs],
+                                          dtype=np.uint32))
 
-    res_f = run(jobs_f, fwd, engine.bwt_fwd, engine.sa_fwd,
-                engine.primary_fwd)
-    res_r = run(jobs_r, rev, engine.bwt_rev, engine.sa_rev,
-                engine.primary_rev)
+    res_f = run(jobs_f, 1)
+    res_r = run(jobs_r, 0)
 
     for (si, j, _), v in zip(jobs_f, res_f):
         s = states[si]

@@ -72,4 +72,27 @@ int bwt_cal_sa_u32(const uint32_t* bwt, uint32_t primary,
     return 0;
 }
 
+// Batched bwt_sa (bwt.c:72-81): for each row k, walk invPsi to a sampled
+// row (intv must be a power of two) and add the step count.  Per-row
+// walks are <= intv steps; the batch is embarrassingly parallel but
+// short — callers batch thousands of rows, so a flat loop suffices.
+int bwt_sa_batch_u32(const uint32_t* bwt, uint32_t primary,
+                     const uint32_t* L2, uint32_t seq_len,
+                     const uint32_t* sa_sample, int intv,
+                     const uint32_t* rows, int64_t n, uint32_t* out) {
+    uint32_t mask = (uint32_t)(intv - 1);
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t k = rows[i];
+        uint32_t s = 0;
+        while (k & mask) {
+            ++s;
+            k = inv_psi(bwt, primary, L2, seq_len, k);
+        }
+        // sa_sample[0] is the 0xFFFFFFFF sentinel; sa + (-1) wraps like
+        // the reference's bwtint arithmetic
+        out[i] = s + sa_sample[k / intv];
+    }
+    return 0;
+}
+
 }  // extern "C"
