@@ -16,7 +16,8 @@ import numpy as np
 _ROOT = pathlib.Path(__file__).resolve().parents[2]
 _SRCS = [_ROOT / "native" / "sais.cpp",
          _ROOT / "native" / "bwtwalk.cpp",
-         _ROOT / "native" / "dfsgap.cpp"]
+         _ROOT / "native" / "dfsgap.cpp",
+         _ROOT / "native" / "stdaln.cpp"]
 _BUILD = _ROOT / "native" / "build"
 _SO = _BUILD / "libnabwa_native.so"
 
@@ -67,6 +68,24 @@ def _load():
             _u32, ctypes.c_uint32, _u32, ctypes.c_uint32, _u32,
             ctypes.c_int, _u32, ctypes.c_int64, _u32]
         lib.bwt_sa_batch_u32.restype = ctypes.c_int
+        lib.aln_global_u8.argtypes = [
+            _u8, ctypes.c_int, _u8, ctypes.c_int, _i32, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int,
+            _u8, ctypes.c_int64, _i64]
+        lib.aln_global_u8.restype = ctypes.c_int32
+        lib.aln_extend_u8.argtypes = [
+            _u8, ctypes.c_int, _u8, ctypes.c_int, _i32, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int, ctypes.c_int32,
+            ctypes.c_int, _i32, _u8, ctypes.c_int64, _i64]
+        lib.aln_extend_u8.restype = ctypes.c_int32
+        lib.two_occ4_u32.argtypes = [
+            _u32, ctypes.c_uint32, _u32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, _u32]
+        lib.two_occ4_u32.restype = ctypes.c_int
+        lib.local_fwd_u8.argtypes = [
+            _u8, ctypes.c_int, _u8, ctypes.c_int, _i32, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32, _i32]
+        lib.local_fwd_u8.restype = ctypes.c_int32
         _lib = lib
     except Exception:
         _lib = None
@@ -123,6 +142,102 @@ def bwt_sa_batch(bwt_words, primary, l2, seq_len, sa_sample, intv, rows):
         np.ascontiguousarray(sa_sample, dtype=np.uint32), int(intv),
         rows, len(rows), out)
     return out
+
+
+class OccNative:
+    """Reusable native bwt_2occ4 handle for host FM walks (bit-exact with
+    ScalarFm.two_occ4/occ4; the scalar stays the independent oracle)."""
+
+    def __init__(self, bwt_words, primary, l2, seq_len):
+        lib = _load()
+        self._bwt = np.ascontiguousarray(bwt_words, dtype=np.uint32)
+        self._l2 = np.ascontiguousarray(l2, dtype=np.uint32)
+        self._primary = int(primary)
+        self._seq_len = int(seq_len)
+        self._out = np.empty(8, dtype=np.uint32)
+        # raw CFUNCTYPE call with prebound pointers: the ndpointer
+        # argtype validation costs ~30 us per call, dwarfing the kernel
+        proto = ctypes.CFUNCTYPE(
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_void_p)
+        self._fn = proto(ctypes.cast(lib.two_occ4_u32,
+                                     ctypes.c_void_p).value)
+        self._bwt_p = self._bwt.ctypes.data_as(ctypes.c_void_p)
+        self._l2_p = self._l2.ctypes.data_as(ctypes.c_void_p)
+        self._out_p = self._out.ctypes.data_as(ctypes.c_void_p)
+
+    def two_occ4(self, k, l):
+        self._fn(self._bwt_p, self._primary, self._l2_p, self._seq_len,
+                 k & 0xFFFFFFFF, l & 0xFFFFFFFF, self._out_p)
+        o = self._out.astype(np.int64)
+        return o[:4], o[4:]
+
+    def occ4(self, k):
+        return self.two_occ4(k, k)[0]
+
+
+def aln_global_native(seq1, seq2, mat, row, go, ge, gend, band):
+    """Native aln_global_core; returns (score, ctype_bytes) where
+    ctype_bytes is the returned path's ctype sequence (last-to-first), or
+    None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    s1 = np.ascontiguousarray(seq1, dtype=np.uint8)
+    s2 = np.ascontiguousarray(seq2, dtype=np.uint8)
+    cap = len(s1) + len(s2) + 2
+    path = np.empty(cap, dtype=np.uint8)
+    pn = np.zeros(1, dtype=np.int64)
+    score = lib.aln_global_u8(s1, len(s1), s2, len(s2),
+                              np.ascontiguousarray(mat, dtype=np.int32),
+                              int(row), int(go), int(ge), int(gend),
+                              int(band), path, cap, pn)
+    return int(score), path[:int(pn[0])]
+
+
+def aln_extend_native(seq1, seq2, mat, row, go, ge, band, g0,
+                      want_path=False):
+    """Native aln_extend_core; returns (score, end_i, end_j, ctype_bytes
+    or None).  None if the library is unavailable; raises on the
+    unmodelled overflow-rebase guard (same contract as the scalar)."""
+    lib = _load()
+    if lib is None:
+        return None
+    s1 = np.ascontiguousarray(seq1, dtype=np.uint8)
+    s2 = np.ascontiguousarray(seq2, dtype=np.uint8)
+    cap = len(s1) + len(s2) + 2
+    path = np.empty(cap, dtype=np.uint8)
+    pn = np.zeros(1, dtype=np.int64)
+    out = np.zeros(3, dtype=np.int32)
+    rc = lib.aln_extend_u8(s1, len(s1), s2, len(s2),
+                           np.ascontiguousarray(mat, dtype=np.int32),
+                           int(row), int(go), int(ge), int(band),
+                           int(g0), int(bool(want_path)), out, path, cap,
+                           pn)
+    if rc != 0:
+        raise AssertionError("extension overflow rebase not modelled")
+    # pn > 0 iff the kernel entered its path branch (pre-global score > 0
+    # with want_path) — the FINAL score can legitimately be <= 0 there
+    p = path[:int(pn[0])] if (want_path and int(pn[0]) > 0) else None
+    return int(out[0]), int(out[1]), int(out[2]), p
+
+
+def local_fwd_native(seq1, seq2, mat, row, q, r):
+    """Native local_fwd; returns (score_f, end_i, end_j) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros(3, dtype=np.int32)
+    rc = lib.local_fwd_u8(np.ascontiguousarray(seq1, dtype=np.uint8),
+                          len(seq1),
+                          np.ascontiguousarray(seq2, dtype=np.uint8),
+                          len(seq2),
+                          np.ascontiguousarray(mat, dtype=np.int32),
+                          int(row), int(q), int(r), out)
+    if rc != 0:
+        raise AssertionError("local SW overflow rebase not modelled")
+    return int(out[0]), int(out[1]), int(out[2])
 
 
 def dfs_match_gap_native(fwd_bwt, primary_fwd, rev_bwt, primary_rev, l2,

@@ -17,6 +17,32 @@ import math
 import numpy as np
 
 from ..refmodel.fm_scalar import ScalarFm
+
+
+class _NativeOccFm(ScalarFm):
+    """ScalarFm with the hot occ4/two_occ4 answered by the native kernel
+    (bit-exact — cross-checked in test_native; the pure-Python ScalarFm
+    remains the independent oracle)."""
+
+    def __init__(self, fm):
+        super().__init__(fm.bwt, fm.primary, fm.l2, fm.seq_len, fm.sa,
+                         fm.sa_intv)
+        from ..index.native import OccNative
+        self._occ = OccNative(fm.bwt, fm.primary, fm.l2, fm.seq_len)
+
+    def occ4(self, k):
+        return self._occ.occ4(k & 0xFFFFFFFF)
+
+    def two_occ4(self, k, l):
+        return self._occ.two_occ4(k & 0xFFFFFFFF, l & 0xFFFFFFFF)
+
+
+def _fast_fm(fm):
+    from ..index import native as native_mod
+    if native_mod._load() is not None:
+        return _NativeOccFm(fm)
+    return ScalarFm(fm.bwt, fm.primary, fm.l2, fm.seq_len, fm.sa,
+                    fm.sa_intv)
 from ..refmodel.stdaln_scalar import aln_global_core, path2cigar32, AlnParam
 from ..refmodel.extend_scalar import aln_extend_core
 from ..utils.ksort import introsort, ksmall, heapadjust
@@ -1038,10 +1064,7 @@ def bwasw(index, reads, opt=None, rng=None):
     rng = rng or Rand48(11)   # srand48(11), bwtsw2_main.c:19
     bns = index.bns
     pac = index.pac
-    fms = (ScalarFm(index.fwd.bwt, index.fwd.primary, index.fwd.l2,
-                    index.fwd.seq_len, index.fwd.sa, index.fwd.sa_intv),
-           ScalarFm(index.rev.bwt, index.rev.primary, index.rev.l2,
-                    index.rev.seq_len, index.rev.sa, index.rev.sa_intv))
+    fms = (_fast_fm(index.fwd), _fast_fm(index.rev))
     out = []
     for a in bns.anns:
         out.append("@SQ\tSN:%s\tLN:%d\n" % (a.name, a.length))

@@ -145,6 +145,43 @@ def _banded_global_device(s1, len1, s2, len2, b1, b2, mat, *, go, ge, gend):
     return score, ctype, tb
 
 
+def _use_native_dp(n_jobs):
+    """Route a DP batch to the native kernels (bit-exact with the device
+    ones): always off-TPU / under NABWA_FORCE_NATIVE; on TPU only when
+    the batch is too small to amortize the device-link round trip."""
+    import os
+    from ..index import native as native_mod
+    if native_mod._load() is None:
+        return False
+    if os.environ.get("NABWA_FORCE_NATIVE"):
+        return True
+    if jax.default_backend() != "tpu":
+        return True
+    return n_jobs < 64
+
+
+def _path_from_ctypes(cts, len1, len2):
+    """Rebuild the scalar oracle's [(ctype, i, j)] last-to-first path from
+    the native kernels' ctype byte sequence (each entry's coordinates are
+    the previous entry's moved by its ctype, starting at (len1, len2))."""
+    path = []
+    i, j = len1, len2
+    prev = None
+    for ct in cts:
+        ct = int(ct)
+        if prev is not None:
+            if prev == FROM_M:
+                i -= 1
+                j -= 1
+            elif prev == FROM_I:
+                j -= 1
+            else:
+                i -= 1
+        path.append((ct, i, j))
+        prev = ct
+    return path
+
+
 def banded_global_batch(pairs, ap, band_widths=None):
     """Batched aln_global_core: pairs = [(seq1, seq2), ...] (uint8 codes).
     Returns [(score, path), ...] exactly like the scalar oracle.
@@ -162,6 +199,18 @@ def banded_global_batch(pairs, ap, band_widths=None):
         if len(a) == 0 or len(b) == 0:
             res[i] = (0, [])
     if not todo:
+        return res
+
+    if _use_native_dp(len(todo)):
+        from ..index.native import aln_global_native
+        for i in todo:
+            a, b = pairs[i]
+            bw = (band_widths[i] if band_widths is not None
+                  else ap.band_width)
+            score, cts = aln_global_native(
+                a, b, ap.matrix, ap.row, ap.gap_open, ap.gap_ext,
+                ap.gap_end, bw)
+            res[i] = (score, _path_from_ctypes(cts, len(a), len(b)))
         return res
 
     B = len(todo)
@@ -312,6 +361,15 @@ def extend_batch(jobs, ap, g0s):
             res[i] = (-1, 0, 0)
     if not todo:
         return res
+    if _use_native_dp(len(todo)):
+        from ..index.native import aln_extend_native
+        for i in todo:
+            a, b = jobs[i]
+            score, ei, ej, _ = aln_extend_native(
+                a, b, ap.matrix, ap.row, ap.gap_open, ap.gap_ext,
+                ap.band_width, g0s[i], want_path=False)
+            res[i] = (score, ei, ej)
+        return res
     B = len(todo)
     L1 = -(-max(len(jobs[i][0]) for i in todo) // 32) * 32
     L2 = -(-max(len(jobs[i][1]) for i in todo) // 32) * 32
@@ -442,32 +500,41 @@ def local_sw_batch(jobs, ap, thres=1):
             N_LOCAL_SW_HOST += 1
     if not todo:
         return res
-    N_LOCAL_SW_DEVICE += len(todo)
+    if _use_native_dp(len(todo)):
+        from ..index.native import local_fwd_native
+        N_LOCAL_SW_HOST += len(todo)
+        packed = np.zeros((len(todo), 3), dtype=np.int64)
+        for bi, i in enumerate(todo):
+            a, b = jobs[i]
+            packed[bi] = local_fwd_native(a, b, ap.matrix, ap.row,
+                                          ap.gap_open, ap.gap_ext)
+    else:
+        N_LOCAL_SW_DEVICE += len(todo)
 
-    B = len(todo)
-    # coarse buckets: rescue windows are isize-dependent (~6*std + 2L),
-    # so fine-grained shapes would compile a kernel per batch
-    L1 = -(-max(len(jobs[i][0]) for i in todo) // 128) * 128
-    L2 = -(-max(len(jobs[i][1]) for i in todo) // 32) * 32
-    Bb = 8
-    while Bb < B:
-        Bb <<= 1
-    s1 = np.full((Bb, L1 + 1), 4, dtype=np.int32)
-    s2 = np.full((Bb, L2 + 1), 4, dtype=np.int32)
-    len1 = np.ones(Bb, dtype=np.int32)
-    len2 = np.ones(Bb, dtype=np.int32)
-    for bi, i in enumerate(todo):
-        a, b = jobs[i]
-        s1[bi, 1:len(a) + 1] = a
-        s2[bi, 1:len(b) + 1] = b
-        len1[bi] = len(a)
-        len2[bi] = len(b)
-    score_f, end_i, end_j = _local_fwd_device(
-        jnp.asarray(s1), jnp.asarray(len1), jnp.asarray(s2),
-        jnp.asarray(len2),
-        jnp.asarray(np.asarray(ap.matrix, dtype=np.int32)),
-        go=int(ap.gap_open), ge=int(ap.gap_ext))
-    packed = np.asarray(jnp.stack([score_f, end_i, end_j], axis=1))
+        B = len(todo)
+        # coarse buckets: rescue windows are isize-dependent (~6*std+2L),
+        # so fine-grained shapes would compile a kernel per batch
+        L1 = -(-max(len(jobs[i][0]) for i in todo) // 128) * 128
+        L2 = -(-max(len(jobs[i][1]) for i in todo) // 32) * 32
+        Bb = 8
+        while Bb < B:
+            Bb <<= 1
+        s1 = np.full((Bb, L1 + 1), 4, dtype=np.int32)
+        s2 = np.full((Bb, L2 + 1), 4, dtype=np.int32)
+        len1 = np.ones(Bb, dtype=np.int32)
+        len2 = np.ones(Bb, dtype=np.int32)
+        for bi, i in enumerate(todo):
+            a, b = jobs[i]
+            s1[bi, 1:len(a) + 1] = a
+            s2[bi, 1:len(b) + 1] = b
+            len1[bi] = len(a)
+            len2[bi] = len(b)
+        score_f, end_i, end_j = _local_fwd_device(
+            jnp.asarray(s1), jnp.asarray(len1), jnp.asarray(s2),
+            jnp.asarray(len2),
+            jnp.asarray(np.asarray(ap.matrix, dtype=np.int32)),
+            go=int(ap.gap_open), ge=int(ap.gap_ext))
+        packed = np.asarray(jnp.stack([score_f, end_i, end_j], axis=1))
 
     # host reverse pass; collect path-recovery segments
     seg = {}           # job idx -> (score_f, score_r, si, sj, ei, ej)

@@ -551,6 +551,21 @@ static int match_gap(const Fm fms[2], int length, const uint8_t* seq,
 
 extern "C" {
 
+// exported single-shot bwt_2occ4 for host FM walks (bsw2_core's trie
+// descent does one per node; the Python per-word popcount loop was the
+// bwasw profile's top entry)
+extern "C" int two_occ4_u32(const uint32_t* bwt_arr, uint32_t primary,
+                            const uint32_t* L2, uint32_t seq_len,
+                            uint32_t k, uint32_t l, uint32_t* out8) {
+    Fm fm;
+    fm.bwt = bwt_arr;
+    fm.primary = primary;
+    for (int c = 0; c < 5; ++c) fm.L2[c] = L2[c];
+    fm.seq_len = seq_len;
+    two_occ4(fm, k, l, out8, out8 + 4);
+    return 0;
+}
+
 // Batch DFS over n reads, threaded.  seqs: uint8 [n][2][L] (seq, rseq,
 // reversed-read orientation, padding = 4).  Outputs:
 //   hits_out   int32 [n][hits_cap][7]  (n_mm,n_gapo,n_gape,a,k,l,score)
