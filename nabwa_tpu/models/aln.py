@@ -417,7 +417,8 @@ class AlnEngine:
             self._host_fwd, int(self.primary_fwd),
             self._host_rev, int(self.primary_rev),
             self._host_l2, int(self.seq_len),
-            fb_reads, fb_maxdiff, lo)
+            fb_reads, fb_maxdiff, lo,
+            n_threads=getattr(self, "native_threads", 0))
         if native is not None:
             for i, res in zip(idxs, native):
                 results[i] = res

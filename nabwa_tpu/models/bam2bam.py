@@ -628,11 +628,17 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     a port makes the coordinator I/O-only like `bam2bam -t0 -p PORT`.
     """
     import copy as _copy
+    import os as _os
 
     from ..parallel.scheduler import run_distributed
     from ..utils.log import StageTimers, RateEMA, Counters
     from .sampe import hash_64
     from ..utils.rand48 import Rand48
+
+    # chunk workers run concurrently: cap each one's native engine so
+    # n_workers x hardware_concurrency does not oversubscribe the box
+    if n_workers > 1:
+        engine.native_threads = max(1, (_os.cpu_count() or 1) // n_workers)
 
     bns = engine.index.bns
     pac = engine.index.pac
