@@ -549,6 +549,8 @@ def coor_pac2real(bns, pac_coor, length):
 CIGAR_CHR = "MIDS"
 _FWD_BASES = "ACGTN"
 _REV_BASES = "TGCAN"
+_FWD_TAB = bytes.maketrans(bytes(range(5)), b"ACGTN")
+_REV_TAB = bytes.maketrans(bytes(range(5)), b"TGCAN")
 
 
 def print_sam1(bns, s, mate, mode, max_top2, rg_id=None):
@@ -612,12 +614,11 @@ def print_sam1(bns, s, mate, mode, max_top2, rg_id=None):
         else:
             out.append("\t*\t0\t0\t")
         # sequence & quality: seq codes were restored to original orientation
-        full = r.full_codes
+        full = np.asarray(r.full_codes, dtype=np.uint8)
         if s.strand == 0:
-            out.append("".join(_FWD_BASES[c] for c in full))
+            out.append(full.tobytes().translate(_FWD_TAB).decode())
         else:
-            out.append("".join(_REV_BASES[full[len(full) - 1 - i]]
-                               for i in range(len(full))))
+            out.append(full[::-1].tobytes().translate(_REV_TAB).decode())
         out.append("\t")
         out.append(_qual_str(s))
         if rg_id:
