@@ -17,7 +17,8 @@ _ROOT = pathlib.Path(__file__).resolve().parents[2]
 _SRCS = [_ROOT / "native" / "sais.cpp",
          _ROOT / "native" / "bwtwalk.cpp",
          _ROOT / "native" / "dfsgap.cpp",
-         _ROOT / "native" / "stdaln.cpp"]
+         _ROOT / "native" / "stdaln.cpp",
+         _ROOT / "native" / "bsw2core.cpp"]
 _BUILD = _ROOT / "native" / "build"
 _SO = _BUILD / "libnabwa_native.so"
 
@@ -86,6 +87,13 @@ def _load():
             _u8, ctypes.c_int, _u8, ctypes.c_int, _i32, ctypes.c_int,
             ctypes.c_int32, ctypes.c_int32, _i32]
         lib.local_fwd_u8.restype = ctypes.c_int32
+        lib.bsw2_core_u32.argtypes = [
+            _i64, _i64, _i32, ctypes.c_int, ctypes.c_int,
+            _u32, ctypes.c_uint32, _u32, ctypes.c_uint32,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i64, _i64, ctypes.c_int64, _i64]
+        lib.bsw2_core_u32.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None

@@ -426,9 +426,55 @@ def fill_cell(opt, match_score, c):
     return G
 
 
+def _bsw2_core_native(opt, target, query_fm):
+    """Native DAG x trie core (native/bsw2core.cpp, bit-exact with the
+    Python loop below); returns (hits_list, b1_list) or None."""
+    from ..index import native as native_mod
+    lib = native_mod._load()
+    if lib is None:
+        return None
+    n = target.seq_len
+    t_cum = np.ascontiguousarray(target.cum, dtype=np.int32).reshape(-1)
+    t_sa = np.ascontiguousarray(target.sa, dtype=np.int64)
+    t_l2 = np.ascontiguousarray(target.L2, dtype=np.int64)
+    g_l2 = np.ascontiguousarray(query_fm.L2, dtype=np.uint32)
+    g_bwt = np.ascontiguousarray(query_fm.bwt, dtype=np.uint32)
+    hits_out = np.zeros((2 * n, 9), dtype=np.int64)
+    cap = 16 * n + 64
+    b1_out = np.zeros((cap, 9), dtype=np.int64)
+    b1_n = np.zeros(1, dtype=np.int64)
+    rc = lib.bsw2_core_u32(
+        t_sa, t_l2, t_cum, int(target.primary), int(n),
+        g_bwt, np.uint32(query_fm.primary), g_l2,
+        np.uint32(query_fm.seq_len),
+        int(opt.a), int(opt.b), int(opt.q), int(opt.r), int(opt.bw),
+        int(opt.z), int(opt.t), int(opt.is_),
+        hits_out.reshape(-1), b1_out.reshape(-1), cap, b1_n)
+    if rc != 0:
+        return None
+
+    def mk(row):
+        h = Hit()
+        (h.k, h.l, h.flag, h.n_seeds, h.len, h.G, h.G2, h.beg,
+         h.end) = (int(row[0]), int(row[1]), int(row[2]), int(row[3]),
+                   int(row[4]), int(row[5]), int(row[6]), int(row[7]),
+                   int(row[8]))
+        return h
+
+    hits = [mk(r) for r in hits_out]
+    b1 = [mk(r) for r in b1_out[:int(b1_n[0])]]
+    return hits, b1
+
+
 def bsw2_core(opt, target, query_fm):
     """bsw2_core (bwtsw2_core.c:429-594).  target: Bwtl (read);
     query_fm: ScalarFm (genome).  Returns (b_hits_list, b1_narrow_list)."""
+    nat = _bsw2_core_native(opt, target, query_fm)
+    if nat is not None:
+        hits, b1 = nat
+        b = resolve_duphits(query_fm, hits, opt.is_)
+        b1 = resolve_duphits(query_fm, b1, opt.is_)
+        return b, b1
     chash = bsw2_connectivity(target)
     score_mat = [[opt.a if i == j else -opt.b for j in range(4)]
                  for i in range(4)]
