@@ -172,9 +172,16 @@ class Hit:
         self.end = 0
 
     def copy(self):
-        h = Hit()
-        for f in self.__slots__:
-            setattr(h, f, getattr(self, f))
+        h = Hit.__new__(Hit)
+        h.k = self.k
+        h.l = self.l
+        h.flag = self.flag
+        h.n_seeds = self.n_seeds
+        h.len = self.len
+        h.G = self.G
+        h.G2 = self.G2
+        h.beg = self.beg
+        h.end = self.end
         return h
 
 
@@ -313,17 +320,38 @@ def resolve_duphits(fm, b, IS):
     if not b:
         return b
     if fm is not None:
+        # collect all SA rows first: one native invPsi batch walk instead
+        # of a Python walk per row (values identical; expansion order kept)
+        rows = []
+        for p in b:
+            if p.l - p.k + 1 <= IS:
+                rows.extend(range(p.k, p.l + 1))
+            elif p.G > 0:
+                rows.append(p.k)
+        vals = None
+        from ..index.native import bwt_sa_batch
+        if rows:
+            vals = bwt_sa_batch(fm.bwt, fm.primary, fm.L2, fm.seq_len,
+                                fm.sa_arr, fm.sa_intv,
+                                np.asarray(rows, dtype=np.uint32))
+        if vals is None:
+            vals = [fm.sa(k) for k in rows]
+        else:
+            vals = [int(v) for v in vals]
         new = []
+        vi = 0
         for p in b:
             if p.l - p.k + 1 <= IS:
                 for k in range(p.k, p.l + 1):
                     h = p.copy()
-                    h.k = fm.sa(k)
+                    h.k = vals[vi]
+                    vi += 1
                     h.l = 0
                     new.append(h)
             elif p.G > 0:
                 h = p.copy()
-                h.k = fm.sa(p.k)
+                h.k = vals[vi]
+                vi += 1
                 h.l = 0
                 h.flag |= 1
                 new.append(h)
@@ -454,15 +482,13 @@ def _bsw2_core_native(opt, target, query_fm):
         return None
 
     def mk(row):
-        h = Hit()
+        h = Hit.__new__(Hit)
         (h.k, h.l, h.flag, h.n_seeds, h.len, h.G, h.G2, h.beg,
-         h.end) = (int(row[0]), int(row[1]), int(row[2]), int(row[3]),
-                   int(row[4]), int(row[5]), int(row[6]), int(row[7]),
-                   int(row[8]))
+         h.end) = row
         return h
 
-    hits = [mk(r) for r in hits_out]
-    b1 = [mk(r) for r in b1_out[:int(b1_n[0])]]
+    hits = [mk(r) for r in hits_out.tolist()]
+    b1 = [mk(r) for r in b1_out[:int(b1_n[0])].tolist()]
     return hits, b1
 
 
