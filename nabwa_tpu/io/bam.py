@@ -72,7 +72,8 @@ class BamRec:
         """l_qseq nt4 codes from the 4-bit packed sequence."""
         off = self.seq_off()
         nb = (self.l_qseq + 1) // 2
-        b = np.frombuffer(bytes(self.data[off:off + nb]), dtype=np.uint8)
+        # zero-copy view of the record buffer (the unpack below copies)
+        b = np.frombuffer(self.data, dtype=np.uint8, count=nb, offset=off)
         out = np.empty(nb * 2, dtype=np.uint8)
         out[0::2] = b >> 4
         out[1::2] = b & 0xF
@@ -80,8 +81,8 @@ class BamRec:
 
     def quals(self):
         off = self.qual_off()
-        return np.frombuffer(bytes(self.data[off:off + self.l_qseq]),
-                             dtype=np.uint8)
+        return np.frombuffer(self.data, dtype=np.uint8,
+                             count=self.l_qseq, offset=off).copy()
 
     def get_rg(self):
         """bam_get_rg (bamlite.c:157-201)."""

@@ -235,17 +235,27 @@ def resize_cigar(rec: BamRec, n_cigar):
     rec.n_cigar = n_cigar
 
 
+_TAG_PREFIX = {}
+
+
+def _tag_prefix(u, v, t):
+    key = u + v + t
+    pre = _TAG_PREFIX.get(key)
+    if pre is None:
+        pre = _TAG_PREFIX[key] = key.encode()
+    return pre
+
+
 def push_int(rec, u, v, x):
-    rec.data += bytes([ord(u), ord(v), ord("i")]) + struct.pack(
-        "<I", x & 0xFFFFFFFF)
+    rec.data += _tag_prefix(u, v, "i") + struct.pack("<I", x & 0xFFFFFFFF)
 
 
 def push_char(rec, u, v, c):
-    rec.data += bytes([ord(u), ord(v), ord("A"), ord(c)])
+    rec.data += _tag_prefix(u, v, "A") + c.encode()
 
 
 def push_string(rec, u, v, s):
-    rec.data += bytes([ord(u), ord(v), ord("Z")]) + s.encode() + b"\x00"
+    rec.data += _tag_prefix(u, v, "Z") + s.encode() + b"\x00"
 
 
 _CIG_BAM_OP = [0, 1, 2, 4]  # "\000\001\002\004" (bam2bam.c:469)
