@@ -239,21 +239,7 @@ def cmd_aln(argv):
             break
         results = eng.run_chunk(reads)
         # records only — the gap_opt_t header was written once up front
-        import struct
-        import numpy as np
-        for alns, hw in results:
-            out.write(struct.pack("<i", len(alns)))
-            if alns:
-                recs = np.zeros(len(alns), dtype=sai.ALN_DTYPE)
-                for i, h in enumerate(alns):
-                    recs[i]["meta"] = ((h["n_mm"] & 0xFF)
-                                       | ((h["n_gapo"] & 0xFF) << 8)
-                                       | ((h["n_gape"] & 0xFF) << 16)
-                                       | ((h["a"] & 1) << 24))
-                    recs[i]["k"] = h["k"]
-                    recs[i]["l"] = h["l"]
-                    recs[i]["score"] = h["score"]
-                out.write(recs.tobytes())
+        out.write(sai.pack_aln_block([alns for alns, hw in results]))
         tot += len(reads)
         print(f"[aln] {tot} sequences processed", file=sys.stderr)
     if args.out:
@@ -278,7 +264,7 @@ def cmd_samse(argv):
     from .utils.rand48 import Rand48
     from .utils.files import final_rename
 
-    opt, per_read = sai.read_sai(args.sai)
+    opt, per_read = sai.read_sai_tuples(args.sai)
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
     ntpac = _open_ntpac(args.prefix, opt.mode)
@@ -292,8 +278,7 @@ def cmd_samse(argv):
         reads = pull(READ_CHUNK, opt.trim_qual)
         if not reads:
             break
-        alns = [sai.aln_records_to_dicts(r)
-                for r in per_read[off:off + len(reads)]]
+        alns = per_read[off:off + len(reads)]
         off += len(reads)
         for line in se.samse(eng, reads, alns, opt, n_occ=args.n_occ,
                              rng=rng, rg_id=rg_id, ntpac=ntpac):
@@ -340,8 +325,8 @@ def cmd_sampe(argv):
     if args.force_isize:
         popt.force_isize = 1
 
-    opt0, per_read0 = sai.read_sai(args.sai1)
-    opt, per_read1 = sai.read_sai(args.sai2)
+    opt0, per_read0 = sai.read_sai_tuples(args.sai1)
+    opt, per_read1 = sai.read_sai_tuples(args.sai2)
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
     ntpac = _open_ntpac(args.prefix, opt.mode)
@@ -363,10 +348,8 @@ def cmd_sampe(argv):
             break
         reads1 = pull1(READ_CHUNK, opt.trim_qual)
         n = len(reads0)
-        alns0 = [sai.aln_records_to_dicts(r)
-                 for r in per_read0[off:off + n]]
-        alns1 = [sai.aln_records_to_dicts(r)
-                 for r in per_read1[off:off + n]]
+        alns0 = per_read0[off:off + n]
+        alns1 = per_read1[off:off + n]
         off += n
         lines, ii = pe.sampe(eng, (reads0, reads1), (alns0, alns1), opt,
                              popt, rng, rg_id=rg_id, last_ii=last_ii,

@@ -314,8 +314,7 @@ def dfs_match_gap_native(fwd_bwt, primary_fwd, rev_bwt, primary_rev, l2,
             # scalar extraction ~5x at bench scale
             rows = hits[j, :na].tolist()
             urows = hits_u[j, :na].tolist()
-            alns = [dict(n_mm=h[0], n_gapo=h[1], n_gape=h[2], a=h[3],
-                         k=u[4], l=u[5], score=h[6])
+            alns = [(h[0], h[1], h[2], h[3], u[4], u[5], h[6])
                     for h, u in zip(rows, urows)]
             results[idx] = (alns, hw_l[j])
         pending = np.array(retry, dtype=np.int64)

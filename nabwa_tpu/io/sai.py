@@ -15,6 +15,44 @@ from ..options import GapOpt, GAP_OPT_SIZE
 ALN_DTYPE = np.dtype([("meta", "<u4"), ("k", "<u4"), ("l", "<u4"),
                       ("score", "<i4")])
 
+# aln-record tuple layout — plain tuples replace per-record dicts on the
+# hot path (dict build/access was ~8 µs/read at samse scale)
+A_NMM, A_NGO, A_NGE, A_A, A_K, A_L, A_SCORE = range(7)
+
+
+def _columns(recs):
+    meta = recs["meta"].astype(np.int64)
+    return ((meta & 0xFF).tolist(), ((meta >> 8) & 0xFF).tolist(),
+            ((meta >> 16) & 0xFF).tolist(), ((meta >> 24) & 1).tolist(),
+            recs["k"].astype(np.int64).tolist(),
+            recs["l"].astype(np.int64).tolist(),
+            recs["score"].astype(np.int64).tolist())
+
+
+def aln_records_to_tuples(recs):
+    """One read's records → list of (n_mm, n_gapo, n_gape, a, k, l, score)."""
+    if not len(recs):
+        return []
+    return list(zip(*_columns(recs)))
+
+
+def aln_records_to_tuples_batch(recs_list):
+    """Many reads' record arrays → list of per-read tuple lists, with one
+    vectorized field decode over the whole chunk."""
+    if not recs_list:
+        return []
+    lens = [len(r) for r in recs_list]
+    if not any(lens):
+        return [[] for _ in recs_list]
+    allrecs = np.concatenate([np.asarray(r) for r in recs_list])
+    flat = list(zip(*_columns(allrecs)))
+    out = []
+    pos = 0
+    for n in lens:
+        out.append(flat[pos:pos + n])
+        pos += n
+    return out
+
 
 def pack_aln(n_mm, n_gapo, n_gape, a, k, l, score):
     rec = np.zeros(1, dtype=ALN_DTYPE)
@@ -26,26 +64,41 @@ def pack_aln(n_mm, n_gapo, n_gape, a, k, l, score):
     return rec
 
 
+def pack_aln_block(per_read_alns):
+    """Serialize a chunk of per-read tuple lists to the .sai record stream
+    (n_aln + records per read) with two vectorized passes."""
+    lens = [len(a) for a in per_read_alns]
+    total = sum(lens)
+    flat = [h for alns in per_read_alns for h in alns]
+    recs = np.zeros(total, dtype=ALN_DTYPE)
+    if total:
+        cols = np.array(flat, dtype=np.int64).T
+        recs["meta"] = ((cols[A_NMM] & 0xFF) | ((cols[A_NGO] & 0xFF) << 8)
+                        | ((cols[A_NGE] & 0xFF) << 16)
+                        | ((cols[A_A] & 1) << 24)).astype(np.uint32)
+        recs["k"] = cols[A_K].astype(np.uint32)
+        recs["l"] = cols[A_L].astype(np.uint32)
+        recs["score"] = cols[A_SCORE].astype(np.int32)
+    # interleave: per read an i32 count then its 16 B records
+    out = bytearray()
+    rb = recs.tobytes()
+    pos = 0
+    for n in lens:
+        out += struct.pack("<i", n)
+        if n:
+            out += rb[pos:pos + 16 * n]
+            pos += 16 * n
+    return bytes(out)
+
+
 def write_sai(path_or_file, opt: GapOpt, per_read_alns):
-    """per_read_alns: iterable of lists of dicts with n_mm/n_gapo/n_gape/a/
-    k/l/score (append order preserved)."""
+    """per_read_alns: iterable of per-read lists of aln tuples
+    (A_* field order, append order preserved)."""
     own = isinstance(path_or_file, str)
     f = open(path_or_file, "wb") if own else path_or_file
     try:
         f.write(opt.pack())
-        for alns in per_read_alns:
-            f.write(struct.pack("<i", len(alns)))
-            if alns:
-                recs = np.zeros(len(alns), dtype=ALN_DTYPE)
-                for i, h in enumerate(alns):
-                    recs[i]["meta"] = ((h["n_mm"] & 0xFF)
-                                       | ((h["n_gapo"] & 0xFF) << 8)
-                                       | ((h["n_gape"] & 0xFF) << 16)
-                                       | ((h["a"] & 1) << 24))
-                    recs[i]["k"] = h["k"]
-                    recs[i]["l"] = h["l"]
-                    recs[i]["score"] = h["score"]
-                f.write(recs.tobytes())
+        f.write(pack_aln_block(list(per_read_alns)))
     finally:
         if own:
             f.close()
@@ -67,10 +120,32 @@ def read_sai(path):
     return opt, out
 
 
-def aln_records_to_dicts(recs):
-    return [dict(n_mm=int(r["meta"]) & 0xFF,
-                 n_gapo=(int(r["meta"]) >> 8) & 0xFF,
-                 n_gape=(int(r["meta"]) >> 16) & 0xFF,
-                 a=(int(r["meta"]) >> 24) & 1,
-                 k=int(r["k"]), l=int(r["l"]), score=int(r["score"]))
-            for r in recs]
+def read_sai_tuples(path):
+    """Returns (GapOpt, list of per-read aln-tuple lists) with one flat
+    record pass — avoids building one tiny array per read (read_sai) and
+    the per-array field promotion np.concatenate then pays."""
+    with open(path, "rb") as f:
+        data = f.read()
+    opt = GapOpt.unpack(data[:GAP_OPT_SIZE])
+    pos = GAP_OPT_SIZE
+    counts = []
+    parts = []
+    unpack = struct.unpack_from
+    while pos < len(data):
+        (n,) = unpack("<i", data, pos)
+        pos += 4
+        counts.append(n)
+        if n:
+            parts.append(data[pos:pos + 16 * n])
+            pos += 16 * n
+    flat = np.frombuffer(b"".join(parts), dtype=ALN_DTYPE)
+    tuples = list(zip(*_columns(flat))) if len(flat) else []
+    out = []
+    p = 0
+    for n in counts:
+        out.append(tuples[p:p + n])
+        p += n
+    return opt, out
+
+
+

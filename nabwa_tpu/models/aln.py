@@ -18,9 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import BWA_AVG_ERR
-from ..ops import occ as occ_ops
-from ..ops import dfs_pallas
-from ..ops.dfs import aln_device_step, unpack_result
+from ..ops.dfs import unpack_result
 from ..refmodel.aln_scalar import cal_maxdiff, aln_batch as scalar_aln_batch
 from ..refmodel.fm_scalar import ScalarFm
 
@@ -35,6 +33,36 @@ def _maxdiff_table(fnr, max_len=1024):
     for l in range(1, max_len + 1):
         tab[l] = cal_maxdiff(l, BWA_AVG_ERR, fnr)
     return tab
+
+
+def plan_device_share(n_reads, device_batch, dev_rate, host_rate,
+                      n_cores, dev_lat):
+    """The hybrid split policy, as a pure function so tests can pin its
+    routing decisions (a kernel regression must not silently re-route all
+    work to the host and fake a win).
+
+    Returns n_dev, the number of reads handed to the device this chunk.
+
+    - proportional split from the two rate EMAs, rounded to whole
+      device_batch slices;
+    - opportunity-cost check: driving the device costs ~one host core of
+      runtime/transfer work (measured: the device queue stalls when
+      native saturates every core), so the device share must out-produce
+      the per-core host rate it displaces — through a high-latency tunnel
+      it may not, and the right call is to leave the link idle;
+    - latency guard: a device share also pays a fixed tunnel cost
+      (dispatch + result round trips); shed slices until the predicted
+      device window fits inside the host drain window."""
+    n_dev = int(n_reads * dev_rate / (dev_rate + host_rate))
+    n_dev = (n_dev // device_batch) * device_batch
+    n_dev = min(n_dev, n_reads)
+    per_core = host_rate / max(n_cores, 1)
+    if dev_rate < 1.1 * per_core:
+        n_dev = 0
+    while n_dev and (dev_lat + n_dev / dev_rate) > \
+            1.1 * (n_reads - n_dev) / host_rate:
+        n_dev -= device_batch
+    return n_dev
 
 
 class AlnEngine:
@@ -129,6 +157,7 @@ class AlnEngine:
         self._pal_table = None
         self._pal_mxu = False
         if use_pallas:
+            from ..ops import dfs_pallas
             table, rev_row0 = dfs_pallas.build_table(
                 np.concatenate([fwd.bwt.view(np.int32),
                                 rev.bwt.view(np.int32)]), self.rev_off)
@@ -220,26 +249,9 @@ class AlnEngine:
                 import time as _time
                 dev_rate = getattr(self, "_dev_rate", 8_000.0)
                 host_rate = getattr(self, "_host_rate", 25_000.0)
-                n_dev = int(len(reads) * dev_rate / (dev_rate + host_rate))
-                n_dev = (n_dev // device_batch) * device_batch
-                n_dev = min(n_dev, len(reads))
-                # opportunity-cost check: driving the device costs ~one
-                # host core of runtime/transfer work (measured: the device
-                # queue stalls when native saturates every core), so the
-                # device share must out-produce the per-core host rate it
-                # displaces.  With a locally-attached chip dev_rate clears
-                # this easily; through a high-latency tunnel it may not,
-                # and the right call is to leave the link idle.
-                per_core = host_rate / max(_os.cpu_count() or 1, 1)
-                if dev_rate < 1.1 * per_core:
-                    n_dev = 0
-                # latency guard: a device share also pays a fixed tunnel
-                # cost (dispatch + result round trips); shed slices until
-                # the predicted device window fits inside the host drain
-                # window (short chunks end up host-only)
-                while n_dev and (self.DEV_LAT + n_dev / dev_rate) > \
-                        1.1 * (len(reads) - n_dev) / host_rate:
-                    n_dev -= device_batch
+                n_dev = plan_device_share(
+                    len(reads), device_batch, dev_rate, host_rate,
+                    _os.cpu_count() or 1, self.DEV_LAT)
                 handles = []
                 t_disp0 = _time.time()
                 for start in range(0, n_dev, device_batch):
@@ -458,20 +470,25 @@ class AlnEngine:
         ctx["hw"] = hw
         overflow = out["overflow"]
         fallback = []
+        meta64 = hit_meta.astype(np.int64)
+        nmm_l = (meta64 & 0xFF).tolist()
+        ngo_l = ((meta64 >> 8) & 0xFF).tolist()
+        nge_l = ((meta64 >> 16) & 0xFF).tolist()
+        a_l = ((meta64 >> 24) & 1).tolist()
+        k_l = hit_k.astype(np.int64).tolist()
+        l_l = hit_l.astype(np.int64).tolist()
+        sc_l = hit_score.astype(np.int64).tolist()
+        na_l = n_aln.tolist()
+        hw_l = hw.tolist()
         for i, r in enumerate(reads):
             if overflow[i]:
                 fallback.append(i)
                 continue
-            alns = []
-            for h in range(n_aln[i]):
-                meta = int(hit_meta[i, h])
-                alns.append(dict(n_mm=meta & 0xFF,
-                                 n_gapo=(meta >> 8) & 0xFF,
-                                 n_gape=(meta >> 16) & 0xFF,
-                                 a=(meta >> 24) & 1, k=int(hit_k[i, h]),
-                                 l=int(hit_l[i, h]),
-                                 score=int(hit_score[i, h])))
-            results[base + i] = (alns, int(hw[i]))
+            na = na_l[i]
+            alns = list(zip(nmm_l[i][:na], ngo_l[i][:na], nge_l[i][:na],
+                            a_l[i][:na], k_l[i][:na], l_l[i][:na],
+                            sc_l[i][:na]))
+            results[base + i] = (alns, hw_l[i])
         return fallback
 
     def _run_device(self, reads, maxdiff, local, results, base, max_len,
@@ -528,6 +545,7 @@ class AlnEngine:
                    and stack_cap <= self.PALLAS_MAX_STACK
                    and B % self.PALLAS_BB == 0)
         if use_pal:
+            from ..ops import dfs_pallas
             out = dfs_pallas.aln_device_step_pallas(
                 self._pal_table, self._pal_params, self.bwt_fwd,
                 self.bwt_rev, self.rev_off, self.primary_fwd,
@@ -537,6 +555,7 @@ class AlnEngine:
                 jnp.asarray(has_seed), jnp.asarray(maxdiff),
                 BB=self.PALLAS_BB, mxu=self._pal_mxu, **statics)
         else:
+            from ..ops.dfs import aln_device_step
             out = aln_device_step(
                 self.bwt_cat, self.bwt_fwd, self.bwt_rev, self.rev_off,
                 self.primary_fwd, self.primary_rev, self.l2, self.seq_len,

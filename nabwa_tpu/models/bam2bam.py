@@ -91,7 +91,7 @@ def try_get_sai(sai_streams, c):
         if naln >= 0 and len(body) == 16 * naln:
             from ..io import sai as saiio
             recs = np.frombuffer(body, dtype=saiio.ALN_DTYPE)
-            return saiio.aln_records_to_dicts(recs)
+            return saiio.aln_records_to_tuples(recs)
     print(f"[read_bam_pair] note: sai file {c} has ended.", file=sys.stderr)
     f.close()
     sai_streams[c] = None
@@ -837,8 +837,8 @@ def _clone_pair(p):
     c = Pair(p.kind, [_clone_rec(r) for r in p.recs])
     c.phase = p.phase
     c.states = [_clone_state(s) for s in p.states]
-    c.alns = [[dict(h) for h in a] if a is not None else None
-              for a in p.alns]
+    # aln records are immutable tuples now: a shallow list copy suffices
+    c.alns = [list(a) if a is not None else None for a in p.alns]
     c.hw = list(p.hw)
     c.side = p.side
     try:
@@ -863,15 +863,15 @@ def _expand_positions_batch(engine, pairs, popt, pos_memo):
         if not all(x.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)
                    for x in s):
             continue
-        n_occ = [sum(h["l"] - h["k"] + 1 for h in p.alns[j])
+        n_occ = [sum(h[5] - h[4] + 1 for h in p.alns[j])
                  for j in range(2)]
         if n_occ[0] > popt.max_occ or n_occ[1] > popt.max_occ:
             continue
         result[idx] = {}
         for j in range(2):
             for ki, h in enumerate(p.alns[j]):
-                key = (h["k"], h["l"])
-                wide = h["l"] - h["k"] + 1 >= pe.MIN_HASH_WIDTH
+                key = (h[4], h[5])
+                wide = h[5] - h[4] + 1 >= pe.MIN_HASH_WIDTH
                 if wide and key in pos_memo:
                     result[idx][(j, ki)] = pos_memo[key]
                     continue
@@ -879,7 +879,7 @@ def _expand_positions_batch(engine, pairs, popt, pos_memo):
                     sl = slot_of[key]
                 else:
                     sl = len(slots)
-                    slots.append((h["a"], h["k"], h["l"], s[j].len))
+                    slots.append((h[3], h[4], h[5], s[j].len))
                     if wide:
                         slot_of[key] = sl
                 consumers.append(((idx, j, ki), sl))

@@ -147,8 +147,8 @@ def pairing(p, d_arr, alns, popt, s_mm, ii):
         if not ((ii.high and l <= ii.high_bayesian)
                 or (ii.high == 0 and l <= popt.max_isize)):
             return
-        s = (alns[v & 1][(v & 0xFFFFFFFF) >> 1]["score"]
-             + alns[u & 1][(u & 0xFFFFFFFF) >> 1]["score"])
+        s = (alns[v & 1][(v & 0xFFFFFFFF) >> 1][6]
+             + alns[u & 1][(u & 0xFFFFFFFF) >> 1][6])
         s *= 10
         if ii.high:
             s += int(-4.343 * math.log(
@@ -174,7 +174,7 @@ def pairing(p, d_arr, alns, popt, s_mm, ii):
     if popt.type == BWA_PET_STD:
         for x in d_arr:
             x = int(x)
-            strand = alns[x & 1][(x & 0xFFFFFFFF) >> 1]["a"]
+            strand = alns[x & 1][(x & 0xFFFFFFFF) >> 1][3]
             if strand == 1:
                 y = 1 - (x & 1)
                 aux(last_pos[y][1], x)
@@ -185,7 +185,7 @@ def pairing(p, d_arr, alns, popt, s_mm, ii):
     elif popt.type == BWA_PET_SOLID:
         for x in d_arr:
             x = int(x)
-            strand = alns[x & 1][(x & 0xFFFFFFFF) >> 1]["a"]
+            strand = alns[x & 1][(x & 0xFFFFFFFF) >> 1][3]
             if (strand ^ x) & 1:
                 y = 1 - (x & 1)
                 aux(last_pos[y][1], x)
@@ -209,8 +209,8 @@ def pairing(p, d_arr, alns, popt, s_mm, ii):
                     - se.G_LOG_N[n]
                 if mapQ_p < 0:
                     mapQ_p = 0
-        rr = [alns[o_pos[0] & 1][(o_pos[0] & 0xFFFFFFFF) >> 1]["a"],
-              alns[o_pos[1] & 1][(o_pos[1] & 0xFFFFFFFF) >> 1]["a"]]
+        rr = [alns[o_pos[0] & 1][(o_pos[0] & 0xFFFFFFFF) >> 1][3],
+              alns[o_pos[1] & 1][(o_pos[1] & 0xFFFFFFFF) >> 1][3]]
         ok0 = p[0].pos == (o_pos[0] >> 32) and p[0].strand == rr[0]
         ok1 = p[1].pos == (o_pos[1] >> 32) and p[1].strand == rr[1]
         if ok0 and ok1:
@@ -237,12 +237,10 @@ def pairing(p, d_arr, alns, popt, s_mm, ii):
             r = alns[w & 1][(w & 0xFFFFFFFF) >> 1]
             qq = p[j]
             qq.extra_flag |= SAM_FPP
-            if qq.pos != (w >> 32) or qq.strand != r["a"]:
-                qq.n_mm = r["n_mm"]
-                qq.n_gapo = r["n_gapo"]
-                qq.n_gape = r["n_gape"]
-                qq.strand = r["a"]
-                qq.score = r["score"]
+            if qq.pos != (w >> 32) or qq.strand != r[3]:
+                qq.n_mm, qq.n_gapo, qq.n_gape = r[0], r[1], r[2]
+                qq.strand = r[3]
+                qq.score = r[6]
                 qq.pos = w >> 32
                 if qq.mapQ > 0:
                     cnt_chg += 1
@@ -568,27 +566,27 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
         both = all(s.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT) for s in p)
         plan = None
         if both:
-            n_occ = [sum(h["l"] - h["k"] + 1 for h in per_read_alns[j][i])
+            n_occ = [sum(h[5] - h[4] + 1 for h in per_read_alns[j][i])
                      for j in (0, 1)]
             if n_occ[0] <= popt.max_occ and n_occ[1] <= popt.max_occ:
                 plan = []
                 for j in (0, 1):
                     for ki, h in enumerate(per_read_alns[j][i]):
-                        width = h["l"] - h["k"] + 1
-                        key = (h["k"], h["l"])
+                        width = h[5] - h[4] + 1
+                        key = (h[4], h[5])
                         if width >= MIN_HASH_WIDTH:
                             if key not in pos_memo:
                                 pos_memo[key] = ("pending", len(expand_jobs),
                                                  width)
-                                for l in range(h["k"], h["l"] + 1):
+                                for l in range(h[4], h[5] + 1):
                                     expand_jobs.append(
-                                        (h["a"], l, p[j].len))
+                                        (h[3], l, p[j].len))
                             plan.append((j, ki, h, "memo", key))
                         else:
                             plan.append((j, ki, h, "direct",
                                          len(expand_jobs)))
-                            for l in range(h["k"], h["l"] + 1):
-                                expand_jobs.append((h["a"], l, p[j].len))
+                            for l in range(h[4], h[5] + 1):
+                                expand_jobs.append((h[3], l, p[j].len))
         pair_plans.append(plan)
 
     expanded = batch_positions(expand_jobs)
@@ -608,7 +606,7 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
                 if kind == "memo":
                     positions = pos_memo[ref]
                 else:
-                    width = h["l"] - h["k"] + 1
+                    width = h[5] - h[4] + 1
                     positions = expanded[ref:ref + width]
                 d_arr.append((np.asarray(positions, dtype=np.uint64) << 32)
                              | np.uint64((ki << 1) | j))

@@ -70,31 +70,34 @@ def aln2seq_core(alns, s, rng, set_main=True, n_multi=0):
         s.c1 = s.c2 = 0
         return
     if set_main:
-        best = alns[0]["score"]
+        # alns are (n_mm, n_gapo, n_gape, a, k, l, score) tuples (io.sai A_*)
+        best = alns[0][6]
         cnt = 0
         i = 0
+        drand48 = rng.drand48
         while i < len(alns):
-            p = alns[i]
-            if p["score"] > best:
+            n_mm, n_gapo, n_gape, a, k, l, score = alns[i]
+            if score > best:
                 break
-            if rng.drand48() * (p["l"] - p["k"] + 1 + cnt) > float(cnt):
-                s.n_mm = p["n_mm"]
-                s.n_gapo = p["n_gapo"]
-                s.n_gape = p["n_gape"]
-                s.strand = p["a"]
-                s.score = p["score"]
-                s.sa = p["k"] + int((p["l"] - p["k"] + 1) * rng.drand48())
-            cnt += p["l"] - p["k"] + 1
+            w = l - k + 1
+            if drand48() * (w + cnt) > float(cnt):
+                s.n_mm = n_mm
+                s.n_gapo = n_gapo
+                s.n_gape = n_gape
+                s.strand = a
+                s.score = score
+                s.sa = k + int(w * drand48())
+            cnt += w
             i += 1
         s.c1 = cnt
         while i < len(alns):
-            cnt += alns[i]["l"] - alns[i]["k"] + 1
+            cnt += alns[i][5] - alns[i][4] + 1
             i += 1
         s.c2 = cnt - s.c1
         s.type = BWA_TYPE_REPEAT if s.c1 > 1 else BWA_TYPE_UNIQUE
 
     if n_multi:
-        n_occ = sum(q["l"] - q["k"] + 1 for q in alns)
+        n_occ = sum(q[5] - q[4] + 1 for q in alns)
         s.multi = []
         s.n_multi = 0
         if n_occ > n_multi + 1:  # too many -> none (bwase.c:54-57)
@@ -102,11 +105,11 @@ def aln2seq_core(alns, s, rng, set_main=True, n_multi=0):
         rest = n_occ
         multi = []
         for q in alns:
-            sz = q["l"] - q["k"] + 1
+            sz = q[5] - q[4] + 1
             if sz <= rest:
-                for l in range(q["k"], q["l"] + 1):
-                    multi.append(dict(pos=l, gap=q["n_gapo"] + q["n_gape"],
-                                      mm=q["n_mm"], strand=q["a"],
+                for l in range(q[4], q[5] + 1):
+                    multi.append(dict(pos=l, gap=q[1] + q[2],
+                                      mm=q[0], strand=q[3],
                                       cigar=None, n_cigar=0))
                 rest -= sz
             else:
@@ -231,6 +234,83 @@ def refine_gapped_core(l_pac, pac, seq_codes, pos, ext, is_end_correct=True,
     if cigar and cigar[0][0] == FROM_I:
         cigar[0] = (FROM_S, cigar[0][1])
     return cigar, __pos
+
+
+def _bns_arrays(bns):
+    """Cached ann/amb offset arrays for vectorized coordinate work."""
+    arr = getattr(bns, "_np_arrays", None)
+    if arr is None:
+        arr = (np.array([a.offset for a in bns.anns], dtype=np.int64),
+               np.array([h.offset for h in bns.ambs], dtype=np.int64),
+               np.array([h.offset + h.length for h in bns.ambs],
+                        dtype=np.int64))
+        try:
+            bns._np_arrays = arr
+        except AttributeError:
+            pass
+    return arr
+
+
+def cal_md_batch(states, bns, pac):
+    """Vectorized MD/NM for the common case — matched reads with no CIGAR
+    whose reference window stays inside pac and touches no ambiguity hole
+    (bwa_cal_md1 fast path over the whole chunk at once).  Returns the
+    list of states that still need the scalar cal_md1."""
+    _, amb_off, amb_end = _bns_arrays(bns)
+    l_pac = bns.l_pac
+    todo = []
+    by_len = {}
+    for s in states:
+        if s.type == BWA_TYPE_NO_MATCH:
+            continue
+        if s.cigar is not None:
+            todo.append(s)
+            continue
+        by_len.setdefault(s.len, []).append(s)
+    for L, group in by_len.items():
+        pos = np.array([s.pos for s in group], dtype=np.int64)
+        inb = pos + L <= l_pac
+        if len(amb_off):
+            idx = np.searchsorted(amb_end, pos, side="right")
+            idxc = np.minimum(idx, len(amb_off) - 1)
+            clean = inb & ~((idx < len(amb_off))
+                            & (amb_off[idxc] < pos + L))
+        else:
+            clean = inb
+        clean_states = [s for s, c in zip(group, clean.tolist()) if c]
+        todo.extend(s for s, c in zip(group, clean.tolist()) if not c)
+        if not clean_states:
+            continue
+        cpos = pos[clean]
+        ref = pac[cpos[:, None] + np.arange(L)]
+        seq = np.stack([(s.read.rseq if s.strand else s.read.seq[::-1])[:L]
+                        for s in clean_states])
+        mism = (ref != seq) | (seq > 3)
+        nm = mism.sum(axis=1)
+        nm_l = nm.tolist()
+        clean_md = str(L)
+        rows, cols = np.nonzero(mism)
+        rows = rows.tolist()
+        cols = cols.tolist()
+        ri = 0
+        for i, s in enumerate(clean_states):
+            n = nm_l[i]
+            s.nm = n
+            if n == 0:
+                s.md = clean_md
+                continue
+            out = []
+            last = -1
+            rseq = ref[i]
+            for _ in range(n):
+                mi = cols[ri]
+                ri += 1
+                out.append(str(mi - last - 1))
+                out.append("ACGT"[rseq[mi]])
+                last = mi
+            out.append(str(L - 1 - last))
+            s.md = "".join(out)
+    return todo
 
 
 def cal_md1(cigar, seq_codes, pos, bns, pac):
@@ -471,11 +551,10 @@ def refine_gapped(bns, pac, states, use_device=True, ntpac=None):
                      is_end_correct=False)
 
     md_pac = ntpac if ntpac is not None else pac
-    for s in states:
-        if s.type != BWA_TYPE_NO_MATCH:
-            r = s.read
-            seqc = r.rseq if s.strand else r.seq[::-1]
-            s.md, s.nm = cal_md1(s.cigar, seqc, s.pos, bns, md_pac)
+    for s in cal_md_batch(states, bns, md_pac):
+        r = s.read
+        seqc = r.rseq if s.strand else r.seq[::-1]
+        s.md, s.nm = cal_md1(s.cigar, seqc, s.pos, bns, md_pac)
 
     if ntpac is None:   # trimming correction is Illumina-only
         for s in states:
@@ -546,6 +625,26 @@ def coor_pac2real(bns, pac_coor, length):
     return seqid, nn
 
 
+def coor_pac2real_batch(bns, pos_arr, len_arr):
+    """Vectorized bns_coor_pac2real over a chunk: one searchsorted for the
+    seqid, nn=0 fast path when no ambiguity hole touches the window, exact
+    scalar bisect replay for the (rare) rows that touch one."""
+    ann_off, amb_off, amb_end = _bns_arrays(bns)
+    pos = np.asarray(pos_arr, dtype=np.int64)
+    ln = np.asarray(len_arr, dtype=np.int64)
+    seqid = np.searchsorted(ann_off, pos, side="right") - 1
+    seqid = np.clip(seqid, 0, bns.n_seqs - 1)
+    nn = np.zeros(len(pos), dtype=np.int64)
+    if len(amb_off):
+        idx = np.searchsorted(amb_end, pos, side="right")
+        idxc = np.minimum(idx, len(amb_off) - 1)
+        touch = (idx < len(amb_off)) & (amb_off[idxc] < pos + ln)
+        for i in np.flatnonzero(touch).tolist():
+            _, nn_i = coor_pac2real(bns, int(pos[i]), int(ln[i]))
+            nn[i] = nn_i
+    return seqid.tolist(), nn.tolist()
+
+
 CIGAR_CHR = "MIDS"
 _FWD_BASES = "ACGTN"
 _REV_BASES = "TGCAN"
@@ -553,8 +652,9 @@ _FWD_TAB = bytes.maketrans(bytes(range(5)), b"ACGTN")
 _REV_TAB = bytes.maketrans(bytes(range(5)), b"TGCAN")
 
 
-def print_sam1(bns, s, mate, mode, max_top2, rg_id=None):
-    """bwa_print_sam1 (bwase.c:458-592) — returns one SAM line (no \\n)."""
+def print_sam1(bns, s, mate, mode, max_top2, rg_id=None, pre=None):
+    """bwa_print_sam1 (bwase.c:458-592) — returns one SAM line (no \\n).
+    pre: optional precomputed (seqid, nn) for s (coor_pac2real_batch)."""
     r = s.read
     out = []
     if s.type != BWA_TYPE_NO_MATCH or (mate and mate.type != BWA_TYPE_NO_MATCH):
@@ -567,7 +667,8 @@ def print_sam1(bns, s, mate, mode, max_top2, rg_id=None):
             j = 1
         else:
             j = pos_end(s) - s.pos
-        seqid, nn = coor_pac2real(bns, s.pos, j)
+        seqid, nn = pre if pre is not None \
+            else coor_pac2real(bns, s.pos, j)
         if (s.type != BWA_TYPE_NO_MATCH
                 and s.pos + j - bns.anns[seqid].offset > bns.anns[seqid].length):
             flag |= SAM_FSU  # bridges two reference sequences
@@ -728,5 +829,14 @@ def samse(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
         states.append(s)
     cal_pac_pos(engine, states, opt.max_diff, opt.fnr)
     refine_gapped(bns, pac, states, ntpac=ntpac)
-    return [print_sam1(bns, s, None, opt.mode, opt.max_top2, rg_id=rg_id)
+    # one vectorized coor_pac2real pass for every matched state
+    matched = [s for s in states if s.type != BWA_TYPE_NO_MATCH]
+    pres = {}
+    if matched:
+        sid, nn = coor_pac2real_batch(
+            bns, [s.pos for s in matched],
+            [pos_end(s) - s.pos for s in matched])
+        pres = {id(s): (i1, n1) for s, i1, n1 in zip(matched, sid, nn)}
+    return [print_sam1(bns, s, None, opt.mode, opt.max_top2, rg_id=rg_id,
+                       pre=pres.get(id(s)))
             for s in states]

@@ -21,6 +21,7 @@ chips; the semantics carried over 1:1:
   drand48 stream is order-dependent — SURVEY §2.7 determinism caveat).
 """
 
+import sys
 import threading
 import time
 from collections import deque
@@ -116,6 +117,7 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
     # Each lock holder re-runs release_ready() fresh, so the global writer
     # sequence is strictly chunk-ordered.
     writer_lock = threading.Lock()
+    _logged_failures = set()
 
     def drain_to_writer():
         with writer_lock:
@@ -136,7 +138,17 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
             try:
                 res = fn(cid, chunks[cid])
             except Exception:
-                continue  # lease expires; chunk will be re-issued
+                # lease expires; chunk will be re-issued (at-least-once,
+                # bam2bam.c:1586-1596) — but a deterministic bug would
+                # spin forever silently, so log the first failure per
+                # chunk
+                if cid not in _logged_failures:
+                    _logged_failures.add(cid)
+                    import traceback
+                    print(f"[scheduler] work_fn failed on chunk {cid} "
+                          f"(will re-issue):", file=sys.stderr)
+                    traceback.print_exc()
+                continue
             if res is not None:
                 sched.complete(cid, res)
             drain_to_writer()

@@ -186,12 +186,12 @@ def match_gap(fms, length, seqs, widths, seed_widths, opt, max_diff,
             elif best_cnt > opt.max_top2:
                 break
             if e.n_gapo:  # tandem-repeat dedup (bwtgap.c:179-183)
-                if any(h["k"] == k and h["l"] == l for h in alns):
+                if any(h[4] == k and h[5] == l for h in alns):
                     do_add = False
             if do_add:
                 gap_shadow(l - k + 1, fm.seq_len, e.last_diff_pos, w, bid)
-                alns.append(dict(n_mm=e.n_mm, n_gapo=e.n_gapo,
-                                 n_gape=e.n_gape, a=a, k=k, l=l, score=score))
+                # aln tuple layout: io.sai A_* order
+                alns.append((e.n_mm, e.n_gapo, e.n_gape, a, k, l, score))
             continue
 
         i -= 1

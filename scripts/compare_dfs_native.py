@@ -73,10 +73,8 @@ assert got is not None, "native library unavailable"
 
 bad = 0
 for i, ((walns, whw), (galns, ghw)) in enumerate(zip(want, got)):
-    wl = [(h["n_mm"], h["n_gapo"], h["n_gape"], h["a"], h["k"], h["l"],
-           h["score"]) for h in walns]
-    gl = [(h["n_mm"], h["n_gapo"], h["n_gape"], h["a"], h["k"], h["l"],
-           h["score"]) for h in galns]
+    wl = [tuple(h) for h in walns]
+    gl = [tuple(h) for h in galns]
     if wl != gl or whw != ghw:
         bad += 1
         if bad <= 5:

@@ -64,6 +64,11 @@ def ensure_genome(name, glen, seed):
 
 
 def run(cmd, out=None):
+    # fresh outputs only, reference side too: `bwa aln -f stale.sai`
+    # enters recovery mode (bwtaln.c:259-297), skips every record and
+    # times a no-op — same bug class ours() already guards against
+    if "-f" in cmd:
+        pathlib.Path(cmd[cmd.index("-f") + 1]).unlink(missing_ok=True)
     t0 = time.time()
     with open(out or os.devnull, "wb") as o:
         subprocess.run(cmd, check=True, stdout=o,

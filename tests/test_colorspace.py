@@ -90,10 +90,8 @@ def test_color_aln_samse_identical(colorenv):
     # .sai parity first
     ref_opt, ref_alns = sai.read_sai(str(d / "ref.sai"))
     for i, ((alns, hw), recs) in enumerate(zip(results, ref_alns)):
-        want = sai.aln_records_to_dicts(recs)
-        have = [dict(n_mm=h["n_mm"], n_gapo=h["n_gapo"],
-                     n_gape=h["n_gape"], a=h["a"], k=h["k"], l=h["l"],
-                     score=h["score"]) for h in alns]
+        want = sai.aln_records_to_tuples(recs)
+        have = [tuple(h) for h in alns]
         assert have == want, f"read {i}"
 
     from nabwa_tpu.index.pack import read_pac

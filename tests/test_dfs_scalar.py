@@ -42,10 +42,8 @@ def _compare(fms, reads, ref_sai, opt):
     got = aln_batch(fms, reads, opt)
     assert len(got) == len(ref_alns)
     for i, ((alns, hw), ref_recs) in enumerate(zip(got, ref_alns)):
-        want = sai.aln_records_to_dicts(ref_recs)
-        have = [dict(n_mm=h["n_mm"], n_gapo=h["n_gapo"], n_gape=h["n_gape"],
-                     a=h["a"], k=h["k"], l=h["l"], score=h["score"])
-                for h in alns]
+        want = sai.aln_records_to_tuples(ref_recs)
+        have = [tuple(h) for h in alns]
         assert have == want, f"read {i} ({reads[i].name}): {have} != {want}"
 
 
