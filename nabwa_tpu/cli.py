@@ -280,9 +280,16 @@ def cmd_samse(argv):
             break
         alns = per_read[off:off + len(reads)]
         off += len(reads)
-        for line in se.samse(eng, reads, alns, opt, n_occ=args.n_occ,
-                             rng=rng, rg_id=rg_id, ntpac=ntpac):
-            out.write(line + "\n")
+        from .models import post_native
+        blob = post_native.samse_bytes(eng, reads, alns, opt,
+                                       n_occ=args.n_occ, rng=rng,
+                                       rg_id=rg_id, ntpac=ntpac)
+        if blob is not None:
+            out.write(blob.decode("latin1"))
+        else:
+            for line in se.samse(eng, reads, alns, opt, n_occ=args.n_occ,
+                                 rng=rng, rg_id=rg_id, ntpac=ntpac):
+                out.write(line + "\n")
     if args.out:
         out.close()
         final_rename("samse", args.out)
@@ -355,8 +362,11 @@ def cmd_sampe(argv):
                              popt, rng, rg_id=rg_id, last_ii=last_ii,
                              pos_memo=memo, ntpac=ntpac)
         last_ii = ii
-        for line in lines:
-            out.write(line + "\n")
+        if isinstance(lines, bytes):
+            out.write(lines.decode("latin1"))
+        else:
+            for line in lines:
+                out.write(line + "\n")
     if args.out:
         out.close()
         final_rename("sampe", args.out)

@@ -18,7 +18,8 @@ _SRCS = [_ROOT / "native" / "sais.cpp",
          _ROOT / "native" / "bwtwalk.cpp",
          _ROOT / "native" / "dfsgap.cpp",
          _ROOT / "native" / "stdaln.cpp",
-         _ROOT / "native" / "bsw2core.cpp"]
+         _ROOT / "native" / "bsw2core.cpp",
+         _ROOT / "native" / "post.cpp"]
 _BUILD = _ROOT / "native" / "build"
 _SO = _BUILD / "libnabwa_native.so"
 
@@ -94,6 +95,27 @@ def _load():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _i64, _i64, ctypes.c_int64, _i64]
         lib.bsw2_core_u32.restype = ctypes.c_int
+        _u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.se_select_batch.argtypes = [
+            ctypes.c_int64, _u32, _i32, _i64, _u64, ctypes.c_int,
+            ctypes.c_int, _u64, _i32, _i32, _i32, _i32]
+        lib.se_select_batch.restype = ctypes.c_int
+        lib.md_batch.argtypes = [
+            ctypes.c_int64, _i64, _u8, _i64, _i32, _i64, _u8,
+            ctypes.c_int64, ctypes.c_int64, _i64, _i32, _u8,
+            _u8, ctypes.c_int64, _i64]
+        lib.md_batch.restype = ctypes.c_int
+        lib.sam_emit_batch.argtypes = [
+            ctypes.c_int64, _i64, _i64,
+            _u8, _i64, _u8, _i64,
+            _i32, _i64, _u8, _i64,
+            _u8, _i64, _u8, _i64,
+            _u64, _i32, _i32, _i32, _i32, ctypes.c_int64,
+            ctypes.c_int, _i64, _i64, _u8, _i64,
+            ctypes.c_int64, _i64, _i32, _u8, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, _u8, ctypes.c_int64,
+            _u8, ctypes.c_int64]
+        lib.sam_emit_batch.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None

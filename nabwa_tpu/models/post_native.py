@@ -1,0 +1,486 @@
+"""Columnar samse post-processing driven by the native batch kernels
+(native/post.cpp): hit selection with the exact shared drand48 stream,
+batched SA→coordinate walks, vectorized mapQ, native MD/NM and SAM
+emission.  Byte-identical with models.samse.samse — the per-read object
+pipeline remains as the fallback/oracle (and the color-space path).
+
+The reference runs this per-record chain in C at ~128k reads/s on one
+core (bwa_sai2sam_se_core, bwase.c:654-721); per-read Python capped ours
+at ~11k.  All per-read work here is three native calls plus O(gapped)
+Python for the rare refinement/trim fix-ups.
+"""
+
+import numpy as np
+
+from ..constants import BWA_TYPE_NO_MATCH, BWA_AVG_ERR
+from ..index import native as native_mod
+from ..refmodel.aln_scalar import cal_maxdiff
+from . import samse as se
+
+NF = 17
+(F_TYPE, F_STRAND, F_POS, F_MAPQ, F_SEQ_Q, F_C1, F_C2, F_NMM, F_NGO,
+ F_NGE, F_NM, F_LEN, F_FULL_LEN, F_CLIP_LEN, F_XFLAG, F_SA,
+ F_SCORE) = range(NF)
+
+_NEG1 = 0xFFFFFFFF
+
+
+def _bns_emit_arrays(bns):
+    """Cached flat bns arrays for the native emitter."""
+    arr = getattr(bns, "_np_emit", None)
+    if arr is None:
+        ann_off, amb_off, _ = se._bns_arrays(bns)
+        ann_len = np.array([a.length for a in bns.anns], dtype=np.int64)
+        names = [a.name.encode() for a in bns.anns]
+        ann_names = b"".join(names)
+        ann_name_off = np.zeros(len(names) + 1, dtype=np.int64)
+        np.cumsum([len(x) for x in names], out=ann_name_off[1:])
+        amb_len = np.array([h.length for h in bns.ambs], dtype=np.int32)
+        amb_chr = np.frombuffer(
+            b"".join(h.amb.encode() for h in bns.ambs), dtype=np.uint8) \
+            if bns.ambs else np.zeros(0, dtype=np.uint8)
+        arr = (np.ascontiguousarray(ann_off), ann_len,
+               np.frombuffer(ann_names, dtype=np.uint8)
+               if ann_names else np.zeros(0, dtype=np.uint8),
+               ann_name_off, np.ascontiguousarray(amb_off), amb_len,
+               amb_chr)
+        try:
+            bns._np_emit = arr
+        except AttributeError:
+            pass
+    return arr
+
+
+def _flat(chunks):
+    """list of bytes/arrays -> (flat uint8 array, int64 offsets)."""
+    off = np.zeros(len(chunks) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in chunks], out=off[1:])
+    total = int(off[-1])
+    flat = np.empty(total, dtype=np.uint8)
+    pos = 0
+    for c in chunks:
+        n = len(c)
+        if n:
+            flat[pos:pos + n] = np.frombuffer(c, dtype=np.uint8) \
+                if isinstance(c, (bytes, bytearray)) else c
+            pos += n
+    return flat, off
+
+
+def _pack_recs(per_read_alns):
+    """per-read aln tuple lists -> (flat u32 record words, i32 counts)."""
+    counts = np.array([len(a) for a in per_read_alns], dtype=np.int32)
+    flat = [h for alns in per_read_alns for h in alns]
+    recs = np.zeros((len(flat), 4), dtype=np.uint32)
+    if flat:
+        cols = np.array(flat, dtype=np.int64).T
+        recs[:, 0] = ((cols[0] & 0xFF) | ((cols[1] & 0xFF) << 8)
+                      | ((cols[2] & 0xFF) << 16)
+                      | ((cols[3] & 1) << 24)).astype(np.uint32)
+        recs[:, 1] = cols[4].astype(np.uint32)
+        recs[:, 2] = cols[5].astype(np.uint32)
+        recs[:, 3] = cols[6].astype(np.uint32)
+    return np.ascontiguousarray(recs.reshape(-1)), counts
+
+
+_MAXDIFF_CACHE = {}
+
+
+def _maxdiff_for(lens, fnr, max_mm):
+    if fnr <= 0.0:
+        return np.full(len(lens), max_mm, dtype=np.int64)
+    out = np.empty(len(lens), dtype=np.int64)
+    for i, l in enumerate(lens.tolist()):
+        v = _MAXDIFF_CACHE.get((l, fnr))
+        if v is None:
+            v = cal_maxdiff(l, BWA_AVG_ERR, fnr)
+            _MAXDIFF_CACHE[(l, fnr)] = v
+        out[i] = v
+    return out
+
+
+def md_states(states, bns, pac):
+    """Native MD/NM for a list of SeqState objects (the refine_gapped MD
+    stage, bwa_cal_md1 bwase.c:253-315).  Returns True when handled, False
+    to fall back to the Python path."""
+    lib = native_mod._load()
+    if lib is None:
+        return False
+    n = len(states)
+    if n == 0:
+        return True
+    state = np.zeros((n, NF), dtype=np.int64)
+    state[:, F_TYPE] = [s.type for s in states]
+    state[:, F_POS] = [s.pos for s in states]
+    seq_chunks = []
+    empty = np.zeros(0, dtype=np.uint8)
+    for s in states:
+        if s.type == BWA_TYPE_NO_MATCH:
+            seq_chunks.append(empty)
+        else:
+            r = s.read
+            seq_chunks.append(r.rseq if s.strand else r.seq[::-1])
+    seq_flat, seq_off = _flat(seq_chunks)
+    cig_counts = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(states):
+        if s.cigar:
+            cig_counts[i] = 2 * len(s.cigar)
+    cig_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=cig_off[1:])
+    cig = np.zeros(int(cig_off[-1]), dtype=np.int32)
+    for i, s in enumerate(states):
+        if s.cigar:
+            cig[cig_off[i]:cig_off[i + 1]] = \
+                np.array(s.cigar, dtype=np.int32).reshape(-1)
+    _, _, _, _, amb_off, amb_len, amb_chr = _bns_emit_arrays(bns)
+    md_cap = int(seq_off[-1]) * 2 + 24 * n + 16
+    md_buf = np.empty(md_cap, dtype=np.uint8)
+    md_off = np.zeros(n + 1, dtype=np.int64)
+    rc = lib.md_batch(n, state.reshape(-1), seq_flat, seq_off, cig,
+                      cig_off, np.ascontiguousarray(pac, dtype=np.uint8),
+                      bns.l_pac, len(bns.ambs), amb_off, amb_len, amb_chr,
+                      md_buf, md_cap, md_off)
+    if rc != 0:
+        return False
+    text = md_buf[:int(md_off[-1])].tobytes().decode("latin1")
+    offs = md_off.tolist()
+    nms = state[:, F_NM].tolist()
+    for i, s in enumerate(states):
+        if s.type != BWA_TYPE_NO_MATCH:
+            s.md = text[offs[i]:offs[i + 1]]
+            s.nm = nms[i]
+    return True
+
+
+def emit_states(bns, states, mate_idx, mode, max_top2, rg_id=None):
+    """Native SAM emission for a list of SeqState objects in print order
+    (bwa_print_sam1, bwase.c:458-592).  mate_idx[i] = batch row of the
+    mate or -1.  Returns bytes (newline-terminated lines) or None."""
+    lib = native_mod._load()
+    if lib is None:
+        return None
+    n = len(states)
+    if n == 0:
+        return b""
+    state = np.zeros((n, NF), dtype=np.int64)
+    for col, vals in (
+            (F_TYPE, [s.type for s in states]),
+            (F_STRAND, [s.strand for s in states]),
+            (F_POS, [s.pos for s in states]),
+            (F_MAPQ, [s.mapQ for s in states]),
+            (F_SEQ_Q, [s.seQ for s in states]),
+            (F_C1, [s.c1 for s in states]),
+            (F_C2, [s.c2 for s in states]),
+            (F_NMM, [s.n_mm for s in states]),
+            (F_NGO, [s.n_gapo for s in states]),
+            (F_NGE, [s.n_gape for s in states]),
+            (F_NM, [s.nm for s in states]),
+            (F_LEN, [s.len for s in states]),
+            (F_FULL_LEN, [s.read.full_len for s in states]),
+            (F_CLIP_LEN, [s.read.clip_len for s in states]),
+            (F_XFLAG, [s.extra_flag for s in states])):
+        state[:, col] = vals
+
+    names = [s.read.name.encode() for s in states]
+    name_flat, name_off = _flat(names)
+    bcs = [s.read.bc.encode() if s.read.bc else b"" for s in states]
+    bc_flat, bc_off = _flat(bcs)
+    sf_flat, sf_off = _flat([s.read.full_codes for s in states])
+    q_flat, q_off = _flat([(s.read.qual.tobytes()
+                            if s.read.qual is not None else b"")
+                           for s in states])
+    mds = [s.md.encode() if s.md else b"" for s in states]
+    md_flat, md_off = _flat(mds)
+
+    stride = max((len(s.multi) for s in states), default=0) + 1
+    multi_pos = np.zeros(n * stride, dtype=np.uint64)
+    multi_gap = np.zeros(n * stride, dtype=np.int32)
+    multi_mm = np.zeros(n * stride, dtype=np.int32)
+    multi_strand = np.zeros(n * stride, dtype=np.int32)
+    multi_n = np.zeros(n, dtype=np.int32)
+    mcig = {}
+    for i, s in enumerate(states):
+        multi_n[i] = len(s.multi)
+        for m, mu in enumerate(s.multi):
+            o = i * stride + m
+            multi_pos[o] = mu["pos"]
+            multi_gap[o] = mu["gap"]
+            multi_mm[o] = mu["mm"]
+            multi_strand[o] = mu["strand"]
+            if mu.get("cigar"):
+                mcig[o] = mu["cigar"]
+
+    cig_counts = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(states):
+        if s.cigar:
+            cig_counts[i] = 2 * len(s.cigar)
+    mcig_counts = np.zeros(n * stride, dtype=np.int64)
+    for o, cg in mcig.items():
+        mcig_counts[o] = 2 * len(cg)
+    roff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=roff[1:])
+    moff = np.zeros(n * stride + 1, dtype=np.int64)
+    np.cumsum(mcig_counts, out=moff[1:])
+    moff += roff[-1]
+    cig = np.zeros(int(moff[-1]), dtype=np.int32)
+    for i, s in enumerate(states):
+        if s.cigar:
+            cig[roff[i]:roff[i + 1]] = \
+                np.array(s.cigar, dtype=np.int32).reshape(-1)
+    for o, cg in mcig.items():
+        cig[moff[o]:moff[o + 1]] = \
+            np.array(cg, dtype=np.int32).reshape(-1)
+    cig_off_full = np.concatenate([roff, moff])
+
+    ann_off, ann_len, ann_names, ann_name_off, amb_off, amb_len, \
+        amb_chr = _bns_emit_arrays(bns)
+    rg = rg_id.encode() if rg_id else b""
+    rg_arr = np.frombuffer(rg, dtype=np.uint8) if rg else \
+        np.zeros(0, dtype=np.uint8)
+    mate_idx = np.ascontiguousarray(mate_idx, dtype=np.int64)
+    cap = int(sf_off[-1]) * 3 + int(md_off[-1]) + 256 * n + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    args = (n, state.reshape(-1), mate_idx,
+            name_flat, name_off, bc_flat, bc_off,
+            cig, cig_off_full, md_flat, md_off,
+            sf_flat, sf_off, q_flat, q_off,
+            multi_pos, multi_gap, multi_mm, multi_strand, multi_n, stride,
+            bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
+            len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
+            mode, max_top2, rg_arr, len(rg))
+    total = lib.sam_emit_batch(*args, out, cap)
+    if total > cap:
+        out = np.empty(int(total), dtype=np.uint8)
+        total = lib.sam_emit_batch(*args, out, int(total))
+    return out[:total].tobytes()
+
+
+def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
+                rg_id=None, ntpac=None):
+    """Native-pipeline samse for one chunk; returns the SAM text as bytes
+    (one line per read, newline-terminated), or None when the native
+    library is unavailable or the color-space path is requested."""
+    lib = native_mod._load()
+    if lib is None or ntpac is not None or not reads:
+        return None
+    from ..utils.rand48 import Rand48
+
+    bns = engine.index.bns
+    pac = engine.index.pac
+    if rng is None:
+        rng = Rand48(bns.seed)
+
+    n = len(reads)
+    state = np.zeros((n, NF), dtype=np.int64)
+    lens = np.array([r.len for r in reads], dtype=np.int64)
+    state[:, F_LEN] = lens
+    state[:, F_FULL_LEN] = [r.full_len for r in reads]
+    state[:, F_CLIP_LEN] = [r.clip_len for r in reads]
+
+    # 1. hit selection + multi enumeration (exact drand48 stream)
+    recs, counts = _pack_recs(per_read_alns)
+    stride = n_occ + 1
+    multi_pos = np.zeros(n * stride, dtype=np.uint64)
+    multi_gap = np.zeros(n * stride, dtype=np.int32)
+    multi_mm = np.zeros(n * stride, dtype=np.int32)
+    multi_strand = np.zeros(n * stride, dtype=np.int32)
+    multi_n = np.zeros(n, dtype=np.int32)
+    rngst = np.array([rng.x], dtype=np.uint64)
+    lib.se_select_batch(n, recs, counts, state.reshape(-1), rngst, 1,
+                        n_occ, multi_pos, multi_gap, multi_mm,
+                        multi_strand, multi_n)
+    rng.x = int(rngst[0])
+
+    # 2. batched SA -> pac coordinate (bwa_cal_pac_pos, bwase.c:156-183)
+    matched = state[:, F_TYPE] != BWA_TYPE_NO_MATCH
+    strand = state[:, F_STRAND] != 0
+    mrows = np.nonzero(multi_n)[0]
+    mslot, mlen = [], []
+    for i in mrows.tolist():
+        for m in range(multi_n[i]):
+            mslot.append(i * stride + m)
+            mlen.append(lens[i])
+    mslot = np.array(mslot, dtype=np.int64)
+    mlen = np.array(mlen, dtype=np.int64)
+    m_strand = multi_strand[mslot] != 0 if len(mslot) else \
+        np.zeros(0, dtype=bool)
+
+    rev_len = engine.index.rev.seq_len
+    for a in (1, 0):
+        sel = matched & (strand if a else ~strand)
+        msel = (m_strand if a else ~m_strand) if len(mslot) else \
+            np.zeros(0, dtype=bool)
+        sas = np.concatenate([
+            state[sel, F_SA].astype(np.uint32),
+            multi_pos[mslot[msel]].astype(np.uint32)])
+        if not len(sas):
+            continue
+        vals = engine.sa_rows(a, sas).astype(np.int64)
+        k = int(sel.sum())
+        pv, mv = vals[:k], vals[k:]
+        if a:
+            state[sel, F_POS] = pv
+            multi_pos[mslot[msel]] = mv.astype(np.uint64)
+        else:
+            state[sel, F_POS] = (rev_len - (pv + lens[sel])) & _NEG1
+            multi_pos[mslot[msel]] = \
+                ((rev_len - (mv + mlen[msel])) & _NEG1).astype(np.uint64)
+
+    # 3. vectorized mapQ (bwa_approx_mapQ, bwase.c:113-122)
+    md_arr = _maxdiff_for(lens, opt.fnr, opt.max_diff)
+    c1 = state[:, F_C1]
+    c2 = state[:, F_C2]
+    g = se.G_LOG_N[np.minimum(c2, 255)]
+    mq = np.where(c1 == 0, 23,
+                  np.where(c1 > 1, 0,
+                           np.where(state[:, F_NMM] == md_arr, 25,
+                                    np.where(c2 == 0, 37,
+                                             np.where(23 < g, 0, 23 - g)))))
+    state[matched, F_MAPQ] = mq[matched]
+    state[matched, F_SEQ_Q] = mq[matched]
+
+    # 4. gapped refinement (bwa_refine_gapped, bwase.c:356-423): device/
+    #    native banded-global DPs for the few gapped rows + gapped multis
+    cigars = {}
+    mcigars = {}
+    jobs = []
+    fwd_cache = {}
+
+    def fwd_codes(i):
+        c = fwd_cache.get(i)
+        if c is None:
+            c = reads[i].seq[::-1]
+            fwd_cache[i] = c
+        return c
+
+    for o in mslot.tolist():
+        if multi_gap[o] == 0:
+            continue
+        i = o // stride
+        seqc = reads[i].rseq if multi_strand[o] else fwd_codes(i)
+
+        def apply_m(cig, newpos, o=o):
+            mcigars[o] = cig
+            multi_pos[o] = newpos
+
+        jobs.append((apply_m, seqc, int(multi_pos[o]),
+                     (1 if multi_strand[o] else -1) * int(multi_gap[o])))
+    gap_rows = np.nonzero(matched & (state[:, F_NGO] > 0))[0]
+    for i in gap_rows.tolist():
+        seqc = reads[i].rseq if strand[i] else fwd_codes(i)
+
+        def apply_s(cig, newpos, i=i):
+            cigars[i] = cig if cig else None
+            state[i, F_POS] = newpos
+
+        jobs.append((apply_s, seqc, int(state[i, F_POS]),
+                     (1 if strand[i] else -1)
+                     * int(state[i, F_NGO] + state[i, F_NGE])))
+    se._refine_jobs(jobs, pac, bns.l_pac, use_device=True)
+
+    # 5. MD/NM (native walk with ambiguity holes)
+    seq_chunks = [(reads[i].rseq if strand[i] else fwd_codes(i))
+                  for i in range(n)]
+    seq_flat, seq_off = _flat(seq_chunks)
+    cig_pairs = []
+    cig_counts = np.zeros(n, dtype=np.int64)
+    for i, cg in cigars.items():
+        if cg:
+            cig_counts[i] = 2 * len(cg)
+    cig_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=cig_off[1:])
+    cig = np.zeros(int(cig_off[-1]), dtype=np.int32)
+    for i, cg in cigars.items():
+        if cg:
+            cig[cig_off[i]:cig_off[i + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    _, _, _, _, amb_off, amb_len, amb_chr = _bns_emit_arrays(bns)
+    md_cap = int(seq_off[-1]) * 2 + 24 * n + 16
+    md_buf = np.empty(md_cap, dtype=np.uint8)
+    md_off = np.zeros(n + 1, dtype=np.int64)
+    rc = lib.md_batch(n, state.reshape(-1), seq_flat, seq_off, cig,
+                      cig_off, pac, bns.l_pac, len(bns.ambs),
+                      amb_off, amb_len, amb_chr, md_buf, md_cap, md_off)
+    if rc != 0:
+        return None
+
+    # 6. quality-trim cigar correction (bwa_correct_trimmed,
+    #    bwase.c:320-354) — rare, per affected row
+    trimmed = np.nonzero(lens < state[:, F_FULL_LEN])[0]
+    for i in trimmed.tolist():
+        s = se.SeqState(reads[i])
+        s.strand = int(state[i, F_STRAND])
+        s.cigar = list(cigars[i]) if cigars.get(i) else None
+        s.len = int(state[i, F_LEN])
+        se.correct_trimmed(s)
+        cigars[i] = s.cigar
+        state[i, F_LEN] = s.len
+
+    # 7. native SAM emission
+    names = [r.name.encode() for r in reads]
+    name_flat, name_off = _flat(names)
+    bcs = [r.bc.encode() if r.bc else b"" for r in reads]
+    bc_flat, bc_off = _flat(bcs)
+    seqs_full = [r.full_codes for r in reads]
+    sf_flat, sf_off = _flat(seqs_full)
+    quals = [(r.qual.tobytes() if r.qual is not None else b"")
+             for r in reads]
+    q_flat, q_off = _flat(quals)
+
+    # cigars may have changed in step 6: rebuild flat, now with the multi
+    # cigars appended (emitter layout: read offsets then multi offsets)
+    cig_counts = np.zeros(n, dtype=np.int64)
+    for i, cg in cigars.items():
+        if cg:
+            cig_counts[i] = 2 * len(cg)
+    mcig_counts = np.zeros(n * stride, dtype=np.int64)
+    for o, cg in mcigars.items():
+        if cg:
+            mcig_counts[o] = 2 * len(cg)
+    roff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=roff[1:])
+    moff = np.zeros(n * stride + 1, dtype=np.int64)
+    np.cumsum(mcig_counts, out=moff[1:])
+    moff += roff[-1]
+    cig = np.zeros(int(moff[-1]), dtype=np.int32)
+    for i, cg in cigars.items():
+        if cg:
+            cig[roff[i]:roff[i + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    for o, cg in mcigars.items():
+        if cg:
+            cig[moff[o]:moff[o + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    cig_off_full = np.concatenate([roff, moff])
+
+    ann_off, ann_len, ann_names, ann_name_off, amb_off, amb_len, \
+        amb_chr = _bns_emit_arrays(bns)
+    rg = rg_id.encode() if rg_id else b""
+    rg_arr = np.frombuffer(rg, dtype=np.uint8) if rg else \
+        np.zeros(0, dtype=np.uint8)
+    mate_idx = np.full(n, -1, dtype=np.int64)
+    cap = int(sf_off[-1]) * 3 + int(md_off[-1]) + 256 * n + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    total = lib.sam_emit_batch(
+        n, state.reshape(-1), mate_idx,
+        name_flat, name_off, bc_flat, bc_off,
+        cig, cig_off_full, md_buf, md_off,
+        sf_flat, sf_off, q_flat, q_off,
+        multi_pos, multi_gap, multi_mm, multi_strand, multi_n, stride,
+        bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
+        len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
+        opt.mode, opt.max_top2, rg_arr, len(rg),
+        out, cap)
+    if total > cap:
+        out = np.empty(int(total), dtype=np.uint8)
+        total = lib.sam_emit_batch(
+            n, state.reshape(-1), mate_idx,
+            name_flat, name_off, bc_flat, bc_off,
+            cig, cig_off_full, md_buf, md_off,
+            sf_flat, sf_off, q_flat, q_off,
+            multi_pos, multi_gap, multi_mm, multi_strand, multi_n, stride,
+            bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
+            len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
+            opt.mode, opt.max_top2, rg_arr, len(rg),
+            out, int(total))
+    return out[:total].tobytes()

@@ -656,13 +656,22 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
         se.refine_gapped(bns, pac, states[j], ntpac=ntpac)
 
     # --- print interleaved with the bc concat quirk (bwape.c:731-740) ---
-    lines = []
     for i in range(n):
         p0, p1 = states[0][i], states[1][i]
         if p0.read.bc or p1.read.bc:
             bc = p0.read.bc + p1.read.bc
             p0.read.bc = bc
             p1.read.bc = bc
+    from . import post_native
+    flat = [states[j][i] for i in range(n) for j in (0, 1)]
+    mate_idx = np.arange(2 * n, dtype=np.int64) ^ 1
+    blob = post_native.emit_states(bns, flat, mate_idx, gopt.mode,
+                                   gopt.max_top2, rg_id=rg_id)
+    if blob is not None:
+        return blob, ii
+    lines = []
+    for i in range(n):
+        p0, p1 = states[0][i], states[1][i]
         lines.append(se.print_sam1(bns, p0, p1, gopt.mode, gopt.max_top2,
                                    rg_id=rg_id))
         lines.append(se.print_sam1(bns, p1, p0, gopt.mode, gopt.max_top2,

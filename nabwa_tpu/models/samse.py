@@ -551,10 +551,12 @@ def refine_gapped(bns, pac, states, use_device=True, ntpac=None):
                      is_end_correct=False)
 
     md_pac = ntpac if ntpac is not None else pac
-    for s in cal_md_batch(states, bns, md_pac):
-        r = s.read
-        seqc = r.rseq if s.strand else r.seq[::-1]
-        s.md, s.nm = cal_md1(s.cigar, seqc, s.pos, bns, md_pac)
+    from . import post_native
+    if not post_native.md_states(states, bns, md_pac):
+        for s in cal_md_batch(states, bns, md_pac):
+            r = s.read
+            seqc = r.rseq if s.strand else r.seq[::-1]
+            s.md, s.nm = cal_md1(s.cigar, seqc, s.pos, bns, md_pac)
 
     if ntpac is None:   # trimming correction is Illumina-only
         for s in states:

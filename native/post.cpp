@@ -1,0 +1,642 @@
+// Native batch post-processing for samse/sampe: hit selection with the
+// exact drand48 stream, MD/NM reference walk, and full SAM line emission.
+//
+// These are C++ ports of the byte-identical Python implementations in
+// nabwa_tpu/models/samse.py (themselves ports of bwase.c:19-111, 253-315,
+// 458-592).  Per-record Python was the measured throughput cap of the
+// samse/sampe post stage (VERDICT r2 #5/#8); the reference runs the same
+// per-record logic in C at ~128k reads/s on one core.
+//
+// Layout contracts (see nabwa_tpu/models/post_native.py):
+//   state matrix: int64 [n, NF] with the column enum below;
+//   aln records:  the raw .sai bwt_aln1_t stream (u32 meta/k/l, i32 score);
+//   cigars:       flat (op,len) int32 pairs + int64 offsets, count<0 = None;
+//   strings:      concatenated bytes + int64 offsets [n+1].
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+
+namespace {
+
+// state columns (keep in sync with post_native.py)
+enum {
+  F_TYPE = 0, F_STRAND, F_POS, F_MAPQ, F_SEQ_Q, F_C1, F_C2, F_NMM,
+  F_NGO, F_NGE, F_NM, F_LEN, F_FULL_LEN, F_CLIP_LEN, F_XFLAG, F_SA,
+  F_SCORE, NF
+};
+
+enum { TYPE_NO_MATCH = 0, TYPE_UNIQUE = 1, TYPE_REPEAT = 2,
+       TYPE_MATESW = 3 };
+
+constexpr int SAM_FPP = 2, SAM_FSU = 4, SAM_FMU = 8, SAM_FSR = 16,
+              SAM_FMR = 32;
+constexpr int MODE_COMPREAD = 0x02;
+
+// POSIX rand48 (utils/rand48.py): X' = (a*X + c) mod 2^48
+constexpr uint64_t R48_A = 0x5DEECE66DULL, R48_C = 0xB,
+                   R48_MASK = (1ULL << 48) - 1;
+
+inline double drand48_step(uint64_t &x) {
+  x = (R48_A * x + R48_C) & R48_MASK;
+  return std::ldexp(static_cast<double>(x), -48);
+}
+
+struct Writer {
+  uint8_t *buf;
+  int64_t cap, len;
+  bool overflow;
+  inline void put(char c) {
+    if (len < cap) buf[len] = static_cast<uint8_t>(c);
+    else overflow = true;
+    ++len;
+  }
+  inline void bytes(const uint8_t *s, int64_t n) {
+    if (len + n <= cap) { std::memcpy(buf + len, s, n); }
+    else overflow = true;
+    len += n;
+  }
+  inline void str(const char *s) {
+    bytes(reinterpret_cast<const uint8_t *>(s),
+          static_cast<int64_t>(std::strlen(s)));
+  }
+  inline void num(int64_t v) {
+    char tmp[24];
+    int n = std::snprintf(tmp, sizeof tmp, "%lld",
+                          static_cast<long long>(v));
+    bytes(reinterpret_cast<const uint8_t *>(tmp), n);
+  }
+};
+
+struct Bns {
+  int n_seqs;
+  const int64_t *ann_off;
+  const int64_t *ann_len;
+  const uint8_t *ann_names;
+  const int64_t *ann_name_off;
+  int64_t n_holes;
+  const int64_t *amb_off;
+  const int32_t *amb_len;
+  const uint8_t *amb_chr;
+  int64_t l_pac;
+};
+
+// bns_coor_pac2real (samse.py coor_pac2real, bntseq.c:272-306)
+static void coor_pac2real(const Bns &b, int64_t pac_coor, int64_t length,
+                          int64_t *seqid_out, int64_t *nn_out) {
+  int64_t left = 0, mid = 0, right = b.n_seqs;
+  while (left < right) {
+    mid = (left + right) >> 1;
+    if (pac_coor >= b.ann_off[mid]) {
+      if (mid == b.n_seqs - 1) break;
+      if (pac_coor < b.ann_off[mid + 1]) break;
+      left = mid + 1;
+    } else {
+      right = mid;
+    }
+  }
+  int64_t seqid = mid;
+  int64_t nn = 0;
+  left = 0;
+  right = b.n_holes;
+  while (left < right) {
+    int64_t hmid = (left + right) >> 1;
+    int64_t off = b.amb_off[hmid];
+    int64_t end = off + b.amb_len[hmid];
+    if (pac_coor >= end) {
+      left = hmid + 1;
+    } else if (pac_coor + length <= off) {
+      right = hmid;
+    } else {
+      if (pac_coor >= off)
+        nn += (end < pac_coor + length) ? end - pac_coor : length;
+      else
+        nn += (end < pac_coor + length) ? b.amb_len[hmid]
+                                        : length - (off - pac_coor);
+      break;
+    }
+  }
+  *seqid_out = seqid;
+  *nn_out = nn;
+}
+
+// pos_end (samse.py / bwase.c:425-436) on flat cigars
+static int64_t pos_end(const int64_t *st, const int32_t *cig,
+                       const int64_t *cig_off, int64_t i) {
+  int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+  if (c1 > c0) {
+    int64_t x = st[i * NF + F_POS];
+    for (int64_t c = c0; c < c1; c += 2) {
+      int op = cig[c];
+      if (op == 0 || op == 2) x += cig[c + 1];   // M or D
+    }
+    return x;
+  }
+  return st[i * NF + F_POS] + st[i * NF + F_LEN];
+}
+
+static int64_t pos_5(const int64_t *st, const int32_t *cig,
+                     const int64_t *cig_off, int64_t i) {
+  if (st[i * NF + F_TYPE] != TYPE_NO_MATCH)
+    return st[i * NF + F_STRAND] ? pos_end(st, cig, cig_off, i)
+                                 : st[i * NF + F_POS];
+  return -1;
+}
+
+static const char CIGAR_CHR[] = "MIDS";
+static const char FWD_BASES[] = "ACGTN";
+static const char REV_BASES[] = "TGCAN";
+
+}  // namespace
+
+extern "C" {
+
+// bwa_aln2seq_core (samse.py aln2seq_core, bwase.c:19-95) for a batch of
+// reads, consuming the shared drand48 stream sequentially in read order.
+// recs: raw .sai record words (meta,k,l,score) x n_recs; counts[i] records
+// per read.  Fills state cols TYPE/STRAND/NMM/NGO/NGE/SCORE/SA/C1/C2 and
+// the multi-hit arrays (pos/gap/mm/strand per hit, multi_n per read,
+// stride n_multi+1).  set_main=0 keeps the existing main fields (bam2bam
+// XA-only pass).  Returns 0.
+int se_select_batch(int64_t n, const uint32_t *recs, const int32_t *counts,
+                    int64_t *state, uint64_t *rng_state, int set_main,
+                    int n_multi, uint64_t *multi_pos, int32_t *multi_gap,
+                    int32_t *multi_mm, int32_t *multi_strand,
+                    int32_t *multi_n) {
+  uint64_t x = *rng_state;
+  const uint32_t *r = recs;
+  int64_t stride = n_multi + 1;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t na = counts[i];
+    int64_t *st = state + i * NF;
+    if (multi_n) multi_n[i] = 0;
+    if (na == 0) {
+      if (set_main) {
+        st[F_TYPE] = TYPE_NO_MATCH;
+        st[F_C1] = 0;
+        st[F_C2] = 0;
+      }
+      continue;
+    }
+    if (set_main) {
+      int32_t best = static_cast<int32_t>(r[3]);
+      int64_t cnt = 0;
+      int32_t j = 0;
+      for (; j < na; ++j) {
+        const uint32_t *p = r + 4 * j;
+        int32_t score = static_cast<int32_t>(p[3]);
+        if (score > best) break;
+        uint32_t meta = p[0];
+        int64_t w = static_cast<int64_t>(p[2]) - p[1] + 1;
+        if (drand48_step(x) * static_cast<double>(w + cnt) >
+            static_cast<double>(cnt)) {
+          st[F_NMM] = meta & 0xFF;
+          st[F_NGO] = (meta >> 8) & 0xFF;
+          st[F_NGE] = (meta >> 16) & 0xFF;
+          st[F_STRAND] = (meta >> 24) & 1;
+          st[F_SCORE] = score;
+          st[F_SA] = static_cast<int64_t>(
+              p[1] + static_cast<uint32_t>(static_cast<double>(w) *
+                                           drand48_step(x)));
+        }
+        cnt += w;
+      }
+      st[F_C1] = cnt;
+      for (; j < na; ++j) {
+        const uint32_t *p = r + 4 * j;
+        cnt += static_cast<int64_t>(p[2]) - p[1] + 1;
+      }
+      st[F_C2] = cnt - st[F_C1];
+      st[F_TYPE] = st[F_C1] > 1 ? TYPE_REPEAT : TYPE_UNIQUE;
+    }
+    if (n_multi > 0 && multi_n) {
+      int64_t n_occ = 0;
+      for (int32_t j = 0; j < na; ++j) {
+        const uint32_t *p = r + 4 * j;
+        n_occ += static_cast<int64_t>(p[2]) - p[1] + 1;
+      }
+      if (n_occ <= n_multi + 1) {
+        int64_t rest = n_occ;
+        int32_t m = 0;
+        uint64_t main_sa = static_cast<uint64_t>(st[F_SA]);
+        for (int32_t j = 0; j < na; ++j) {
+          const uint32_t *p = r + 4 * j;
+          int64_t sz = static_cast<int64_t>(p[2]) - p[1] + 1;
+          if (sz > rest) break;  // unreachable given the cap (bwase.c:75)
+          uint32_t meta = p[0];
+          for (uint32_t l = p[1]; l <= p[2]; ++l) {
+            if (l == main_sa) continue;  // skip the primary (s.sa)
+            if (m < stride) {
+              int64_t o = i * stride + m;
+              multi_pos[o] = l;
+              multi_gap[o] = ((meta >> 8) & 0xFF) + ((meta >> 16) & 0xFF);
+              multi_mm[o] = meta & 0xFF;
+              multi_strand[o] = (meta >> 24) & 1;
+            }
+            ++m;
+          }
+          rest -= sz;
+        }
+        // cap exactly as the Python: keep first n_multi when m > n_multi
+        multi_n[i] = m > n_multi ? n_multi : m;
+      }
+    }
+    r += 4 * static_cast<int64_t>(na);
+  }
+  *rng_state = x;
+  return 0;
+}
+
+// bwa_cal_md1 (samse.py cal_md1, bwase.c:253-315) for a batch.
+// seqs: strand-resolved read codes (forward reference orientation),
+// flat + offsets.  cig counts of <=0 pairs = no cigar.  md_out must hold
+// >= 2*total_seq_len + 16*n bytes; per-read [md_off[i], md_off[i+1]).
+// Fills state F_NM.  Skips reads with TYPE_NO_MATCH.
+int md_batch(int64_t n, int64_t *state, const uint8_t *seqs,
+             const int64_t *seq_off, const int32_t *cig,
+             const int64_t *cig_off, const uint8_t *pac, int64_t l_pac,
+             int64_t n_holes, const int64_t *amb_off,
+             const int32_t *amb_len, const uint8_t *amb_chr,
+             uint8_t *md_out, int64_t md_cap, int64_t *md_off) {
+  int64_t w = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    md_off[i] = w;
+    int64_t *st = state + i * NF;
+    if (st[F_TYPE] == TYPE_NO_MATCH) continue;
+    const uint8_t *seq = seqs + seq_off[i];
+    int64_t seq_len = seq_off[i + 1] - seq_off[i];
+    int64_t pos = st[F_POS];
+
+    // first hole ending after pos (bwase.c:263-268)
+    int64_t left = 0, right = n_holes;
+    while (left < right) {
+      int64_t mid = left + ((right - left) >> 1);
+      if (pos >= amb_off[mid] + amb_len[mid]) left = mid + 1;
+      else if (pos < amb_off[mid]) right = mid;
+      else { left = right = mid; }
+    }
+    int64_t ridx = right;
+
+    int64_t nm = 0, u = 0, p = pos;
+    auto get_ref = [&]() -> int {
+      if (ridx < n_holes && p >= amb_off[ridx]) return amb_chr[ridx];
+      return pac[p];
+    };
+    auto advance = [&]() {
+      ++p;
+      if (ridx < n_holes && p >= amb_off[ridx] + amb_len[ridx]) ++ridx;
+    };
+    auto put = [&](char c) {
+      if (w < md_cap) md_out[w] = static_cast<uint8_t>(c);
+      ++w;
+    };
+    auto put_num = [&](int64_t v) {
+      char tmp[24];
+      int k = std::snprintf(tmp, sizeof tmp, "%lld",
+                            static_cast<long long>(v));
+      for (int t = 0; t < k; ++t) put(tmp[t]);
+    };
+
+    int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+    if (c1 > c0) {
+      int64_t y = 0;
+      for (int64_t c = c0; c < c1; c += 2) {
+        int op = cig[c];
+        int32_t ln = cig[c + 1];
+        if (op == 0) {            // M
+          for (int32_t z = 0; z < ln; ++z) {
+            if (p >= l_pac) break;
+            int cc = get_ref();
+            if (cc > 3 || seq[y] > 3 || cc != seq[y]) {
+              put_num(u);
+              put(cc > 3 ? static_cast<char>(cc) : FWD_BASES[cc]);
+              ++nm;
+              u = 0;
+            } else {
+              ++u;
+            }
+            advance();
+            ++y;
+          }
+        } else if (op == 1 || op == 3) {   // I or S
+          y += ln;
+          if (op == 1) nm += ln;
+        } else if (op == 2) {     // D
+          put_num(u);
+          put('^');
+          for (int32_t z = 0; z < ln; ++z) {
+            if (p >= l_pac) break;
+            int cc = get_ref();
+            put(cc > 3 ? static_cast<char>(cc) : FWD_BASES[cc]);
+            advance();
+          }
+          u = 0;
+          nm += ln;
+        }
+      }
+    } else {
+      for (int64_t z = 0; z < seq_len; ++z) {
+        int cc = get_ref();
+        if (cc > 3 || seq[z] > 3 || cc != seq[z]) {
+          put_num(u);
+          put(cc > 3 ? static_cast<char>(cc) : FWD_BASES[cc]);
+          ++nm;
+          u = 0;
+        } else {
+          ++u;
+        }
+        advance();
+      }
+    }
+    put_num(u);
+    st[F_NM] = nm;
+  }
+  md_off[n] = w;
+  return w <= md_cap ? 0 : -1;
+}
+
+// bwa_print_sam1 (samse.py print_sam1, bwase.c:458-592) for a batch, with
+// optional mates via mate_idx (row index into the same batch, -1 = none).
+// Rows MUST be in print order: state mutations (bridging fix-ups,
+// unmapped-mate position adoption) are applied in sequence exactly like
+// the per-record Python.  Returns total bytes (> out_cap on overflow:
+// re-call with a bigger buffer).
+int64_t sam_emit_batch(
+    int64_t n, int64_t *state, const int64_t *mate_idx,
+    const uint8_t *names, const int64_t *name_off,
+    const uint8_t *bcs, const int64_t *bc_off,
+    const int32_t *cig, const int64_t *cig_off,
+    const uint8_t *md, const int64_t *md_off,
+    const uint8_t *seqs, const int64_t *seq_off,
+    const uint8_t *quals, const int64_t *qual_off,
+    const uint64_t *multi_pos, const int32_t *multi_gap,
+    const int32_t *multi_mm, const int32_t *multi_strand,
+    const int32_t *multi_n, int64_t multi_stride,
+    int n_seqs, const int64_t *ann_off, const int64_t *ann_len,
+    const uint8_t *ann_names, const int64_t *ann_name_off,
+    int64_t n_holes, const int64_t *amb_off, const int32_t *amb_len,
+    const uint8_t *amb_chr, int64_t l_pac,
+    int mode, int max_top2, const uint8_t *rg, int64_t rg_len,
+    uint8_t *out, int64_t out_cap) {
+  Bns bns{n_seqs, ann_off, ann_len, ann_names, ann_name_off,
+          n_holes, amb_off, amb_len, amb_chr, l_pac};
+  Writer wtr{out, out_cap, 0, false};
+  // scratch for seq/qual reversal
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t *st = state + i * NF;
+    int64_t mi = mate_idx ? mate_idx[i] : -1;
+    int64_t *mt = mi >= 0 ? state + mi * NF : nullptr;
+    const uint8_t *name = names + name_off[i];
+    int64_t name_len = name_off[i + 1] - name_off[i];
+    const uint8_t *seq_full = seqs + seq_off[i];
+    int64_t full = seq_off[i + 1] - seq_off[i];
+    const uint8_t *qual = quals + qual_off[i];
+    int64_t qlen = qual_off[i + 1] - qual_off[i];
+
+    auto emit_qual = [&]() {
+      if (qlen == 0) { wtr.put('*'); return; }
+      if (st[F_STRAND]) {
+        // reverse only the first len chars (bwase.c:528-531)
+        int64_t m = st[F_LEN] < qlen ? st[F_LEN] : qlen;
+        for (int64_t z = m - 1; z >= 0; --z)
+          wtr.put(static_cast<char>(qual[z]));
+        for (int64_t z = m; z < qlen; ++z)
+          wtr.put(static_cast<char>(qual[z]));
+      } else {
+        wtr.bytes(qual, qlen);
+      }
+    };
+    auto emit_common_tags = [&]() {
+      if (rg_len) {
+        wtr.str("\tRG:Z:");
+        wtr.bytes(rg, rg_len);
+      }
+      if (bc_off[i + 1] > bc_off[i]) {
+        wtr.str("\tBC:Z:");
+        wtr.bytes(bcs + bc_off[i], bc_off[i + 1] - bc_off[i]);
+      }
+      if (st[F_CLIP_LEN] < st[F_FULL_LEN]) {
+        wtr.str("\tXC:i:");
+        wtr.num(st[F_CLIP_LEN]);
+      }
+    };
+    auto emit_cigar = [&](int64_t row, const int32_t *cg,
+                          const int64_t *cgo, int64_t deflen) {
+      int64_t c0 = cgo[row], c1 = cgo[row + 1];
+      if (c1 > c0) {
+        for (int64_t c = c0; c < c1; c += 2) {
+          wtr.num(cg[c + 1]);
+          wtr.put(CIGAR_CHR[cg[c]]);
+        }
+      } else {
+        wtr.num(deflen);
+        wtr.put('M');
+      }
+    };
+
+    bool s_match = st[F_TYPE] != TYPE_NO_MATCH;
+    bool m_match = mt && mt[F_TYPE] != TYPE_NO_MATCH;
+    if (s_match || m_match) {
+      int64_t flag = st[F_XFLAG];
+      int64_t j;
+      if (!s_match) {
+        st[F_POS] = mt[F_POS];
+        st[F_STRAND] = mt[F_STRAND];
+        flag |= SAM_FSU;
+        flag &= ~SAM_FPP;
+        j = 1;
+      } else {
+        j = pos_end(state, cig, cig_off, i) - st[F_POS];
+      }
+      int64_t seqid, nn;
+      coor_pac2real(bns, st[F_POS], j, &seqid, &nn);
+      if (s_match &&
+          st[F_POS] + j - ann_off[seqid] > ann_len[seqid]) {
+        flag |= SAM_FSU;   // bridges two reference sequences
+        flag &= ~SAM_FPP;
+        st[F_MAPQ] = 0;
+      }
+      if (st[F_STRAND]) flag |= SAM_FSR;
+      int64_t m_seqid = -1, am = 0;
+      if (mt) {
+        if (m_match) {
+          int64_t m_nn;
+          coor_pac2real(bns, mt[F_POS], mt[F_LEN], &m_seqid, &m_nn);
+          nn += m_nn;
+          int64_t m_j = pos_end(state, cig, cig_off, mi) - mt[F_POS];
+          if (mt[F_POS] + m_j - ann_off[m_seqid] > ann_len[m_seqid]) {
+            flag |= SAM_FMU;
+            flag &= ~SAM_FPP;
+          }
+          if (mt[F_STRAND]) flag |= SAM_FMR;
+        } else {
+          flag |= SAM_FMU;
+          flag &= ~SAM_FPP;
+        }
+      }
+      wtr.bytes(name, name_len);
+      wtr.put('\t');
+      wtr.num(flag);
+      wtr.put('\t');
+      wtr.bytes(ann_names + ann_name_off[seqid],
+                ann_name_off[seqid + 1] - ann_name_off[seqid]);
+      wtr.put('\t');
+      wtr.num(st[F_POS] - ann_off[seqid] + 1);
+      wtr.put('\t');
+      wtr.num(st[F_MAPQ]);
+      wtr.put('\t');
+      if (cig_off[i + 1] > cig_off[i]) {
+        emit_cigar(i, cig, cig_off, 0);
+      } else if (!s_match) {
+        wtr.put('*');
+      } else {
+        wtr.num(st[F_LEN]);
+        wtr.put('M');
+      }
+      if (mt && m_match) {
+        am = mt[F_SEQ_Q] < st[F_SEQ_Q] ? mt[F_SEQ_Q] : st[F_SEQ_Q];
+        wtr.put('\t');
+        if (seqid == m_seqid) wtr.put('=');
+        else
+          wtr.bytes(ann_names + ann_name_off[m_seqid],
+                    ann_name_off[m_seqid + 1] - ann_name_off[m_seqid]);
+        wtr.put('\t');
+        int64_t isize = 0;
+        if (seqid == m_seqid)
+          isize = pos_5(state, cig, cig_off, mi) -
+                  pos_5(state, cig, cig_off, i);
+        if (!s_match) isize = 0;
+        wtr.num(mt[F_POS] - ann_off[m_seqid] + 1);
+        wtr.put('\t');
+        wtr.num(isize);
+        wtr.put('\t');
+      } else if (mt) {
+        wtr.str("\t=\t");
+        wtr.num(st[F_POS] - ann_off[seqid] + 1);
+        wtr.str("\t0\t");
+      } else {
+        wtr.str("\t*\t0\t0\t");
+      }
+      // seq (original orientation codes; reverse-complement if strand)
+      if (st[F_STRAND] == 0)
+        for (int64_t z = 0; z < full; ++z) wtr.put(FWD_BASES[seq_full[z]]);
+      else
+        for (int64_t z = full - 1; z >= 0; --z)
+          wtr.put(REV_BASES[seq_full[z]]);
+      wtr.put('\t');
+      emit_qual();
+      emit_common_tags();
+      if (s_match) {
+        char xt = "NURM"[st[F_TYPE]];
+        if (nn > 10) xt = 'N';
+        wtr.str("\tXT:A:");
+        wtr.put(xt);
+        wtr.put('\t');
+        wtr.str((mode & MODE_COMPREAD) ? "NM" : "CM");
+        wtr.str(":i:");
+        wtr.num(st[F_NM]);
+        if (nn) {
+          wtr.str("\tXN:i:");
+          wtr.num(nn);
+        }
+        if (mt) {
+          wtr.str("\tSM:i:");
+          wtr.num(st[F_SEQ_Q]);
+          wtr.str("\tAM:i:");
+          wtr.num(am);
+        }
+        if (st[F_TYPE] != TYPE_MATESW) {
+          wtr.str("\tX0:i:");
+          wtr.num(st[F_C1]);
+          if (st[F_C1] <= max_top2) {
+            wtr.str("\tX1:i:");
+            wtr.num(st[F_C2]);
+          }
+        }
+        wtr.str("\tXM:i:");
+        wtr.num(st[F_NMM]);
+        wtr.str("\tXO:i:");
+        wtr.num(st[F_NGO]);
+        wtr.str("\tXG:i:");
+        wtr.num(st[F_NGO] + st[F_NGE]);
+        if (md_off[i + 1] > md_off[i]) {
+          wtr.str("\tMD:Z:");
+          wtr.bytes(md + md_off[i], md_off[i + 1] - md_off[i]);
+        }
+        int32_t nmu = multi_n ? multi_n[i] : 0;
+        if (nmu > 0) {
+          wtr.str("\tXA:Z:");
+          for (int32_t m = 0; m < nmu; ++m) {
+            int64_t o = i * multi_stride + m;
+            int64_t mp = static_cast<int64_t>(multi_pos[o]);
+            // pos_end for the multi: cigar M/D span, else s.len.
+            // Multi cigars ride the same flat `cig` array; their offsets
+            // are appended to cig_off after the n+1 read offsets
+            // (layout: cig_off[0..n] reads, cig_off[n+1 ..] multis).
+            int64_t span = st[F_LEN];
+            const int64_t *mc_off = cig_off + (n + 1);
+            int64_t c0 = mc_off[o], c1 = mc_off[o + 1];
+            if (c1 > c0) {
+              span = 0;
+              for (int64_t c = c0; c < c1; c += 2)
+                if (cig[c] == 0 || cig[c] == 2) span += cig[c + 1];
+            }
+            int64_t sid, dummy;
+            coor_pac2real(bns, mp, span, &sid, &dummy);
+            wtr.bytes(ann_names + ann_name_off[sid],
+                      ann_name_off[sid + 1] - ann_name_off[sid]);
+            wtr.put(',');
+            wtr.put(multi_strand[o] ? '-' : '+');
+            wtr.num(mp - ann_off[sid] + 1);
+            wtr.put(',');
+            if (c1 > c0) {
+              for (int64_t c = c0; c < c1; c += 2) {
+                wtr.num(cig[c + 1]);
+                wtr.put(CIGAR_CHR[cig[c]]);
+              }
+            } else {
+              wtr.num(st[F_LEN]);
+              wtr.put('M');
+            }
+            wtr.put(',');
+            wtr.num(multi_gap[o] + multi_mm[o]);
+            wtr.put(';');
+          }
+        }
+      }
+    } else {
+      // no match at all (bwase.c:570-592)
+      int64_t flag = st[F_XFLAG] | SAM_FSU;
+      if (mt && !m_match) flag |= SAM_FMU;
+      wtr.bytes(name, name_len);
+      wtr.put('\t');
+      wtr.num(flag);
+      wtr.str("\t*\t0\t0\t*\t*\t0\t0\t");
+      if (st[F_STRAND]) {
+        for (int64_t z = 0; z < st[F_LEN]; ++z) {
+          uint8_t c = seq_full[full - 1 - z];
+          wtr.put(FWD_BASES[c < 4 ? 3 - c : c]);
+        }
+      } else {
+        for (int64_t z = 0; z < st[F_LEN]; ++z)
+          wtr.put(FWD_BASES[seq_full[z]]);
+      }
+      wtr.put('\t');
+      emit_qual();
+      emit_common_tags();
+      if (mt && m_match) {
+        int64_t sid, nn;
+        coor_pac2real(bns, mt[F_POS], mt[F_LEN], &sid, &nn);
+        if (nn) {
+          wtr.str("\tXN:i:");
+          wtr.num(nn);
+        }
+      }
+    }
+    wtr.put('\n');
+  }
+  return wtr.len;
+}
+
+}  // extern "C"

@@ -86,7 +86,8 @@ def run_pe(tmp_path, glen=60000, n_pairs=120, read_len=50, err=0.01,
     lines, ii = sampe_mod.sampe(eng, tuple(reads), tuple(alns), opt, popt,
                                 rng)
     our_sam = samse_mod.sam_header(idx.bns, version="ref") \
-        + "".join(l + "\n" for l in lines)
+        + (lines.decode("latin1") if isinstance(lines, bytes)
+           else "".join(l + "\n" for l in lines))
     return ref_sam, our_sam
 
 
@@ -144,5 +145,6 @@ def test_sampe_repeats(tmp_path):
     lines, _ = sampe_mod.sampe(eng, tuple(reads), tuple(alns), opt, popt,
                                Rand48(idx.bns.seed))
     our_sam = samse_mod.sam_header(idx.bns, version="ref") \
-        + "".join(l + "\n" for l in lines)
+        + (lines.decode("latin1") if isinstance(lines, bytes)
+           else "".join(l + "\n" for l in lines))
     _diff(ref_sam, our_sam)
