@@ -15,12 +15,18 @@ def write_bwt(path, primary, l2, bwt_interleaved):
 
 
 def read_bwt(path):
-    """Returns (primary, l2[5], bwt_interleaved, seq_len)."""
-    raw = np.fromfile(path, dtype=np.uint32)
+    """Returns (primary, l2[5], bwt_interleaved, seq_len).
+
+    The interleaved words come back as a read-only np.memmap view: loads
+    are lazy (pages fault in as the search touches them) and co-located
+    worker processes share one physical copy through the page cache —
+    the reference's USE_MMAP loader for cluster deployments
+    (bwtio.c:39-143, design notes bam2bam.c:818-843)."""
+    raw = np.memmap(path, dtype=np.uint32, mode="r")
     primary = int(raw[0])
     l2 = np.zeros(5, dtype=np.uint32)
     l2[1:] = raw[1:5]
-    bwt = raw[5:].copy()
+    bwt = raw[5:]
     seq_len = int(l2[4])
     # sanity check mirroring bwt_restore_bwt's size reconstruction
     n_occ = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL + 1
@@ -62,8 +68,11 @@ def write_sa(path, primary, l2, sa, seq_len, sa_intv=SA_INTERVAL):
 
 def read_sa(path):
     """Returns (sa_full_array_with_leading_-1, sa_intv).  Validates the
-    header like bwt_restore_sa (bwtio.c:79-87 xasserts)."""
-    raw = np.fromfile(path, dtype=np.uint32)
+    header like bwt_restore_sa (bwtio.c:79-87 xasserts).  The body is a
+    read-only memmap; only the leading -1 slot (bwt.c:69, never stored on
+    disk) needs a one-word private page, so the copy is unavoidable —
+    but it is a single sequential 1/32nd-of-genome read."""
+    raw = np.memmap(path, dtype=np.uint32, mode="r")
     sa_intv = int(raw[5])
     seq_len = int(raw[6])
     n_sa = (seq_len + sa_intv) // sa_intv

@@ -121,20 +121,7 @@ class AlnEngine:
             self._n_dev = mesh.devices.size
         fwd, rev = index.fwd, index.rev
         assert np.array_equal(fwd.l2, rev.l2), "L2 must match for fwd/rev"
-
-        def dput(arr):
-            a = jnp.asarray(arr)
-            return jax.device_put(a, self._repl) if mesh is not None else a
-
-        # device arrays are int32 bit patterns (ops.u32 rationale)
-        self.bwt_fwd = dput(fwd.bwt.view(np.int32))
-        self.bwt_rev = dput(rev.bwt.view(np.int32))
-        self.bwt_cat = dput(np.concatenate([fwd.bwt.view(np.int32),
-                                            rev.bwt.view(np.int32)]))
         self.rev_off = len(fwd.bwt)
-        self.l2 = dput(fwd.l2.view(np.int32))
-        self.sa_fwd = dput(fwd.sa.view(np.int32))
-        self.sa_rev = dput(rev.sa.view(np.int32))
         self.primary_fwd = _i32(fwd.primary)
         self.primary_rev = _i32(rev.primary)
         self.seq_len = _i32(fwd.seq_len)
@@ -145,17 +132,48 @@ class AlnEngine:
         self._host_fwd = np.ascontiguousarray(fwd.bwt, dtype=np.uint32)
         self._host_rev = np.ascontiguousarray(rev.bwt, dtype=np.uint32)
         self._host_l2 = np.ascontiguousarray(fwd.l2, dtype=np.uint32)
+        # device arrays + Pallas tables are built lazily on first device
+        # use: native-only runs (and worker processes through
+        # NABWA_FORCE_NATIVE) never pay the device copies or backend init,
+        # and the index files stay mmap-shared across co-located workers
+        self._use_pallas = use_pallas
+        self._dev = None
 
+    # --- lazy device state -------------------------------------------
+    _DEV_ATTRS = ("bwt_fwd", "bwt_rev", "bwt_cat", "l2", "sa_fwd",
+                  "sa_rev", "_pal_table", "_pal_mxu", "_pal_params")
+
+    def _device_init(self):
+        """Build the device-resident arrays (int32 bit patterns, ops.u32
+        rationale) and the Pallas DFS tables on first device use."""
+        fwd, rev = self.index.fwd, self.index.rev
+        mesh = self.mesh
+
+        def dput(arr):
+            a = jnp.asarray(arr)
+            return jax.device_put(a, self._repl) if mesh is not None else a
+
+        d = {
+            "bwt_fwd": dput(fwd.bwt.view(np.int32)),
+            "bwt_rev": dput(rev.bwt.view(np.int32)),
+            "bwt_cat": dput(np.concatenate([fwd.bwt.view(np.int32),
+                                            rev.bwt.view(np.int32)])),
+            "l2": dput(fwd.l2.view(np.int32)),
+            "sa_fwd": dput(fwd.sa.view(np.int32)),
+            "sa_rev": dput(rev.sa.view(np.int32)),
+            "_pal_table": None,
+            "_pal_mxu": False,
+            "_pal_params": None,
+        }
         # Pallas DFS kernel (ops/dfs_pallas.py): whole search in one
         # pallas_call with VMEM-resident BWT + stacks — ~2.2x the jnp
         # while-loop engine per tier.  Applicable when the genome's
         # block16 table fits VMEM and we run directly on a TPU backend
         # (the jnp path stays for CPU tests and mesh-sharded runs).
+        use_pallas = self._use_pallas
         if use_pallas == "auto":
             use_pallas = (mesh is None
                           and jax.default_backend() == "tpu")
-        self._pal_table = None
-        self._pal_mxu = False
         if use_pallas:
             from ..ops import dfs_pallas
             table, rev_row0 = dfs_pallas.build_table(
@@ -166,14 +184,24 @@ class AlnEngine:
                 # int8 one-hot matmul on the MXU per iteration instead of
                 # 2*BB scalar-core row copies
                 if table.shape[0] <= self.PALLAS_MXU_ROWS:
-                    self._pal_table = jnp.asarray(
+                    d["_pal_table"] = jnp.asarray(
                         dfs_pallas.build_table_i8(table))
-                    self._pal_mxu = True
+                    d["_pal_mxu"] = True
                 else:
-                    self._pal_table = jnp.asarray(table)
-                self._pal_params = jnp.asarray(dfs_pallas.build_params(
+                    d["_pal_table"] = jnp.asarray(table)
+                d["_pal_params"] = jnp.asarray(dfs_pallas.build_params(
                     fwd.l2.view(np.int32), self.primary_fwd,
                     self.primary_rev, self.seq_len, rev_row0))
+        self._dev = d
+        return d
+
+    def __getattr__(self, name):
+        if name in AlnEngine._DEV_ATTRS:
+            d = self.__dict__.get("_dev")
+            if d is None:
+                d = self._device_init()
+            return d[name]
+        raise AttributeError(name)
 
     def _shard_batch(self, arr):
         """Shard a [B, ...] batch array over the dp axis (replicate-free)."""

@@ -5,12 +5,17 @@ reference binary (SURVEY §4 / BASELINE.md).  Run on the real backend:
   ONLY=1,3 python scripts/golden_baseline.py   # subset
 
 1. E.coli-scale samse: 4.6 Mbp genome, 10k x 36 bp reads (exact/1-mm).
-2. Gapped aln: -n4 -o2 75 bp reads with indels, .sai diff.
-3. 100k-pair sampe with mate rescue, SAM diff.
-4. bwasw 1 kb reads, SAM diff.
+2. Gapped aln: -n4 -o2 75 bp reads with indels, .sai diff — on a
+   chr20-scale (64 Mbp) genome per BASELINE.
+3. 100k-pair sampe with mate rescue, SAM diff — chr20-scale genome.
+4. bwasw 1 kb reads, SAM diff — chr20-scale genome.
 5. bam2bam through the chunk-lease scheduler, BAM record diff vs the
    reference's sequential bam2bam output (reference networking is
-   stubbed out in the test build).
+   stubbed out in the test build).  C5_WORKERS=n routes the work through
+   n out-of-process TCP workers (the config-5 multi-host shape).
+
+GOLDEN_BIG_LEN overrides the chr20-scale genome length (use a small
+value for smoke runs).
 
 Each stage prints PASS/FAIL + reads/s for ours and the 1-thread
 reference.
@@ -39,7 +44,14 @@ import numpy as np
 
 WORK = pathlib.Path(os.environ.get("WORKDIR", "/tmp/nabwa_golden"))
 ONLY = set(int(x) for x in os.environ.get("ONLY", "1,2,3,4,5").split(","))
+# BASELINE configs 2-4 specify chr20 (~64 Mbp); a synthetic genome of the
+# same scale stands in (BASELINE.md "five test configs").
+BIG_LEN = int(os.environ.get("GOLDEN_BIG_LEN", "64000000"))
 FAILED = []
+
+
+def big_genome():
+    return ensure_genome("chr20", BIG_LEN, 20)
 
 
 def bwa():
@@ -137,7 +149,7 @@ def config1():
 
 
 def config2():
-    fa, g = ensure_genome("ecoli", 4_600_000, 11)
+    fa, g = big_genome()
     fq = WORK / "c2.fq"
     fq.write_bytes(sample_reads(g, 10_000, 75, 202, 0.02, indel=0.4))
     B = bwa()
@@ -151,12 +163,12 @@ def config2():
     verdict("2_gapped_aln_n4_o2", ok, 10_000, odt, rdt)
 
 
-def config3():
-    fa, g = ensure_genome("ecoli", 4_600_000, 11)
-    rng = np.random.default_rng(203)
+def make_pairs_fq(g, n_pairs, seed, tag):
+    """Write {tag}_1.fq/{tag}_2.fq: 100 bp pairs, isize N(300,40), a few
+    mismatches, every 23rd pair-2 shredded to force mate rescue."""
+    rng = np.random.default_rng(seed)
     comp = bytes.maketrans(b"ACGT", b"TGCA")
     f1, f2 = [], []
-    n_pairs = int(os.environ.get("C3_PAIRS", "100000"))
     for i in range(n_pairs):
         isz = int(rng.normal(300, 40))
         start = int(rng.integers(0, len(g) - abs(isz) - 110))
@@ -174,8 +186,14 @@ def config3():
         q = b"I" * 100
         f1.append(b"@p%d/1\n%s\n+\n%s\n" % (i, bytes(r1), q))
         f2.append(b"@p%d/2\n%s\n+\n%s\n" % (i, bytes(r2), q))
-    (WORK / "c3_1.fq").write_bytes(b"".join(f1))
-    (WORK / "c3_2.fq").write_bytes(b"".join(f2))
+    (WORK / f"{tag}_1.fq").write_bytes(b"".join(f1))
+    (WORK / f"{tag}_2.fq").write_bytes(b"".join(f2))
+
+
+def config3():
+    fa, g = big_genome()
+    n_pairs = int(os.environ.get("C3_PAIRS", "100000"))
+    make_pairs_fq(g, n_pairs, 203, "c3")
     B = bwa()
     rdt = odt = 0.0
     for e in (1, 2):
@@ -195,7 +213,7 @@ def config3():
 
 
 def config4():
-    fa, g = ensure_genome("ecoli", 4_600_000, 11)
+    fa, g = big_genome()
     rng = np.random.default_rng(204)
     comp = bytes.maketrans(b"ACGT", b"TGCA")
     n_reads = int(os.environ.get("C4_READS", "150"))
@@ -233,16 +251,46 @@ def config4():
 def config5():
     fa, g = ensure_genome("ecoli", 4_600_000, 11)
     from tests.test_bam2bam import make_input_bam, dump_records
+    n_pairs = int(os.environ.get("C5_PAIRS",
+                                 os.environ.get("C3_PAIRS", "100000")))
     bam_in = WORK / "c5.bam"
     if not bam_in.exists():
-        make_input_bam(str(bam_in), (WORK / "c3_1.fq").read_bytes(),
-                       (WORK / "c3_2.fq").read_bytes())
+        make_pairs_fq(g, n_pairs, 205, "c5")
+        make_input_bam(str(bam_in), (WORK / "c5_1.fq").read_bytes(),
+                       (WORK / "c5_2.fq").read_bytes())
     B = bwa()
     rdt = run([B, "bam2bam", "-g", str(fa), "-f",
                str(WORK / "c5.ref.bam"), str(bam_in)])
-    t0 = time.time()
-    odt = ours(["bam2bam", "-g", str(fa), "-f", str(WORK / "c5.got.bam"),
-                str(bam_in), "-t", "4"])
+    n_workers = int(os.environ.get("C5_WORKERS", "0"))
+    if n_workers:
+        # config-5 multi-host shape: coordinator + out-of-process TCP
+        # workers (bam2bam -t0 -p PORT + N `bwa worker`, bam2bam.c:2216)
+        import socket
+        s = socket.socket()
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+        s.close()
+        env = dict(os.environ)
+        env["NABWA_PLATFORM"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "nabwa_tpu", "worker", "-p", str(port),
+             "--idle-timeout", "60"], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            for _ in range(n_workers)]
+        try:
+            odt = ours(["bam2bam", "-g", str(fa), "-f",
+                        str(WORK / "c5.got.bam"), str(bam_in),
+                        "-t", "0", "-p", str(port)])
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.wait(timeout=30)
+    else:
+        odt = ours(["bam2bam", "-g", str(fa), "-f",
+                    str(WORK / "c5.got.bam"), str(bam_in), "-t", "4"])
     rtext, ref_recs = dump_records(str(WORK / "c5.ref.bam"))
     gtext, got_recs = dump_records(str(WORK / "c5.got.bam"))
 
@@ -257,8 +305,7 @@ def config5():
             if a != b:
                 print(f"  first record diff at {i}")
                 break
-    n = int(os.environ.get("C3_PAIRS", "100000")) * 2
-    verdict("5_bam2bam", ok, n, odt, rdt)
+    verdict("5_bam2bam", ok, 2 * n_pairs, odt, rdt)
 
 
 def main():
