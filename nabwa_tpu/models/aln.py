@@ -73,6 +73,7 @@ class AlnEngine:
     PALLAS_BB = 64
     PALLAS_MAX_TABLE = 10 << 20       # ~10 Mbp genome in VMEM
     PALLAS_MXU_ROWS = 16384           # one-hot matmul gather cutoff
+    PALLAS_HBM_MAX_POS = 2**31 - 16   # int32 position limit, HBM tier
     PALLAS_MAX_STACK = 1024
     # fixed per-chunk device overhead (s): dispatch + result collection
     # round trips over the device link (measured ~30 ms/RTT through the
@@ -141,7 +142,8 @@ class AlnEngine:
 
     # --- lazy device state -------------------------------------------
     _DEV_ATTRS = ("bwt_fwd", "bwt_rev", "bwt_cat", "l2", "sa_fwd",
-                  "sa_rev", "_pal_table", "_pal_mxu", "_pal_params")
+                  "sa_rev", "_pal_table", "_pal_mxu", "_pal_hbm",
+                  "_pal_params")
 
     def _device_init(self):
         """Build the device-resident arrays (int32 bit patterns, ops.u32
@@ -163,6 +165,7 @@ class AlnEngine:
             "sa_rev": dput(rev.sa.view(np.int32)),
             "_pal_table": None,
             "_pal_mxu": False,
+            "_pal_hbm": False,
             "_pal_params": None,
         }
         # Pallas DFS kernel (ops/dfs_pallas.py): whole search in one
@@ -189,6 +192,14 @@ class AlnEngine:
                     d["_pal_mxu"] = True
                 else:
                     d["_pal_table"] = jnp.asarray(table)
+            elif fwd.seq_len < self.PALLAS_HBM_MAX_POS:
+                # chromosome/genome scale: the table stays HBM-resident
+                # and each iteration DMAs its two 512 B block rows per
+                # lane — no VMEM size gate (VERDICT r2 #1).  Positions
+                # stay plain int32, so gate at 2^31 (u32 variant TBD).
+                d["_pal_table"] = jnp.asarray(table)
+                d["_pal_hbm"] = True
+            if d["_pal_table"] is not None:
                 d["_pal_params"] = jnp.asarray(dfs_pallas.build_params(
                     fwd.l2.view(np.int32), self.primary_fwd,
                     self.primary_rev, self.seq_len, rev_row0))
@@ -581,7 +592,8 @@ class AlnEngine:
                 jnp.asarray(seqs), jnp.asarray(lengths),
                 jnp.asarray(sseq), jnp.asarray(slen),
                 jnp.asarray(has_seed), jnp.asarray(maxdiff),
-                BB=self.PALLAS_BB, mxu=self._pal_mxu, **statics)
+                BB=self.PALLAS_BB, mxu=self._pal_mxu,
+                hbm=self._pal_hbm, **statics)
         else:
             from ..ops.dfs import aln_device_step
             out = aln_device_step(

@@ -159,7 +159,8 @@ def build_table_i8(table):
 
 def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 indel_end_skip, max_del_occ, max_entries, max_top2,
-                max_seed_diff, seed_len, mode, max_iters, mxu=False):
+                max_seed_diff, seed_len, mode, max_iters, mxu=False,
+                hbm=False):
     gape_mode = bool(mode & BWA_MODE_GAPE)
     nonstop = bool(mode & BWA_MODE_NONSTOP)
     loggap = bool(mode & BWA_MODE_LOGGAP)
@@ -173,7 +174,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                table_ref,
                hmeta_ref, hk_ref, hl_ref, hscore_ref, summ_ref,
                s_key, s_meta, s_k, s_l, regs, stage, rowidx,
-               pw0, pw1):
+               pw0, pw1, *dma_sem):
+        dma_sem = dma_sem[0] if dma_sem else None
         l2_0 = params_ref[0, 0]
         l2_1 = params_ref[0, 1]
         l2_2 = params_ref[0, 2]
@@ -362,6 +364,53 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                         | ((planes[:, 128:256] & 0xFF) << 8)
                         | ((planes[:, 256:384] & 0xFF) << 16)
                         | (planes[:, 384:512] << 24))
+            elif hbm:
+                # HBM-resident table: the two per-lane 512 B block rows
+                # arrive by async DMA instead of VMEM row copies — this
+                # removes the VMEM genome-size gate entirely (the
+                # reference streams the same 48 B blocks from DRAM per
+                # DFS step, bwt_2occ4 bwt.c:179-216).  All 2*BB copies
+                # are issued back-to-back so their latencies overlap;
+                # the wait loop then drains the shared semaphore.  The
+                # same-row shortcut (bwt.c:118-153) halves the issue
+                # count once intervals narrow.
+                same_row = rl_col == rk_col
+                rowidx[:, 0:1] = rk_col
+                rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
+
+                def issue(i, _):
+                    rk = rowidx[i, 0]
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(rk, 1), :],
+                        stage.at[pl.ds(i, 1), :], dma_sem).start()
+                    rl = rowidx[i, 1]
+
+                    @pl.when(rl >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(rl, 1), :],
+                            stage.at[pl.ds(i + BB, 1), :], dma_sem).start()
+                    return 0
+
+                def drain(i, _):
+                    rk = rowidx[i, 0]
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(rk, 1), :],
+                        stage.at[pl.ds(i, 1), :], dma_sem).wait()
+                    rl = rowidx[i, 1]
+
+                    @pl.when(rl >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(rl, 1), :],
+                            stage.at[pl.ds(i + BB, 1), :], dma_sem).wait()
+                    return 0
+                jax.lax.fori_loop(0, BB, issue, 0, unroll=BB)
+                jax.lax.fori_loop(0, BB, drain, 0, unroll=BB)
+
+                same_b = jnp.broadcast_to(same_row.astype(I32),
+                                          (BB, LANES)) != 0
+                stage_l = jnp.where(same_b, stage[0:BB, :], stage[BB:, :])
             else:
                 # bwt_2occ4's shared-checkpoint shortcut (bwt.c:118-153):
                 # k-1 and l usually land in the same block row once the
@@ -720,7 +769,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 _STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
             "indel_end_skip", "max_del_occ", "max_entries", "max_top2",
             "max_seed_diff", "seed_len", "mode", "stack_cap", "hits_cap",
-            "max_iters", "BB", "interpret", "mxu")
+            "max_iters", "BB", "interpret", "mxu", "hbm")
 
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
@@ -729,7 +778,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
                     max_gapo, indel_end_skip, max_del_occ, max_entries,
                     max_top2, max_seed_diff, seed_len, mode,
                     stack_cap=256, hits_cap=32, max_iters=200000,
-                    BB=256, interpret=False, mxu=False):
+                    BB=256, interpret=False, mxu=False, hbm=False):
     """Run the pallas DFS.  Inputs:
 
     table: int32 [n_rows, 128] block16 table (build_table);
@@ -746,13 +795,14 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
     assert B % BB == 0, (B, BB)
     L = seqs.shape[2]
 
+    assert not (mxu and hbm)
     kernel = make_kernel(
         BB=BB, S=S, H=H, L=L, s_mm=s_mm, s_gapo=s_gapo, s_gape=s_gape,
         max_gape=max_gape, max_gapo=max_gapo,
         indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
         max_entries=max_entries, max_top2=max_top2,
         max_seed_diff=max_seed_diff, seed_len=seed_len, mode=mode,
-        max_iters=max_iters, mxu=mxu)
+        max_iters=max_iters, mxu=mxu, hbm=hbm)
 
     grid = (B // BB,)
 
@@ -773,7 +823,9 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
             pl.BlockSpec((BB, 1), bmap),                       # max_diff
             pl.BlockSpec((BB, 1), bmap),                       # lengths
             pl.BlockSpec((BB, 1), bmap),                       # has_seed
-            pl.BlockSpec(memory_space=pltpu.VMEM),             # table
+            # hbm: the table stays off-chip; block rows arrive by DMA
+            pl.BlockSpec(memory_space=pl.ANY if hbm
+                         else pltpu.VMEM),                     # table
         ],
         out_specs=[
             pl.BlockSpec((BB, H), bmap),
@@ -800,7 +852,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
             pltpu.VMEM((BB if not mxu else 1, 128), I32),       # rowidx
             pltpu.VMEM((BB, 128), I32),     # pw0 (mutable planes)
             pltpu.VMEM((BB, 128), I32),     # pw1
-        ],
+        ] + ([pltpu.SemaphoreType.DMA(())] if hbm else []),
         interpret=interpret,
     )(params,
       seqs[:, 0, :], seqs[:, 1, :],

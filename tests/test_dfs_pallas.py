@@ -26,7 +26,7 @@ from . import genomes
 
 
 def _run_both(tmp_path, glen, n_reads, read_len, err, indel, seed, opt,
-              stack_cap=128, hits_cap=16):
+              stack_cap=128, hits_cap=16, hbm=False):
     fa, seqs = genomes.random_genome(glen, seed=seed)
     fq = genomes.sample_reads(seqs[0], n_reads, read_len, seed=seed + 1,
                               err_rate=err, indel_rate=indel)
@@ -102,7 +102,7 @@ def _run_both(tmp_path, glen, n_reads, read_len, err, indel, seed, opt,
         eng.rev_off, eng.primary_fwd, eng.primary_rev, eng.l2, eng.seq_len,
         jnp.asarray(seqs_a), jnp.asarray(lengths), jnp.asarray(sseq),
         jnp.asarray(slen), jnp.asarray(has_seed), jnp.asarray(maxdiff),
-        BB=B, interpret=True, **statics))
+        BB=B, interpret=True, hbm=hbm, **statics))
 
     ru = unpack_result(ref, hits_cap)
     pu = unpack_result(pal, hits_cap)
@@ -130,3 +130,16 @@ def test_pallas_gapped(tmp_path):
 
 def test_pallas_seeded(tmp_path):
     _run_both(tmp_path, 30000, 16, 80, 0.03, 0.2, 303, GapOpt(seed_len=25))
+
+
+def test_pallas_hbm_gapped(tmp_path):
+    """The HBM-resident DMA variant must match the jnp engine bit-exactly
+    (same kernel, block rows arriving by async copy instead of VMEM
+    residency)."""
+    _run_both(tmp_path, 30000, 16, 75, 0.02, 0.5, 304,
+              GapOpt(max_diff=4, fnr=-1.0, max_gapo=2), hbm=True)
+
+
+def test_pallas_hbm_seeded(tmp_path):
+    _run_both(tmp_path, 30000, 16, 80, 0.03, 0.2, 305,
+              GapOpt(seed_len=25), hbm=True)
