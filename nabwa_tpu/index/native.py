@@ -88,6 +88,11 @@ def _load():
             _u8, ctypes.c_int, _u8, ctypes.c_int, _i32, ctypes.c_int,
             ctypes.c_int32, ctypes.c_int32, _i32]
         lib.local_fwd_u8.restype = ctypes.c_int32
+        lib.local_rev_u8.argtypes = [
+            _u8, ctypes.c_int, _u8, ctypes.c_int, _i32, ctypes.c_int,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int, ctypes.c_int, _i32]
+        lib.local_rev_u8.restype = ctypes.c_int32
         lib.bsw2_core_u32.argtypes = [
             _i64, _i64, _i32, ctypes.c_int, ctypes.c_int,
             _u32, ctypes.c_uint32, _u32, ctypes.c_uint32,
@@ -267,6 +272,25 @@ def local_fwd_native(seq1, seq2, mat, row, q, r):
                           int(row), int(q), int(r), out)
     if rc != 0:
         raise AssertionError("local SW overflow rebase not modelled")
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def local_rev_native(seq1, seq2, mat, row, q, r, score_f, end_i, end_j):
+    """Native local_rev; returns (score_r, start_i, start_j), None when
+    end_i/end_j is 0 (no local match), or False without the library."""
+    lib = _load()
+    if lib is None:
+        return False
+    out = np.zeros(3, dtype=np.int32)
+    rc = lib.local_rev_u8(np.ascontiguousarray(seq1, dtype=np.uint8),
+                          len(seq1),
+                          np.ascontiguousarray(seq2, dtype=np.uint8),
+                          len(seq2),
+                          np.ascontiguousarray(mat, dtype=np.int32),
+                          int(row), int(q), int(r), int(score_f),
+                          int(end_i), int(end_j), out)
+    if rc != 0:
+        return None
     return int(out[0]), int(out[1]), int(out[2])
 
 

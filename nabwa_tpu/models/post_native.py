@@ -56,6 +56,25 @@ def _flat(chunks):
     off = np.zeros(len(chunks) + 1, dtype=np.int64)
     np.cumsum([len(c) for c in chunks], out=off[1:])
     total = int(off[-1])
+    if not total:
+        return np.zeros(0, dtype=np.uint8), off
+    # bytes-only lists concatenate at C speed; one slow-path copy loop
+    # otherwise (mixed arrays) — the per-chunk Python loop was ~20% of
+    # sampe emit time at 100k pairs
+    if isinstance(chunks[0], (bytes, bytearray)):
+        try:
+            flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+            assert len(flat) == total
+            return flat, off
+        except TypeError:
+            pass
+    elif isinstance(chunks[0], np.ndarray):
+        try:
+            flat = np.concatenate(chunks).astype(np.uint8, copy=False)
+            assert len(flat) == total
+            return np.ascontiguousarray(flat), off
+        except (TypeError, ValueError):
+            pass
     flat = np.empty(total, dtype=np.uint8)
     pos = 0
     for c in chunks:
@@ -162,24 +181,14 @@ def emit_states(bns, states, mate_idx, mode, max_top2, rg_id=None):
     n = len(states)
     if n == 0:
         return b""
-    state = np.zeros((n, NF), dtype=np.int64)
-    for col, vals in (
-            (F_TYPE, [s.type for s in states]),
-            (F_STRAND, [s.strand for s in states]),
-            (F_POS, [s.pos for s in states]),
-            (F_MAPQ, [s.mapQ for s in states]),
-            (F_SEQ_Q, [s.seQ for s in states]),
-            (F_C1, [s.c1 for s in states]),
-            (F_C2, [s.c2 for s in states]),
-            (F_NMM, [s.n_mm for s in states]),
-            (F_NGO, [s.n_gapo for s in states]),
-            (F_NGE, [s.n_gape for s in states]),
-            (F_NM, [s.nm for s in states]),
-            (F_LEN, [s.len for s in states]),
-            (F_FULL_LEN, [s.read.full_len for s in states]),
-            (F_CLIP_LEN, [s.read.clip_len for s in states]),
-            (F_XFLAG, [s.extra_flag for s in states])):
-        state[:, col] = vals
+    # ONE pass over the state objects: 15 separate column comprehensions
+    # cost ~3M attribute reads at 100k pairs (measured 1.5 s)
+    rows = [(s.type, s.strand, s.pos, s.mapQ, s.seQ, s.c1, s.c2,
+             s.n_mm, s.n_gapo, s.n_gape, s.nm, s.len,
+             s.read.full_len, s.read.clip_len, s.extra_flag, 0, 0)
+            for s in states]
+    state = np.array(rows, dtype=np.int64)
+    assert state.shape == (n, NF)
 
     names = [s.read.name.encode() for s in states]
     name_flat, name_off = _flat(names)
@@ -200,6 +209,8 @@ def emit_states(bns, states, mate_idx, mode, max_top2, rg_id=None):
     multi_n = np.zeros(n, dtype=np.int32)
     mcig = {}
     for i, s in enumerate(states):
+        if not s.multi:
+            continue
         multi_n[i] = len(s.multi)
         for m, mu in enumerate(s.multi):
             o = i * stride + m

@@ -536,7 +536,9 @@ def local_sw_batch(jobs, ap, thres=1):
             go=int(ap.gap_open), ge=int(ap.gap_ext))
         packed = np.asarray(jnp.stack([score_f, end_i, end_j], axis=1))
 
-    # host reverse pass; collect path-recovery segments
+    # host reverse pass (native O(band*len) walk, scalar model as
+    # fallback); collect path-recovery segments
+    from ..index.native import local_rev_native
     seg = {}           # job idx -> (score_f, score_r, si, sj, ei, ej)
     for bi, i in enumerate(todo):
         sf, ei, ej = (int(packed[bi, 0]), int(packed[bi, 1]),
@@ -544,7 +546,10 @@ def local_sw_batch(jobs, ap, thres=1):
         if sf < thres:
             res[i] = (sf, None, 0)
             continue
-        rev = local_rev(jobs[i][0], jobs[i][1], ap, sf, ei, ej)
+        rev = local_rev_native(jobs[i][0], jobs[i][1], ap.matrix, ap.row,
+                               ap.gap_open, ap.gap_ext, sf, ei, ej)
+        if rev is False:
+            rev = local_rev(jobs[i][0], jobs[i][1], ap, sf, ei, ej)
         if rev is None:
             res[i] = (sf, None, 0)
             continue

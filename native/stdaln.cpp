@@ -253,6 +253,73 @@ int32_t local_fwd_u8(const uint8_t* seq1, int len1, const uint8_t* seq2,
     return 0;
 }
 
+// local_rev (stdaln.c:639-696 via the scalar model): reverse banded pass
+// locating the start cell after a forward hit.  out[0..2] = score_r - qr,
+// start_i, start_j.  Returns 0, or -1 when end_i/end_j is 0.
+int32_t local_rev_u8(const uint8_t* seq1, int len1, const uint8_t* seq2,
+                     int len2, const int32_t* mat, int row, int32_t q,
+                     int32_t r, int32_t score_f, int end_i, int end_j,
+                     int32_t* out) {
+    (void)len2;
+    if (end_i == 0 || end_j == 0) return -1;
+    int32_t qr = q + r;
+    int32_t max_score = 0;
+    for (int c = 0; c < row * row; ++c)
+        if (mat[c] > max_score) max_score = mat[c];
+    std::vector<int32_t> eh_h(len1 + 1, 0), eh_e(len1 + 1, 0);
+    // score_r seeds with mat[s1[end_i]][s2[end_j]] (stdaln.c:652)
+    int32_t score_r = mat[(int)seq1[end_i - 1] * row
+                          + (int)seq2[end_j - 1]];
+    int start_i = end_i, start_j = end_j;
+    eh_h[end_i] = qr + score_r;
+    eh_e[end_i] = 0;
+    int start = end_i - 1;
+    int end = end_i - 3 > 0 ? end_i - 3 : 0;
+    for (int j = end_j - 1; j != 0; --j) {
+        int32_t last_h = 0, f = 0;
+        const int32_t* sa_row = mat + (int)seq2[j - 1] * row;
+        int i = start;
+        bool broke = false;
+        for (; i != end; --i) {
+            // sa_row[i] = mat[s2[j]][s1[i]]; i >= end+1 >= 1 always
+            int32_t curr_h = eh_h[i + 1] + sa_row[(int)seq1[i - 1]];
+            if (curr_h < 0) curr_h = 0;
+            if (last_h > 0) {
+                f = (f > last_h - q) ? f - r : last_h - qr;
+                if (curr_h < f) curr_h = f;
+            }
+            int32_t curr_last_h = eh_h[i];
+            int32_t e = (eh_e[i + 1] > curr_last_h - q)
+                ? eh_e[i + 1] - r : curr_last_h - qr;
+            if (e < 0) e = 0;
+            if (curr_h < e) curr_h = e;
+            eh_h[i + 1] = last_h;
+            eh_e[i + 1] = e;
+            last_h = curr_h;
+            if (score_r < curr_h) {
+                score_r = curr_h;
+                start_i = i;
+                start_j = j;
+                if (score_r - qr == score_f) { broke = true; break; }
+            }
+        }
+        // stdaln.c:690 runs in both exit paths at the current s position
+        eh_h[i + 1] = last_h;
+        eh_e[i + 1] = 0;
+        if (broke) break;
+        // band boundaries (stdaln.c:692-695)
+        if (eh_h[start] <= qr) --start;
+        if (start <= 0) start = 0;
+        end = start_i - (start_j - j)
+            - (score_r + (start_j - j) * max_score) / r - 1;
+        if (end <= 0) end = 0;
+    }
+    out[0] = score_r - qr;
+    out[1] = start_i;
+    out[2] = start_j;
+    return 0;
+}
+
 // aln_extend_core (stdaln.c:862-1007 via the scalar model).  Fills
 // out[0..2] = score, end_i, end_j; when want_path and score > 0 also the
 // band-doubling global path of the [end_i]x[end_j] prefix.  Returns 0,
