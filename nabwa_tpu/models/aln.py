@@ -336,7 +336,9 @@ class AlnEngine:
             # slice's device call up front (jax dispatch is async — the
             # chip works through the queue), then collect in order;
             # overflow reads queue for the retry tier / host drain.
+            import os as _os2
             import time as _time
+            timing = bool(_os2.environ.get("NABWA_TIMING"))
             t_dev0 = _time.time()
             handles = []
             for start in range(0, len(reads), device_batch):
@@ -345,6 +347,7 @@ class AlnEngine:
                     part, per_read_maxdiff[start:start + len(part)],
                     local, results, start, max_len, defer=defer,
                     dispatch_only=True)))
+            t_disp = _time.time()
             for start, part, ctx in handles:
                 fb = self._collect_device(ctx, part, results, start)
                 if not fb:
@@ -355,6 +358,10 @@ class AlnEngine:
                     # hw sorts the device retry hardest-first below
                     hw = ctx["hw"]
                     defer.extend((start + i, int(hw[i])) for i in fb)
+            if timing:
+                print(f"[aln.timing] tier0 dispatch {t_disp-t_dev0:.3f}s "
+                      f"collect {_time.time()-t_disp:.3f}s "
+                      f"ovf={len(ovf)} defer={len(defer)}")
             if self.mesh is None and jax.default_backend() == "tpu":
                 # clean device-only rate: seeds the hybrid split estimate.
                 # The first device-only chunk per engine is compile-laden
@@ -365,23 +372,45 @@ class AlnEngine:
                                       if hasattr(self, "_dev_rate") else r)
                 self._dev_warmed = True
             if ovf:
+                t_n0 = _time.time()
                 self._drain_native([reads[i] for i in ovf],
                                    per_read_maxdiff[ovf], local,
                                    results, ovf)
+                if timing:
+                    print(f"[aln.timing] native drain {len(ovf)} reads "
+                          f"{_time.time()-t_n0:.3f}s")
             if defer:
+                # retry tier, pipelined like tier-0: dispatch every
+                # big-stack slice before collecting any
+                t_r0 = _time.time()
                 defer.sort(key=lambda t: -t[1])
                 idxs = [i for i, _ in defer]
                 fb_reads = [reads[i] for i in idxs]
                 fb_md = per_read_maxdiff[idxs]
                 sub_res = [None] * len(idxs)
+                rhandles = []
                 for start in range(0, len(fb_reads), device_batch):
                     part = fb_reads[start:start + device_batch]
-                    self._run_device(part, fb_md[start:start + len(part)],
-                                     local, sub_res, start, max_len,
-                                     stack_cap=self.retry_stack_cap,
-                                     hits_cap=self.retry_hits_cap, tier=1)
+                    rhandles.append((start, part, self._run_device(
+                        part, fb_md[start:start + len(part)], local,
+                        sub_res, start, max_len,
+                        stack_cap=self.retry_stack_cap,
+                        hits_cap=self.retry_hits_cap, tier=1,
+                        dispatch_only=True)))
+                for start, part, ctx in rhandles:
+                    fb = self._collect_device(ctx, part, sub_res, start)
+                    if fb:
+                        # retry-tier overflow: scalar/native last resort
+                        fb_md2 = np.asarray([fb_md[start + i] for i in fb],
+                                            dtype=np.int32)
+                        self._drain_native([part[i] for i in fb], fb_md2,
+                                           local, sub_res,
+                                           [start + i for i in fb])
                 for i, res in zip(idxs, sub_res):
                     results[i] = res
+                if timing:
+                    print(f"[aln.timing] device retry {len(idxs)} reads "
+                          f"{_time.time()-t_r0:.3f}s")
             return results
 
         # group by per-read clamped max_gapo (identical almost always)

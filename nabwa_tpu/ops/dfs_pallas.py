@@ -160,7 +160,11 @@ def build_table_i8(table):
 def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 indel_end_skip, max_del_occ, max_entries, max_top2,
                 max_seed_diff, seed_len, mode, max_iters, mxu=False,
-                hbm=False):
+                hbm=False, lobotomy=()):
+    # lobotomy: diagnostic-only static cuts for per-iteration cost
+    # attribution ("nodone" forces exactly max_iters iterations; "fetch"/
+    # "push"/"shadow"/"pend" skip those blocks).  Results are WRONG with
+    # any cut active; never set outside probe scripts.
     gape_mode = bool(mode & BWA_MODE_GAPE)
     nonstop = bool(mode & BWA_MODE_NONSTOP)
     loggap = bool(mode & BWA_MODE_LOGGAP)
@@ -169,12 +173,13 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
     def aln_score(m, o, e):
         return m * s_mm + o * s_gapo + e * s_gape
 
-    def kernel(params_ref, seqf_ref, seqr_ref, pw_f_ref, pw_r_ref,
-               sw_f_ref, sw_r_ref, md_ref, len_ref, hseed_ref,
+    def kernel(params_ref, seqf_ref, seqr_ref, pww_f_ref, pww_r_ref,
+               pwb_f_ref, pwb_r_ref, sww_f_ref, sww_r_ref,
+               swb_f_ref, swb_r_ref, md_ref, len_ref, hseed_ref,
                table_ref,
                hmeta_ref, hk_ref, hl_ref, hscore_ref, summ_ref,
                s_key, s_meta, s_k, s_l, regs, stage, rowidx,
-               pw0, pw1, *dma_sem):
+               pw0w, pw0b, pw1w, pw1b, *dma_sem):
         dma_sem = dma_sem[0] if dma_sem else None
         l2_0 = params_ref[0, 0]
         l2_1 = params_ref[0, 1]
@@ -197,9 +202,14 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
         seq_f = seqf_ref[:, :]
         seq_r = seqr_ref[:, :]
 
-        # mutable width planes (gap_shadow writes them)
-        pw0[:] = pw_f_ref[:, :]
-        pw1[:] = pw_r_ref[:, :]
+        # mutable width planes (gap_shadow writes them); w and bid ride in
+        # SEPARATE planes — the old (w<<8|bid) packing silently dropped
+        # w's high bits for genomes >= 2^24 bp, corrupting gap_shadow and
+        # the allow_m equality checks at chromosome scale
+        pw0w[:] = pww_f_ref[:, :]
+        pw0b[:] = pwb_f_ref[:, :]
+        pw1w[:] = pww_r_ref[:, :]
+        pw1b[:] = pwb_r_ref[:, :]
 
         # ---- init ----
         s_key[:] = jnp.full((BB, S), FREE, I32)
@@ -296,7 +306,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             e_ge = (e_meta >> M_GE) & 0xF
 
             a0 = e_a == 0
-            w_plane = jnp.where(a0, pw0[:], pw1[:])   # packed w<<8|bid
+            bid_plane = jnp.where(a0, pw0b[:], pw1b[:])
 
             # ---- best-score stop (bwtgap.c:144) ----
             if not nonstop:
@@ -311,8 +321,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             proc = do_pop & (m >= 0)
 
             # ---- width lower bound (bwtgap.c:156) ----
-            pk_im1 = _extract(w_plane, e_i - 1)
-            bid_im1 = pk_im1 & 0xFF
+            bid_im1 = _extract(bid_plane, e_i - 1)
             proc = proc & ~((e_i > 0) & (m < bid_im1))
 
             # ---- hit / exact-path / expand split (bwtgap.c:158-164) ----
@@ -545,11 +554,10 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 .sum(axis=1, keepdims=True) > 0
             do_add = add_lane & ~((h_go > 0) & in_hits)
 
-            # gap_shadow (bwtgap.c:81-91) on the h_a-strand packed plane
+            # gap_shadow (bwtgap.c:81-91) on the h_a-strand planes
             ha0 = h_a == 0
-            pa = jnp.where(ha0, pw0[:], pw1[:])
-            wa = jax.lax.shift_right_logical(pa, 8)
-            bida = pa & 0xFF
+            wa = jnp.where(ha0, pw0w[:], pw1w[:])
+            bida = jnp.where(ha0, pw0b[:], pw1b[:])
             x = h_l - h_k + 1
             # i1 [BB,1] & [BB,128] broadcast-AND is unsupported by this
             # Mosaic version (i8<->i1 trunc); broadcast via i32 multiply
@@ -561,15 +569,16 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             wa_new = jnp.where(gtm, wa - x,
                                jnp.where(eqm, seq_len - jc, wa))
             bida_new = jnp.where(eqm, 1, bida)
-            pa_new = (wa_new << 8) | bida_new
             # [BB,1] i1 select-preds on ref stores hit the same Mosaic
             # i8<->i1 trunc hole; broadcast the pred in i32 first
             wr0 = jnp.broadcast_to((do_add & ha0).astype(I32),
                                    (BB, LANES)) != 0
             wr1 = jnp.broadcast_to((do_add & ~ha0).astype(I32),
                                    (BB, LANES)) != 0
-            pw0[:] = jnp.where(wr0, pa_new, pw0[:])
-            pw1[:] = jnp.where(wr1, pa_new, pw1[:])
+            pw0w[:] = jnp.where(wr0, wa_new, pw0w[:])
+            pw0b[:] = jnp.where(wr0, bida_new, pw0b[:])
+            pw1w[:] = jnp.where(wr1, wa_new, pw1w[:])
+            pw1b[:] = jnp.where(wr1, bida_new, pw1b[:])
 
             # append hit via one-hot write at n_aln
             hof = do_add & (n_aln >= H)
@@ -588,14 +597,13 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             i2 = e_i - 1
             occ_width = e_l - e_k + 1
 
-            # strand plane may have changed via shadow; re-select
-            w_plane = jnp.where(a0, pw0[:], pw1[:])
-            pk_i2m1 = _extract(w_plane, i2 - 1)
-            pk_i2 = _extract(w_plane, i2)
-            bid_i2m1 = pk_i2m1 & 0xFF
-            bid_i2 = pk_i2 & 0xFF
-            w_i2m1 = jax.lax.shift_right_logical(pk_i2m1, 8)
-            w_i2 = jax.lax.shift_right_logical(pk_i2, 8)
+            # strand planes may have changed via shadow; re-select
+            w_plane = jnp.where(a0, pw0w[:], pw1w[:])
+            b_plane = jnp.where(a0, pw0b[:], pw1b[:])
+            bid_i2m1 = _extract(b_plane, i2 - 1)
+            bid_i2 = _extract(b_plane, i2)
+            w_i2m1 = _extract(w_plane, i2 - 1)
+            w_i2 = _extract(w_plane, i2)
             i2_pos = i2 > 0
             allow_diff = ~i2_pos | ~(bid_i2m1 > m - 1)
             allow_m = ~i2_pos | ~((bid_i2m1 == m - 1) & (bid_i2 == m - 1)
@@ -603,13 +611,12 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             # seed bounds (bwtgap.c:210-214)
             hseed = getreg(R_HAS_SEED) != 0
             ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
-            sp = jnp.where(a0, sw_f_ref[:, :], sw_r_ref[:, :])
-            sk_iim1 = _extract(sp, ii - 1)
-            sk_ii = _extract(sp, ii)
-            sbid_iim1 = sk_iim1 & 0xFF
-            sbid_ii = sk_ii & 0xFF
-            sw_iim1 = jax.lax.shift_right_logical(sk_iim1, 8)
-            sw_ii = jax.lax.shift_right_logical(sk_ii, 8)
+            spw = jnp.where(a0, sww_f_ref[:, :], sww_r_ref[:, :])
+            spb = jnp.where(a0, swb_f_ref[:, :], swb_r_ref[:, :])
+            sbid_iim1 = _extract(spb, ii - 1)
+            sbid_ii = _extract(spb, ii)
+            sw_iim1 = _extract(spw, ii - 1)
+            sw_ii = _extract(spw, ii)
             m_seed = max_seed_diff - (e_nmm + e_go) \
                 - (e_ge if gape_mode else 0)
             seed_gate = (i2 > 0) & (ii > 0)
@@ -773,8 +780,8 @@ _STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
 
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
-def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
-                    max_diff, *, s_mm, s_gapo, s_gape, max_gape,
+def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
+                    has_seed, max_diff, *, s_mm, s_gapo, s_gape, max_gape,
                     max_gapo, indel_end_skip, max_del_occ, max_entries,
                     max_top2, max_seed_diff, seed_len, mode,
                     stack_cap=256, hits_cap=32, max_iters=200000,
@@ -785,7 +792,9 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
     params: int32 [1, 16]: l2[0..4], pad, primary_f, primary_r, seq_len,
         rev_row0 at the indices the kernel reads;
     seqs: int32 [B, 2, L<=128] (seq/rseq);
-    pw/sw: int32 [B, 2, 128] packed (w<<8|bid) main/seed planes;
+    pw_w/pw_b, sw_w/sw_b: int32 [B, 2, 128] width / bid main and seed
+        planes (separate planes: widths need full 32 bits at genome
+        scale);
     lengths, has_seed, max_diff: int32 [B].
 
     Returns packed [B, 4H+5] matching ops.dfs.dfs_match_gap."""
@@ -816,10 +825,14 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
             pl.BlockSpec((1, 16), lambda i: (0, 0)),           # params
             pl.BlockSpec((BB, 128), bmap),                     # seq fwd
             pl.BlockSpec((BB, 128), bmap),                     # seq rev
-            pl.BlockSpec((BB, 128), bmap),                     # pw fwd
-            pl.BlockSpec((BB, 128), bmap),                     # pw rev
-            pl.BlockSpec((BB, 128), bmap),                     # sw fwd
-            pl.BlockSpec((BB, 128), bmap),                     # sw rev
+            pl.BlockSpec((BB, 128), bmap),                     # pw_w fwd
+            pl.BlockSpec((BB, 128), bmap),                     # pw_w rev
+            pl.BlockSpec((BB, 128), bmap),                     # pw_b fwd
+            pl.BlockSpec((BB, 128), bmap),                     # pw_b rev
+            pl.BlockSpec((BB, 128), bmap),                     # sw_w fwd
+            pl.BlockSpec((BB, 128), bmap),                     # sw_w rev
+            pl.BlockSpec((BB, 128), bmap),                     # sw_b fwd
+            pl.BlockSpec((BB, 128), bmap),                     # sw_b rev
             pl.BlockSpec((BB, 1), bmap),                       # max_diff
             pl.BlockSpec((BB, 1), bmap),                       # lengths
             pl.BlockSpec((BB, 1), bmap),                       # has_seed
@@ -850,14 +863,18 @@ def dfs_pallas_call(table, params, seqs, lengths, pw, sw, has_seed,
             # stage/rowidx are only used by the scalar-fetch path
             pltpu.VMEM((2 * BB if not mxu else 1, 128), I32),   # stage
             pltpu.VMEM((BB if not mxu else 1, 128), I32),       # rowidx
-            pltpu.VMEM((BB, 128), I32),     # pw0 (mutable planes)
-            pltpu.VMEM((BB, 128), I32),     # pw1
+            pltpu.VMEM((BB, 128), I32),     # pw0w (mutable planes)
+            pltpu.VMEM((BB, 128), I32),     # pw0b
+            pltpu.VMEM((BB, 128), I32),     # pw1w
+            pltpu.VMEM((BB, 128), I32),     # pw1b
         ] + ([pltpu.SemaphoreType.DMA(())] if hbm else []),
         interpret=interpret,
     )(params,
       seqs[:, 0, :], seqs[:, 1, :],
-      pw[:, 0, :], pw[:, 1, :],
-      sw[:, 0, :], sw[:, 1, :],
+      pw_w[:, 0, :], pw_w[:, 1, :],
+      pw_b[:, 0, :], pw_b[:, 1, :],
+      sw_w[:, 0, :], sw_w[:, 1, :],
+      sw_b[:, 0, :], sw_b[:, 1, :],
       max_diff[:, None], lengths[:, None],
       has_seed[:, None].astype(I32), table)
 
@@ -888,15 +905,14 @@ def aln_device_step_pallas(table, params, bwt_fwd, bwt_rev, rev_word_offset,
     sw1, sb1 = cal_width(bwt_rev, l2, primary_rev, seq_len,
                          seed_seqs[:, 1, :], seed_lengths)
 
-    def pack(w, b):
-        return _pf((w.astype(I32) << 8) | b.astype(I32))
-
-    pw = jnp.stack([pack(w0, b0), pack(w1, b1)], axis=1)
-    sw = jnp.stack([pack(sw0, sb0), pack(sw1, sb1)], axis=1)
+    pw_w = jnp.stack([_pf(w0.astype(I32)), _pf(w1.astype(I32))], axis=1)
+    pw_b = jnp.stack([_pf(b0.astype(I32)), _pf(b1.astype(I32))], axis=1)
+    sw_w = jnp.stack([_pf(sw0.astype(I32)), _pf(sw1.astype(I32))], axis=1)
+    sw_b = jnp.stack([_pf(sb0.astype(I32)), _pf(sb1.astype(I32))], axis=1)
     seqs_p = _pf(seqs.astype(I32))
     return dfs_pallas_call(table, params, seqs_p, lengths.astype(I32),
-                           pw, sw, has_seed, max_diff.astype(I32),
-                           **statics)
+                           pw_w, pw_b, sw_w, sw_b, has_seed,
+                           max_diff.astype(I32), **statics)
 
 
 def build_params(l2, primary_fwd, primary_rev, seq_len, rev_row0):

@@ -175,7 +175,19 @@ def worker_main(host, port, n_threads=1, max_run_mins=90.0,
     from ..options import GapOpt, PeOpt
     from ..models import bam2bam as b2b
 
-    sock = socket.create_connection((host, port))
+    # the reference's ZeroMQ REQ socket connects lazily, so a worker
+    # started before the master binds just waits (bam2bam.c:2246-2258);
+    # plain TCP must retry explicitly to match that tolerance
+    deadline = time.monotonic() + min(idle_timeout, 60.0)
+    while True:
+        try:
+            sock = socket.create_connection((host, port), timeout=5.0)
+            break
+        except OSError:
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(0.25)
+    sock.settimeout(None)
     send_msg(sock, {"op": "hello", "host": socket.gethostname()})
     cfg = recv_msg(sock)
     assert cfg and cfg.get("op") == "config", "bad config handshake"
@@ -187,6 +199,10 @@ def worker_main(host, port, n_threads=1, max_run_mins=90.0,
         from ..index.fmindex import BwaIndex
         from ..models.aln import AlnEngine
         engine = AlnEngine(BwaIndex.load(cfg["prefix"]), gopt)
+    # -t caps this worker's native DFS threads (the reference worker's
+    # per-process thread pool, bam2bam.c:2123-2127); without the cap every
+    # co-located worker grabs all cores and scaling measurements lie
+    engine.native_threads = max(int(n_threads), 1)
     print("[worker] index %r loaded, entering work loop" % cfg["prefix"],
           file=sys.stderr)
 

@@ -99,7 +99,8 @@ def run_jnp():
 
 
 table, rev_row0 = dfs_pallas.build_table(np.asarray(eng.bwt_cat), eng.rev_off)
-MXU = os.environ.get("MXU", "1") == "1"
+HBM = os.environ.get("HBM", "0") == "1"
+MXU = (not HBM) and os.environ.get("MXU", "1") == "1"
 if MXU:
     table = dfs_pallas.build_table_i8(table)
 params = dfs_pallas.build_params(np.asarray(eng.l2), eng.primary_fwd,
@@ -115,7 +116,7 @@ def run_pal():
         jnp.asarray(seqs_a), jnp.asarray(lengths), jnp.asarray(sseq),
         jnp.asarray(slen), jnp.asarray(has_seed), jnp.asarray(maxdiff),
         stack_cap=S, hits_cap=H, max_iters=MAXIT, BB=BB, mxu=MXU,
-        **statics)
+        hbm=HBM, **statics)
 
 
 for name, fn in (("jnp", run_jnp), ("pallas", run_pal)):
