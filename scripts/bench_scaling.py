@@ -115,6 +115,25 @@ def run_n(fa, bam_in, n_workers):
     return dt, out
 
 
+def records_blob(path):
+    """Decompressed record stream AFTER the header: the @PG CL: line
+    legitimately embeds argv (port / -f name), which differs per run —
+    raw-byte comparison would flag that as a mismatch (round-3 false
+    alarm in SCALING_r03)."""
+    import struct
+    from nabwa_tpu.io.bam import bgzf_decompress
+    raw = bgzf_decompress(pathlib.Path(path).read_bytes())
+    assert raw[:4] == b"BAM\x01", raw[:4]
+    l_text = struct.unpack("<i", raw[4:8])[0]
+    p = 8 + l_text
+    n_ref = struct.unpack("<i", raw[p:p + 4])[0]
+    p += 4
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", raw[p:p + 4])[0]
+        p += 8 + l_name
+    return raw[p:]
+
+
 def main():
     fa, bam_in = setup()
     base = None
@@ -124,10 +143,10 @@ def main():
         dt, out = run_n(fa, bam_in, n)
         rate = 2 * N_PAIRS / dt
         if ref_bytes is None:
-            ref_bytes = out.read_bytes()
+            ref_bytes = records_blob(out)
             same = True
         else:
-            same = out.read_bytes() == ref_bytes
+            same = records_blob(out) == ref_bytes
         if base is None:
             base = rate
         eff = rate / (base * n / WORKERS[0])
