@@ -2,6 +2,8 @@
 (.pac .rpac .ann .amb .bwt .rbwt .sa .rsa), mirroring bwa_index
 (bwtindex.c:42-192)."""
 
+import os
+
 import numpy as np
 
 from . import pack as packmod
@@ -9,8 +11,42 @@ from . import sa as samod
 from . import formats
 from ..constants import SA_INTERVAL
 
+# Above this length the blockwise incremental builder replaces SA-IS:
+# the reference makes the same switch at 50 Mbp (`-a is` -> `-a bwtsw`,
+# bwtindex.c:107,176) for the same reason — the full suffix array does
+# not fit in sane RAM at genome scale (8+ B/char vs ~0.65 B/char).
+BWT_INC_THRESHOLD = 50_000_000
+
 
 def _build_one(codes, prefix, ext_bwt, ext_sa, sa_intv):
+    env = os.environ.get("NABWA_BWT_INC")
+    use_inc = (len(codes) > BWT_INC_THRESHOLD if env is None
+               else env not in ("", "0"))
+    inc = None
+    if use_inc:
+        from . import native as native_mod
+        block = int(os.environ.get("NABWA_BWT_INC_BLOCK", "0"))
+        inc = native_mod.bwt_inc_native(codes, block)
+    if inc is not None:
+        bwt, primary = inc
+        counts = np.zeros(4, dtype=np.int64)
+        CH = 1 << 26
+        for lo in range(0, len(codes), CH):
+            counts += np.bincount(codes[lo:lo + CH], minlength=4)[:4]
+        l2 = np.zeros(5, dtype=np.uint32)
+        l2[1:] = np.cumsum(counts)
+        words = samod.pack_bwt_words(bwt)
+        inter = samod.interleave_occ(words, bwt, len(codes))
+        del bwt, words
+        formats.write_bwt(str(prefix) + ext_bwt, primary, l2, inter)
+        # no suffix array exists on this path: the sampled SA comes from
+        # the invPsi walk over the finished BWT, exactly like the
+        # reference's separate `bwtsw2 -> bwt2sa` step (bwtmisc.c:154-176)
+        sa_samp = samod.cal_sa_from_bwt(inter, primary, l2, len(codes),
+                                        sa_intv)
+        formats.write_sa(str(prefix) + ext_sa, primary, l2, sa_samp,
+                         len(codes), sa_intv)
+        return
     # chunked derivations: the suffix array (8 B/char) is freed before
     # the interleave/sample staging allocates
     bwt, primary, l2, sa_samp = samod.bwt_and_sample_from_codes(

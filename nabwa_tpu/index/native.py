@@ -19,7 +19,8 @@ _SRCS = [_ROOT / "native" / "sais.cpp",
          _ROOT / "native" / "dfsgap.cpp",
          _ROOT / "native" / "stdaln.cpp",
          _ROOT / "native" / "bsw2core.cpp",
-         _ROOT / "native" / "post.cpp"]
+         _ROOT / "native" / "post.cpp",
+         _ROOT / "native" / "bwtgen.cpp"]
 _BUILD = _ROOT / "native" / "build"
 _SO = _BUILD / "libnabwa_native.so"
 
@@ -121,6 +122,9 @@ def _load():
             ctypes.c_int, ctypes.c_int, _u8, ctypes.c_int64,
             _u8, ctypes.c_int64]
         lib.sam_emit_batch.restype = ctypes.c_int64
+        lib.bwt_inc_u8.argtypes = [
+            _u8, ctypes.c_int64, ctypes.c_int64, _u8, _u64]
+        lib.bwt_inc_u8.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -145,6 +149,25 @@ def suffix_array_native(codes):
     if rc != 0:
         return None
     return sa[:len(t)]
+
+
+def bwt_inc_native(codes, block=0):
+    """Blockwise incremental BWT (native/bwtgen.cpp): the low-memory
+    large-genome builder (bwt_gen capability parity, bwt_gen/bwt_gen.c:
+    1247-1556).  Returns (bwt_u8, primary) or None.
+
+    Peak native memory ~0.65 B/char (two packed BWT buffers + occ
+    checkpoints + per-block rank/sort arrays) vs SA-IS's 8+ B/char."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(codes, dtype=np.uint8)
+    out = np.empty(len(t), dtype=np.uint8)
+    prim = np.zeros(1, dtype=np.uint64)
+    rc = lib.bwt_inc_u8(t, len(t), int(block), out, prim)
+    if rc != 0:
+        return None
+    return out, int(prim[0])
 
 
 def cal_sa_native(bwt_words, primary, l2, seq_len, intv):

@@ -561,7 +561,7 @@ class AlnEngine:
 
     def _run_device(self, reads, maxdiff, local, results, base, max_len,
                     stack_cap=None, hits_cap=None, tier=0, defer=None,
-                    dispatch_only=False):
+                    dispatch_only=False, lobotomy=()):
         # Bucket shapes (B to 64s, L to 32s) so recurring batch geometries
         # reuse compiled kernels; padding lanes are len-0 (done immediately).
         stack_cap = stack_cap or self.stack_cap
@@ -622,7 +622,7 @@ class AlnEngine:
                 jnp.asarray(sseq), jnp.asarray(slen),
                 jnp.asarray(has_seed), jnp.asarray(maxdiff),
                 BB=self.PALLAS_BB, mxu=self._pal_mxu,
-                hbm=self._pal_hbm, **statics)
+                hbm=self._pal_hbm, lobotomy=lobotomy, **statics)
         else:
             from ..ops.dfs import aln_device_step
             out = aln_device_step(

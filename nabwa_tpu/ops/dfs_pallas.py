@@ -19,8 +19,9 @@ Layout:
   (bwt.h:61-68 layout, same byte content per block);
 - stack entry = 4 arrays: key (score<<16 | 0xFFFF-seq), packed meta
   (i|a|ldp|state|nmm|go|ge), k, l;
-- per-read registers live in one [BB, 128] scratch, one variable per
-  lane column;
+- per-read registers are [BB, 1] while_loop carries (vreg-resident; a
+  VMEM register tile cost strided loads + masked writebacks per
+  iteration);
 - width/bid planes ship packed (w<<8 | bid) per strand, padded to 128.
 
 Applicability gates (fall back to ops.dfs for anything outside):
@@ -47,11 +48,6 @@ from ..constants import (STATE_M, STATE_I, STATE_D, BWA_MODE_GAPE,
 I32 = jnp.int32
 LANES = 128
 FREE = 0x7FFFFFFF
-
-# register lane indices in the regs scratch
-(R_NENT, R_BEST_SCORE, R_BEST_DIFF, R_BEST_CNT, R_MAXDIFF, R_NALN,
- R_DONE, R_OVF, R_HW, R_PEND, R_PEND_I, R_PEND_K, R_PEND_L, R_PEND_CNT,
- R_PEND_A, R_PEND_LDP, R_FIN, R_SEQCTR, R_LEN, R_HAS_SEED) = range(20)
 
 # meta packing: i(0-6) a(7) ldp(8-14) state(15-16) nmm(17-21) go(22-25)
 # ge(26-29)
@@ -178,7 +174,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                swb_f_ref, swb_r_ref, md_ref, len_ref, hseed_ref,
                table_ref,
                hmeta_ref, hk_ref, hl_ref, hscore_ref, summ_ref,
-               s_key, s_meta, s_k, s_l, regs, stage, rowidx,
+               s_key, s_meta, s_k, s_l, stage, rowidx,
                pw0w, pw0b, pw1w, pw1b, *dma_sem):
         dma_sem = dma_sem[0] if dma_sem else None
         l2_0 = params_ref[0, 0]
@@ -226,21 +222,23 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
         done0 = (n_count > max_diff0) | (lengths <= 0)
         seedable = ~done0
 
-        r = jnp.zeros((BB, LANES), I32)
-
-        def setreg(r, idx, v):
-            return jnp.where(lane_p == idx, v, r)
-
-        r = setreg(r, R_NENT, jnp.where(seedable, 2, 0))
-        r = setreg(r, R_SEQCTR, jnp.where(seedable, 2, 0))
-        r = setreg(r, R_BEST_SCORE,
-                   aln_score(max_diff0 + 1, max_gapo + 1, max_gape + 1))
-        r = setreg(r, R_BEST_DIFF, max_diff0 + 1)
-        r = setreg(r, R_MAXDIFF, max_diff0)
-        r = setreg(r, R_DONE, done0.astype(I32))
-        r = setreg(r, R_LEN, lengths)
-        r = setreg(r, R_HAS_SEED, has_seed.astype(I32))
-        regs[:] = r
+        # per-read register file: [BB,1] while_loop carries (a VMEM
+        # scratch register tile cost ~30 strided loads + an 18-way masked
+        # writeback per iteration; carries live in vregs)
+        zcol = jnp.zeros((BB, 1), I32)
+        c0 = dict(
+            nent=jnp.where(seedable, 2, 0).astype(I32),
+            seqctr=jnp.where(seedable, 2, 0).astype(I32),
+            best_score=jnp.broadcast_to(
+                aln_score(max_diff0 + 1, max_gapo + 1, max_gape + 1),
+                (BB, 1)).astype(I32),
+            best_diff=(max_diff0 + 1).astype(I32),
+            best_cnt=zcol, maxdiff=max_diff0.astype(I32),
+            naln=zcol, done=done0.astype(I32), ovf=zcol, hw=zcol,
+            pend=zcol, pend_i=zcol, pend_k=zcol, pend_l=zcol,
+            pend_cnt=zcol, pend_a=zcol, pend_ldp=zcol, fin=zcol,
+            pend_iters=zcol)
+        c_keys = sorted(c0)
 
         # seed pushes: slots 0 (a=0) and 1 (a=1), score 0; the a=1 key
         # 0xFFFE is smaller so it pops first like the C (bwtgap.c:127-128)
@@ -256,9 +254,6 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             jnp.where(lane_s == 1, jnp.where(seedable, m1, 0), 0))
         s_l[:] = jnp.where((lane_s < 2) & seedable, seq_len, 0)
 
-        def getreg(idx):
-            return regs[:, idx:idx + 1]
-
         def occ_prep(k, primary):
             """Adjusted position + block geometry cols for one occ4."""
             is_neg1 = k == -1
@@ -270,18 +265,23 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                     is_neg1.astype(I32))
 
         def body(carry):
-            it, live = carry
-            active = getreg(R_DONE) == 0
-            in_pend = (getreg(R_PEND) != 0) & active
+            it, live = carry[0], carry[1]
+            cr = dict(zip(c_keys, carry[2:]))
+
+            def getreg(name):
+                return cr[name]
+
+            active = getreg("done") == 0
+            in_pend = (getreg("pend") != 0) & active
             do_stack = active & ~in_pend
 
             # ---- stack checks (bwtgap.c:139-141) ----
-            n_ent = getreg(R_NENT)
-            hw = jnp.where(do_stack, jnp.maximum(getreg(R_HW), n_ent),
-                           getreg(R_HW))
+            n_ent = getreg("nent")
+            hw = jnp.where(do_stack, jnp.maximum(getreg("hw"), n_ent),
+                           getreg("hw"))
             empty = n_ent == 0
             over_cap = n_ent > max_entries
-            done = (getreg(R_DONE) != 0) | (do_stack & (empty | over_cap))
+            done = (getreg("done") != 0) | (do_stack & (empty | over_cap))
             do_pop = do_stack & ~empty & ~over_cap
 
             # ---- pop: min key; min score then max seq (bwtgap.c:66-79) --
@@ -310,12 +310,12 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 
             # ---- best-score stop (bwtgap.c:144) ----
             if not nonstop:
-                brk = do_pop & (e_score > getreg(R_BEST_SCORE) + s_mm)
+                brk = do_pop & (e_score > getreg("best_score") + s_mm)
                 done = done | brk
                 do_pop = do_pop & ~brk
 
             # ---- budget (bwtgap.c:146-148) ----
-            m = getreg(R_MAXDIFF) - (e_nmm + e_go)
+            m = getreg("maxdiff") - (e_nmm + e_go)
             if gape_mode:
                 m = m - e_ge
             proc = do_pop & (m >= 0)
@@ -333,19 +333,19 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             need_exact = proc & ~direct_hit & (m == 0) & exact_ok
             expand = proc & ~direct_hit & ~need_exact
 
-            pend_i = jnp.where(need_exact, e_i, getreg(R_PEND_I))
-            pend_k = jnp.where(need_exact, e_k, getreg(R_PEND_K))
-            pend_l = jnp.where(need_exact, e_l, getreg(R_PEND_L))
-            pend_a = jnp.where(need_exact, e_a, getreg(R_PEND_A))
-            pend_ldp = jnp.where(need_exact, e_ldp, getreg(R_PEND_LDP))
-            pend_cnt = jnp.where(need_exact, e_meta, getreg(R_PEND_CNT))
+            pend_i = jnp.where(need_exact, e_i, getreg("pend_i"))
+            pend_k = jnp.where(need_exact, e_k, getreg("pend_k"))
+            pend_l = jnp.where(need_exact, e_l, getreg("pend_l"))
+            pend_a = jnp.where(need_exact, e_a, getreg("pend_a"))
+            pend_ldp = jnp.where(need_exact, e_ldp, getreg("pend_ldp"))
+            pend_cnt = jnp.where(need_exact, e_meta, getreg("pend_cnt"))
             pend = in_pend | need_exact
 
             # ---- shared occ lookups (the bwt_2occ4 analog): a lane is
             # either pending or popping, never both ----
-            occ_a = jnp.where(in_pend, getreg(R_PEND_A), e_a)
-            occ_k_in = jnp.where(in_pend, getreg(R_PEND_K), e_k) - 1
-            occ_l_in = jnp.where(in_pend, getreg(R_PEND_L), e_l)
+            occ_a = jnp.where(in_pend, getreg("pend_a"), e_a)
+            occ_k_in = jnp.where(in_pend, getreg("pend_k"), e_k) - 1
+            occ_l_in = jnp.where(in_pend, getreg("pend_l"), e_l)
             oa0 = occ_a == 0
             # a=0 -> reverse bank, a=1 -> forward (bwtgap.c:149)
             prim = jnp.where(oa0, primary_r, primary_f)
@@ -414,8 +414,9 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                             table_ref.at[pl.ds(rl, 1), :],
                             stage.at[pl.ds(i + BB, 1), :], dma_sem).wait()
                     return 0
-                jax.lax.fori_loop(0, BB, issue, 0, unroll=BB)
-                jax.lax.fori_loop(0, BB, drain, 0, unroll=BB)
+                if "fetch" not in lobotomy:
+                    jax.lax.fori_loop(0, BB, issue, 0, unroll=BB)
+                    jax.lax.fori_loop(0, BB, drain, 0, unroll=BB)
 
                 same_b = jnp.broadcast_to(same_row.astype(I32),
                                           (BB, LANES)) != 0
@@ -487,11 +488,15 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             cnt1 = jnp.where(neg2 != 0, 0, ck[:, 1:2] + c1)
             cnt2 = jnp.where(neg2 != 0, 0, ck[:, 2:3] + c2)
             cnt3 = jnp.where(neg2 != 0, 0, ck[:, 3:4] + c3)
+            if "occ" in lobotomy:     # cut the popcount/extract pipeline
+                dummy = jnp.concatenate([occ_k_in, occ_l_in], axis=0) & 0xFF
+                cnt0, cnt1, cnt2, cnt3 = dummy, dummy + 1, dummy + 2, \
+                    dummy + 3
             cnt_k = (cnt0[:BB], cnt1[:BB], cnt2[:BB], cnt3[:BB])
             cnt_l = (cnt0[BB:], cnt1[BB:], cnt2[BB:], cnt3[BB:])
 
             # ---- pending exact-match step (bwt_match_exact_alt) ----
-            p_a0 = getreg(R_PEND_A) == 0
+            p_a0 = getreg("pend_a") == 0
             # select with i1 *operands* is unsupported (Mosaic i8<->i1
             # trunc hole) — select in i32, then compare
             use_f = jnp.where(in_pend, p_a0.astype(I32),
@@ -499,7 +504,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             seq_sel = jnp.where(use_f, seq_f, seq_r)
             # one shared seq lookup: pend uses pend_i-1, expansion uses
             # i2 = e_i-1 (disjoint lanes)
-            look_pos = jnp.where(in_pend, getreg(R_PEND_I) - 1, e_i - 1)
+            look_pos = jnp.where(in_pend, getreg("pend_i") - 1, e_i - 1)
             base_c = _extract(seq_sel, look_pos)
             pc = base_c
             cc = jnp.minimum(pc, 3)
@@ -522,28 +527,28 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             h_nmm = (h_meta >> M_NMM) & 0x1F
             h_go = (h_meta >> M_GO) & 0xF
             h_ge = (h_meta >> M_GE) & 0xF
-            h_a = jnp.where(direct_hit, e_a, getreg(R_PEND_A))
+            h_a = jnp.where(direct_hit, e_a, getreg("pend_a"))
             h_ldp = jnp.where(direct_hit, e_ldp, pend_ldp)
             h_k = jnp.where(direct_hit, e_k, pend_k)
             h_l = jnp.where(direct_hit, e_l, pend_l)
             h_score = aln_score(h_nmm, h_go, h_ge)
 
-            n_aln = getreg(R_NALN)
+            n_aln = getreg("naln")
             first_hit = hit_now & (n_aln == 0)
             new_best_diff = h_nmm + h_go + (h_ge if gape_mode else 0)
             best_score = jnp.where(first_hit, h_score,
-                                   getreg(R_BEST_SCORE))
+                                   getreg("best_score"))
             best_diff = jnp.where(first_hit, new_best_diff,
-                                  getreg(R_BEST_DIFF))
-            max_diff = getreg(R_MAXDIFF)
+                                  getreg("best_diff"))
+            max_diff = getreg("maxdiff")
             if not nonstop:
                 max_diff = jnp.where(
                     first_hit, jnp.minimum(new_best_diff + 1, max_diff),
                     max_diff)
             eq_best = h_score == best_score
             width_cnt = h_l - h_k + 1
-            brk2 = hit_now & ~eq_best & (getreg(R_BEST_CNT) > max_top2)
-            best_cnt = getreg(R_BEST_CNT) + jnp.where(
+            brk2 = hit_now & ~eq_best & (getreg("best_cnt") > max_top2)
+            best_cnt = getreg("best_cnt") + jnp.where(
                 hit_now & eq_best, width_cnt, 0)
             done = done | brk2
             add_lane = hit_now & ~brk2
@@ -575,22 +580,24 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                                    (BB, LANES)) != 0
             wr1 = jnp.broadcast_to((do_add & ~ha0).astype(I32),
                                    (BB, LANES)) != 0
-            pw0w[:] = jnp.where(wr0, wa_new, pw0w[:])
-            pw0b[:] = jnp.where(wr0, bida_new, pw0b[:])
-            pw1w[:] = jnp.where(wr1, wa_new, pw1w[:])
-            pw1b[:] = jnp.where(wr1, bida_new, pw1b[:])
+            if "shadow" not in lobotomy:
+                pw0w[:] = jnp.where(wr0, wa_new, pw0w[:])
+                pw0b[:] = jnp.where(wr0, bida_new, pw0b[:])
+                pw1w[:] = jnp.where(wr1, wa_new, pw1w[:])
+                pw1b[:] = jnp.where(wr1, bida_new, pw1b[:])
 
             # append hit via one-hot write at n_aln
             hof = do_add & (n_aln >= H)
-            overflow = (getreg(R_OVF) != 0) | hof
+            overflow = (getreg("ovf") != 0) | hof
             write_hit = do_add & ~hof
             hmask = write_hit & (lane_h == n_aln)
             hcnt_c = (h_nmm | (h_go << 8) | (h_ge << 16))
             meta_out = hcnt_c | (h_a << 24)
-            hmeta_ref[:] = jnp.where(hmask, meta_out, hmeta_ref[:])
-            hk_ref[:] = jnp.where(hmask, h_k, hk_ref[:])
-            hl_ref[:] = jnp.where(hmask, h_l, hl_ref[:])
-            hscore_ref[:] = jnp.where(hmask, h_score, hscore_ref[:])
+            if "shadow" not in lobotomy:
+                hmeta_ref[:] = jnp.where(hmask, meta_out, hmeta_ref[:])
+                hk_ref[:] = jnp.where(hmask, h_k, hk_ref[:])
+                hl_ref[:] = jnp.where(hmask, h_l, hl_ref[:])
+                hscore_ref[:] = jnp.where(hmask, h_score, hscore_ref[:])
             n_aln = n_aln + write_hit.astype(I32)
 
             # ---- expansion (bwtgap.c:201-259) ----
@@ -609,7 +616,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             allow_m = ~i2_pos | ~((bid_i2m1 == m - 1) & (bid_i2 == m - 1)
                                   & (w_i2m1 == w_i2))
             # seed bounds (bwtgap.c:210-214)
-            hseed = getreg(R_HAS_SEED) != 0
+            hseed = has_seed
             ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
             spw = jnp.where(a0, sww_f_ref[:, :], sww_r_ref[:, :])
             spb = jnp.where(a0, swb_f_ref[:, :], swb_r_ref[:, :])
@@ -683,7 +690,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                     go=e_go, ge=e_ge, state=STATE_M, diff=is_mm))
 
             # push-time pruning (provably inert, see ops/dfs.py)
-            seq_ctr = getreg(R_SEQCTR)
+            seq_ctr = getreg("seqctr")
             bscore_lim = best_score + s_mm
             for cd in cand:
                 cdiffsum = cd["nmm"] + cd["go"] \
@@ -708,66 +715,68 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             overflow = overflow | sovf
             done = done | sovf
 
-            freem = s_key[:] == FREE
-            frank = _prefix_incl(freem.astype(I32), S)
-            for cd in cand:
-                v = cd["valid"] & ~sovf
-                meta_c = (cd["i"] | (e_a << M_A)
-                          | (jnp.where(cd["diff"], cd["i"], 0) << M_LDP)
-                          | (cd["state"] << M_STATE)
-                          | (cd["nmm"] << M_NMM) | (cd["go"] << M_GO)
-                          | (cd["ge"] << M_GE))
-                ckey = (cd["score"] << 16) | (0xFFFF - seq_ctr
-                                              - cd["pref"])
-                mask = v & freem & (frank == cd["pref"] + 1)
-                s_key[:] = jnp.where(mask, ckey, s_key[:])
-                s_meta[:] = jnp.where(mask, meta_c, s_meta[:])
-                s_k[:] = jnp.where(mask, cd["k"], s_k[:])
-                s_l[:] = jnp.where(mask, cd["l"], s_l[:])
+            if "push" not in lobotomy:
+                freem = s_key[:] == FREE
+                frank = _prefix_incl(freem.astype(I32), S)
+                for cd in cand:
+                    v = cd["valid"] & ~sovf
+                    meta_c = (cd["i"] | (e_a << M_A)
+                              | (jnp.where(cd["diff"], cd["i"], 0)
+                                 << M_LDP)
+                              | (cd["state"] << M_STATE)
+                              | (cd["nmm"] << M_NMM) | (cd["go"] << M_GO)
+                              | (cd["ge"] << M_GE))
+                    ckey = (cd["score"] << 16) | (0xFFFF - seq_ctr
+                                                  - cd["pref"])
+                    mask = v & freem & (frank == cd["pref"] + 1)
+                    s_key[:] = jnp.where(mask, ckey, s_key[:])
+                    s_meta[:] = jnp.where(mask, meta_c, s_meta[:])
+                    s_k[:] = jnp.where(mask, cd["k"], s_k[:])
+                    s_l[:] = jnp.where(mask, cd["l"], s_l[:])
             n_pushed = jnp.where(sovf, 0, n_push)
             n_ent = n_ent + n_pushed
             seq_ctr = seq_ctr + n_pushed
 
             it = it + 1
-            fin = jnp.where(active & done, it, getreg(R_FIN))
+            if "nodone" in lobotomy:    # fixed-iteration timing run
+                done = done & ~true_col
+            fin = jnp.where(active & done, it, getreg("fin"))
             cap_hit = it >= max_iters
             overflow = overflow | (~done & cap_hit)
             done = done | cap_hit
 
-            # ---- write back registers ----
-            rr = regs[:]
-            for idx, val in ((R_NENT, n_ent), (R_BEST_SCORE, best_score),
-                             (R_BEST_DIFF, best_diff),
-                             (R_BEST_CNT, best_cnt),
-                             (R_MAXDIFF, max_diff), (R_NALN, n_aln),
-                             (R_DONE, done.astype(I32)),
-                             (R_OVF, overflow.astype(I32)), (R_HW, hw),
-                             (R_PEND, pend.astype(I32)),
-                             (R_PEND_I, pend_i), (R_PEND_K, pend_k),
-                             (R_PEND_L, pend_l), (R_PEND_CNT, pend_cnt),
-                             (R_PEND_A, pend_a), (R_PEND_LDP, pend_ldp),
-                             (R_FIN, fin), (R_SEQCTR, seq_ctr)):
-                rr = jnp.where(lane_p == idx, val, rr)
-            regs[:] = rr
+            # ---- next-iteration register file ----
+            nxt = dict(
+                nent=n_ent, best_score=best_score, best_diff=best_diff,
+                best_cnt=best_cnt, maxdiff=max_diff, naln=n_aln,
+                done=done.astype(I32), ovf=overflow.astype(I32), hw=hw,
+                pend=pend.astype(I32), pend_i=pend_i, pend_k=pend_k,
+                pend_l=pend_l, pend_cnt=pend_cnt, pend_a=pend_a,
+                pend_ldp=pend_ldp, fin=fin, seqctr=seq_ctr,
+                pend_iters=getreg("pend_iters") + in_pend.astype(I32))
             live = (done == 0).astype(I32).sum()
-            return it, live
+            return (it, live) + tuple(nxt[k] for k in c_keys)
 
         def cond(carry):
             return carry[1] > 0
 
         it0 = jnp.int32(0)
         live0 = (done0 == 0).astype(I32).sum()
-        iters, _ = jax.lax.while_loop(cond, body, (it0, live0))
+        final = jax.lax.while_loop(
+            cond, body, (it0, live0) + tuple(c0[k] for k in c_keys))
+        iters = final[0]
+        fr = dict(zip(c_keys, final[2:]))
 
         # fix fin semantics: lanes done at init have fin 0; lanes done at
         # iteration t have fin=t (set in-loop)
         summ = jnp.zeros((BB, 8), I32)
         lane8 = _lane_iota((BB, 8))
-        summ = jnp.where(lane8 == 0, getreg(R_NALN), summ)
-        summ = jnp.where(lane8 == 1, getreg(R_HW), summ)
-        summ = jnp.where(lane8 == 2, getreg(R_OVF), summ)
-        summ = jnp.where(lane8 == 3, getreg(R_FIN), summ)
+        summ = jnp.where(lane8 == 0, fr["naln"], summ)
+        summ = jnp.where(lane8 == 1, fr["hw"], summ)
+        summ = jnp.where(lane8 == 2, fr["ovf"], summ)
+        summ = jnp.where(lane8 == 3, fr["fin"], summ)
         summ = jnp.where(lane8 == 4, iters, summ)
+        summ = jnp.where(lane8 == 5, fr["pend_iters"], summ)
         summ_ref[:] = summ
 
     return kernel
@@ -776,7 +785,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 _STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
             "indel_end_skip", "max_del_occ", "max_entries", "max_top2",
             "max_seed_diff", "seed_len", "mode", "stack_cap", "hits_cap",
-            "max_iters", "BB", "interpret", "mxu", "hbm")
+            "max_iters", "BB", "interpret", "mxu", "hbm", "lobotomy")
 
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
@@ -785,7 +794,8 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
                     max_gapo, indel_end_skip, max_del_occ, max_entries,
                     max_top2, max_seed_diff, seed_len, mode,
                     stack_cap=256, hits_cap=32, max_iters=200000,
-                    BB=256, interpret=False, mxu=False, hbm=False):
+                    BB=256, interpret=False, mxu=False, hbm=False,
+                    lobotomy=()):
     """Run the pallas DFS.  Inputs:
 
     table: int32 [n_rows, 128] block16 table (build_table);
@@ -811,7 +821,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
         indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
         max_entries=max_entries, max_top2=max_top2,
         max_seed_diff=max_seed_diff, seed_len=seed_len, mode=mode,
-        max_iters=max_iters, mxu=mxu, hbm=hbm)
+        max_iters=max_iters, mxu=mxu, hbm=hbm, lobotomy=lobotomy)
 
     grid = (B // BB,)
 
@@ -859,7 +869,6 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
             pltpu.VMEM((BB, S), I32),       # s_meta
             pltpu.VMEM((BB, S), I32),       # s_k
             pltpu.VMEM((BB, S), I32),       # s_l
-            pltpu.VMEM((BB, 128), I32),     # regs
             # stage/rowidx are only used by the scalar-fetch path
             pltpu.VMEM((2 * BB if not mxu else 1, 128), I32),   # stage
             pltpu.VMEM((BB if not mxu else 1, 128), I32),       # rowidx
@@ -882,7 +891,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
     packed = jnp.concatenate([
         hmeta, hk, hl, hscore,
         summ[:, 0:1], summ[:, 1:2], summ[:, 2:3], summ[:, 3:4],
-        summ[:, 4:5],
+        summ[:, 4:5], summ[:, 5:6],
     ], axis=1)
     return packed
 
