@@ -296,6 +296,11 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             e_l = jnp.where(pop_m, s_l[:], 0).sum(axis=1, keepdims=True)
             s_key[:] = jnp.where(pop_m & do_pop, FREE, key)
             n_ent = n_ent - do_pop.astype(I32)
+            if "pop" in lobotomy:      # cut the min/extract pipeline
+                e_meta = n_ent + it
+                e_k = n_ent + 1
+                e_l = n_ent + 3
+                e_score = n_ent & 7
 
             e_i = e_meta & 0x7F
             e_a = (e_meta >> M_A) & 1
@@ -321,7 +326,10 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             proc = do_pop & (m >= 0)
 
             # ---- width lower bound (bwtgap.c:156) ----
-            bid_im1 = _extract(bid_plane, e_i - 1)
+            if "extracts" in lobotomy:   # cut every plane _extract
+                bid_im1 = m & 1
+            else:
+                bid_im1 = _extract(bid_plane, e_i - 1)
             proc = proc & ~((e_i > 0) & (m < bid_im1))
 
             # ---- hit / exact-path / expand split (bwtgap.c:158-164) ----
@@ -605,33 +613,39 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             occ_width = e_l - e_k + 1
 
             # strand planes may have changed via shadow; re-select
-            w_plane = jnp.where(a0, pw0w[:], pw1w[:])
-            b_plane = jnp.where(a0, pw0b[:], pw1b[:])
-            bid_i2m1 = _extract(b_plane, i2 - 1)
-            bid_i2 = _extract(b_plane, i2)
-            w_i2m1 = _extract(w_plane, i2 - 1)
-            w_i2 = _extract(w_plane, i2)
-            i2_pos = i2 > 0
-            allow_diff = ~i2_pos | ~(bid_i2m1 > m - 1)
-            allow_m = ~i2_pos | ~((bid_i2m1 == m - 1) & (bid_i2 == m - 1)
-                                  & (w_i2m1 == w_i2))
-            # seed bounds (bwtgap.c:210-214)
-            hseed = has_seed
-            ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
-            spw = jnp.where(a0, sww_f_ref[:, :], sww_r_ref[:, :])
-            spb = jnp.where(a0, swb_f_ref[:, :], swb_r_ref[:, :])
-            sbid_iim1 = _extract(spb, ii - 1)
-            sbid_ii = _extract(spb, ii)
-            sw_iim1 = _extract(spw, ii - 1)
-            sw_ii = _extract(spw, ii)
-            m_seed = max_seed_diff - (e_nmm + e_go) \
-                - (e_ge if gape_mode else 0)
-            seed_gate = (i2 > 0) & (ii > 0)
-            allow_diff = allow_diff & ~(seed_gate
-                                        & (sbid_iim1 > m_seed - 1))
-            allow_m = allow_m & ~(seed_gate & (sbid_iim1 == m_seed - 1)
-                                  & (sbid_ii == m_seed - 1)
-                                  & (sw_iim1 == sw_ii))
+            if "extracts" in lobotomy:
+                allow_diff = true_col
+                allow_m = true_col
+            else:
+                w_plane = jnp.where(a0, pw0w[:], pw1w[:])
+                b_plane = jnp.where(a0, pw0b[:], pw1b[:])
+                bid_i2m1 = _extract(b_plane, i2 - 1)
+                bid_i2 = _extract(b_plane, i2)
+                w_i2m1 = _extract(w_plane, i2 - 1)
+                w_i2 = _extract(w_plane, i2)
+                i2_pos = i2 > 0
+                allow_diff = ~i2_pos | ~(bid_i2m1 > m - 1)
+                allow_m = ~i2_pos | ~((bid_i2m1 == m - 1)
+                                      & (bid_i2 == m - 1)
+                                      & (w_i2m1 == w_i2))
+                # seed bounds (bwtgap.c:210-214)
+                hseed = has_seed
+                ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
+                spw = jnp.where(a0, sww_f_ref[:, :], sww_r_ref[:, :])
+                spb = jnp.where(a0, swb_f_ref[:, :], swb_r_ref[:, :])
+                sbid_iim1 = _extract(spb, ii - 1)
+                sbid_ii = _extract(spb, ii)
+                sw_iim1 = _extract(spw, ii - 1)
+                sw_ii = _extract(spw, ii)
+                m_seed = max_seed_diff - (e_nmm + e_go) \
+                    - (e_ge if gape_mode else 0)
+                seed_gate = (i2 > 0) & (ii > 0)
+                allow_diff = allow_diff & ~(seed_gate
+                                            & (sbid_iim1 > m_seed - 1))
+                allow_m = allow_m & ~(seed_gate
+                                      & (sbid_iim1 == m_seed - 1)
+                                      & (sbid_ii == m_seed - 1)
+                                      & (sw_iim1 == sw_ii))
 
             # indel gating (bwtgap.c:217-218)
             vsum = e_go + e_ge
@@ -688,6 +702,10 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                     & (mm_all | (exact_only & (jj == 4))),
                     i=i2, k=mk, l=ml, nmm=e_nmm + is_mm.astype(I32),
                     go=e_go, ge=e_ge, state=STATE_M, diff=is_mm))
+            if "cand" in lobotomy:      # cut all candidate arithmetic
+                cand = [dict(valid=expand & (sc < 4), i=i2, k=e_k, l=e_l,
+                             nmm=e_nmm, go=e_go, ge=e_ge, state=STATE_M,
+                             diff=true_col)]
 
             # push-time pruning (provably inert, see ops/dfs.py)
             seq_ctr = getreg("seqctr")
@@ -760,10 +778,21 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
         def cond(carry):
             return carry[1] > 0
 
+        # liveness is only CHECKED every UNROLL iterations: the cond's
+        # vector->scalar->branch round trip stalls the vector pipeline,
+        # and iterating a fully-done block is a no-op (done lanes mutate
+        # nothing), so up to UNROLL-1 wasted tail iterations are cheaper
+        # than a sync per iteration (measured on v5e)
+        UNROLL = 8
+
+        def body_u(carry):
+            return jax.lax.fori_loop(0, UNROLL, lambda _, c: body(c),
+                                     carry)
+
         it0 = jnp.int32(0)
         live0 = (done0 == 0).astype(I32).sum()
         final = jax.lax.while_loop(
-            cond, body, (it0, live0) + tuple(c0[k] for k in c_keys))
+            cond, body_u, (it0, live0) + tuple(c0[k] for k in c_keys))
         iters = final[0]
         fr = dict(zip(c_keys, final[2:]))
 

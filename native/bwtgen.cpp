@@ -92,22 +92,63 @@ struct Emitter {
     uint64_t run[4] = {0, 0, 0, 0};
 
     explicit Emitter(IncBwt* o) : out(o) {}
-    inline void put(int c) {
+
+    inline void ckpt() {
         if ((s & 127) == 0) {
             uint64_t blk = s >> 7;
             for (int d = 0; d < 4; ++d)
                 out->cp[blk * 4 + d] = (uint32_t)run[d];
         }
-        w |= (uint64_t)c << shift;
-        shift += 2;
-        if (shift == 64) {
-            out->packed[s >> 5] = w;
-            w = 0;
-            shift = 0;
-        }
-        ++run[c];
-        ++s;
     }
+
+    // append n (1..32) chars packed low-first in `bits`
+    inline void put_bits(uint64_t bits, int n) {
+        uint64_t msk = n >= 32 ? ~0ull : ((1ull << (2 * n)) - 1ull);
+        bits &= msk;
+        uint64_t lo = bits & LOW, hi = (bits >> 1) & LOW;
+        uint64_t c3 = (uint64_t)__builtin_popcountll(lo & hi);
+        uint64_t c1 = (uint64_t)__builtin_popcountll(lo) - c3;
+        uint64_t c2 = (uint64_t)__builtin_popcountll(hi) - c3;
+        run[0] += (uint64_t)n - c1 - c2 - c3;
+        run[1] += c1;
+        run[2] += c2;
+        run[3] += c3;
+        w |= bits << shift;
+        uint64_t ns = shift + 2 * (uint64_t)n;
+        if (ns >= 64) {
+            out->packed[s >> 5] = w;
+            w = shift ? (bits >> (64 - shift)) : 0;
+        }
+        shift = ns & 63;
+        s += (uint64_t)n;
+    }
+
+    inline void put(int c) {
+        ckpt();
+        put_bits((uint64_t)c, 1);
+    }
+
+    // append cnt chars = src string [s0, s0+cnt): word-level shift-merge
+    // (the per-char loop capped the whole build at ~5 Mchar/s)
+    void copy(const IncBwt& src, uint64_t s0, uint64_t cnt) {
+        while (cnt) {
+            ckpt();
+            uint64_t k = cnt < 128 - (s & 127) ? cnt : 128 - (s & 127);
+            cnt -= k;
+            while (k) {
+                int t = k < 32 ? (int)k : 32;
+                uint64_t bo = s0 << 1;
+                uint64_t wi = bo >> 6;
+                int off = (int)(bo & 63);
+                uint64_t bits = src.packed[wi] >> off;
+                if (off) bits |= src.packed[wi + 1] << (64 - off);
+                put_bits(bits, t);
+                s0 += (uint64_t)t;
+                k -= (uint64_t)t;
+            }
+        }
+    }
+
     void finish() {
         if (shift) out->packed[s >> 5] = w;
         uint64_t blk = (s + 127) >> 7;      // final checkpoint row
@@ -185,13 +226,17 @@ int bwt_inc_u8(const uint8_t* T, int64_t n_in, int64_t block,
         }
 
         // phase 2: sort the block's suffixes.  R orders new-vs-new except
-        // when no old row separates them; then chars, then tails (a tail
-        // reaching m is the old row `prim`).
-        order.resize(blen);
-        for (uint64_t i = 0; i < blen; ++i) order[i] = (uint32_t)i;
+        // when no old row separates them (rare); the bulk sorts as flat
+        // (R, idx) pairs, and only equal-R runs fall to the char/tail
+        // comparator (a tail reaching m compares as the old row `prim`).
         const uint64_t prim_old = cur.prim;
-        std::sort(order.begin(), order.end(),
-                  [&](uint32_t a, uint32_t c2) {
+        struct RI { uint64_t r; uint32_t i; };
+        std::vector<RI> ri(blen);
+        for (uint64_t i = 0; i < blen; ++i)
+            ri[i] = {R[i], (uint32_t)i};
+        std::sort(ri.begin(), ri.end(),
+                  [](const RI& a, const RI& b) { return a.r < b.r; });
+        auto deep_less = [&](uint32_t a, uint32_t c2) {
             uint64_t p = j + a, q = j + c2;
             for (;;) {
                 uint64_t rp = R[p - j], rq = R[q - j];
@@ -201,7 +246,18 @@ int bwt_inc_u8(const uint8_t* T, int64_t n_in, int64_t block,
                 if (p == m) return R[q - j] > prim_old;
                 if (q == m) return R[p - j] <= prim_old;
             }
-        });
+        };
+        order.resize(blen);
+        for (uint64_t i = 0; i < blen;) {
+            uint64_t e = i + 1;
+            while (e < blen && ri[e].r == ri[i].r) ++e;
+            if (e - i > 1)
+                std::sort(ri.begin() + i, ri.begin() + e,
+                          [&](const RI& a, const RI& b) {
+                              return deep_less(a.i, b.i);
+                          });
+            for (; i < e; ++i) order[i] = ri[i].i;
+        }
 
         // phase 3: merge.  new suffix i (sorted) lands at row R_i + i.
         uint64_t new_len = cur.len + blen;
@@ -210,25 +266,36 @@ int bwt_inc_u8(const uint8_t* T, int64_t n_in, int64_t block,
         for (int c = 0; c < 4; ++c) next.cnt[c] = cur.cnt[c];
         for (uint64_t p = j; p < m; ++p) ++next.cnt[T[p]];
         Emitter em(&next);
-        uint64_t ni = 0, io = 0, so = 0;   // new idx, old row, old str idx
         uint64_t rows = new_len + 1;
-        for (uint64_t w = 0; w < rows; ++w) {
-            if (ni < blen && R[order[ni]] + ni == w) {
+        uint64_t io = 0;                   // old rows consumed
+        // old rows [io, io+nrows): chars are the old string shifted
+        // around the old $ hole, which itself emits T[m-1]
+        auto emit_old = [&](uint64_t nrows) {
+            uint64_t end = io + nrows;
+            if (io < prim_old) {
+                uint64_t upto = end < prim_old ? end : prim_old;
+                em.copy(cur, io, upto - io);
+                io = upto;
+            }
+            if (io == prim_old && io < end) {
+                em.put(T[m - 1]);
+                ++io;
+            }
+            if (io < end) {
+                em.copy(cur, io - 1, end - io);
+                io = end;
+            }
+        };
+        for (uint64_t ni = 0; ni <= blen; ++ni) {
+            uint64_t target = ni < blen ? R[order[ni]] + ni : rows;
+            emit_old(target - (io + ni));
+            if (ni < blen) {
                 uint64_t p = j + order[ni];
                 if (p == j) {
-                    next.prim = w;          // the new $ hole
+                    next.prim = io + ni;    // the new $ hole
                 } else {
                     em.put(T[p - 1]);
                 }
-                ++ni;
-            } else {
-                if (io == prim_old) {
-                    em.put(T[m - 1]);       // old hole becomes a real char
-                } else {
-                    em.put(cur.at(so));
-                    ++so;
-                }
-                ++io;
             }
         }
         em.finish();

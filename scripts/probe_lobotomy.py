@@ -63,10 +63,12 @@ tot_it = n_blocks * MAXIT
 
 CUTS = [
     ("full", ("nodone",)),
-    ("-push", ("nodone", "push")),
-    ("-shadow", ("nodone", "push", "shadow")),
-    ("-occ", ("nodone", "push", "shadow", "occ")),
-    ("-fetch", ("nodone", "push", "shadow", "occ", "fetch")),
+    ("-extracts", ("nodone", "extracts")),
+    ("-cand", ("nodone", "cand")),
+    ("-ex-cand", ("nodone", "extracts", "cand")),
+    ("-pop", ("nodone", "pop")),
+    ("-all", ("nodone", "extracts", "cand", "pop", "push", "shadow",
+              "occ", "fetch")),
 ]
 
 for name, cuts in CUTS:
