@@ -238,6 +238,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             pend=zcol, pend_i=zcol, pend_k=zcol, pend_l=zcol,
             pend_cnt=zcol, pend_a=zcol, pend_ldp=zcol, fin=zcol,
             pend_iters=zcol)
+        if "skel2" in lobotomy:        # carry-count floor measurement
+            c0 = dict(done=c0["done"], fin=zcol, nent=c0["nent"])
         c_keys = sorted(c0)
 
         # seed pushes: slots 0 (a=0) and 1 (a=1), score 0; the a=1 key
@@ -271,6 +273,14 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             def getreg(name):
                 return cr[name]
 
+            if "skel" in lobotomy:     # loop-machinery floor measurement
+                it = it + 1
+                done = (getreg("done") != 0) | (it >= max_iters)
+                cr["done"] = done.astype(I32)
+                cr["fin"] = cr["fin"] + cr["nent"]
+                live = (done == 0).astype(I32).sum()
+                return (it, live) + tuple(cr[k] for k in c_keys)
+
             active = getreg("done") == 0
             in_pend = (getreg("pend") != 0) & active
             do_stack = active & ~in_pend
@@ -285,19 +295,32 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             do_pop = do_stack & ~empty & ~over_cap
 
             # ---- pop: min key; min score then max seq (bwtgap.c:66-79) --
-            key = s_key[:]
-            min_key = key.min(axis=1, keepdims=True)
-            pop_m = key == min_key
+            if "popmin" in lobotomy:   # cut min reduce + stack write
+                key = None
+                min_key = n_ent * 7
+                pop_m = None
+            else:
+                key = s_key[:]
+                min_key = key.min(axis=1, keepdims=True)
+                pop_m = key == min_key
             e_score = jax.lax.shift_right_logical(min_key, 16)
 
-            e_meta = jnp.where(pop_m, s_meta[:], 0).sum(axis=1,
-                                                        keepdims=True)
-            e_k = jnp.where(pop_m, s_k[:], 0).sum(axis=1, keepdims=True)
-            e_l = jnp.where(pop_m, s_l[:], 0).sum(axis=1, keepdims=True)
-            s_key[:] = jnp.where(pop_m & do_pop, FREE, key)
+            if "popmin" not in lobotomy:
+                # single load of each stack array: the pop extraction and
+                # the push select-chain share it, and the array is stored
+                # back ONCE at the end of the iteration (separate masked
+                # RMW statements each cost a full [BB,S] load+store)
+                meta_v = s_meta[:]
+                k_v = s_k[:]
+                l_v = s_l[:]
+                e_meta = jnp.where(pop_m, meta_v, 0).sum(axis=1,
+                                                         keepdims=True)
+                e_k = jnp.where(pop_m, k_v, 0).sum(axis=1, keepdims=True)
+                e_l = jnp.where(pop_m, l_v, 0).sum(axis=1, keepdims=True)
+                key_v = jnp.where(pop_m & do_pop, FREE, key)
             n_ent = n_ent - do_pop.astype(I32)
-            if "pop" in lobotomy:      # cut the min/extract pipeline
-                e_meta = n_ent + it
+            if "pop" in lobotomy or "popmin" in lobotomy:
+                e_meta = n_ent + it    # cut the min/extract pipeline
                 e_k = n_ent + 1
                 e_l = n_ent + 3
                 e_score = n_ent & 7
@@ -311,7 +334,11 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             e_ge = (e_meta >> M_GE) & 0xF
 
             a0 = e_a == 0
-            bid_plane = jnp.where(a0, pw0b[:], pw1b[:])
+            # one load per mutable plane per iteration; gap_shadow updates
+            # the register copies and they store back once
+            p0w, p0b = pw0w[:], pw0b[:]
+            p1w, p1b = pw1w[:], pw1b[:]
+            bid_plane = jnp.where(a0, p0b, p1b)
 
             # ---- best-score stop (bwtgap.c:144) ----
             if not nonstop:
@@ -392,8 +419,9 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 # same-row shortcut (bwt.c:118-153) halves the issue
                 # count once intervals narrow.
                 same_row = rl_col == rk_col
-                rowidx[:, 0:1] = rk_col
-                rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
+                if "fetch" not in lobotomy:
+                    rowidx[:, 0:1] = rk_col
+                    rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
 
                 def issue(i, _):
                     rk = rowidx[i, 0]
@@ -434,8 +462,9 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 # k-1 and l usually land in the same block row once the
                 # interval narrows — skip their second copy
                 same_row = rl_col == rk_col
-                rowidx[:, 0:1] = rk_col
-                rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
+                if "fetch" not in lobotomy:
+                    rowidx[:, 0:1] = rk_col
+                    rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
 
                 def load(i, _):
                     rk = rowidx[i, 0]
@@ -528,9 +557,17 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             pend_i = jnp.where(pstep, pend_i - 1, pend_i)
             pend_hit = pstep & (pend_i == 0)
             pend = pend & ~(pend_hit | pfail)
+            if "pend" in lobotomy:     # cut the pend/seq-select pipeline
+                pend_hit = in_pend & (e_k > e_l)
+                pend = in_pend & ~pend_hit
+                pend_k = getreg("pend_k") + 1
+                pend_l = getreg("pend_l") + 2
+                pend_i = getreg("pend_i") - 1
 
             # ---- hit processing (bwtgap.c:166-199) ----
             hit_now = direct_hit | pend_hit
+            if "hit" in lobotomy:      # cut hit/best/shadow arithmetic
+                hit_now = hit_now & ~true_col
             h_meta = jnp.where(direct_hit, e_meta, pend_cnt)
             h_nmm = (h_meta >> M_NMM) & 0x1F
             h_go = (h_meta >> M_GO) & 0xF
@@ -569,8 +606,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 
             # gap_shadow (bwtgap.c:81-91) on the h_a-strand planes
             ha0 = h_a == 0
-            wa = jnp.where(ha0, pw0w[:], pw1w[:])
-            bida = jnp.where(ha0, pw0b[:], pw1b[:])
+            wa = jnp.where(ha0, p0w, p1w)
+            bida = jnp.where(ha0, p0b, p1b)
             x = h_l - h_k + 1
             # i1 [BB,1] & [BB,128] broadcast-AND is unsupported by this
             # Mosaic version (i8<->i1 trunc); broadcast via i32 multiply
@@ -589,10 +626,14 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             wr1 = jnp.broadcast_to((do_add & ~ha0).astype(I32),
                                    (BB, LANES)) != 0
             if "shadow" not in lobotomy:
-                pw0w[:] = jnp.where(wr0, wa_new, pw0w[:])
-                pw0b[:] = jnp.where(wr0, bida_new, pw0b[:])
-                pw1w[:] = jnp.where(wr1, wa_new, pw1w[:])
-                pw1b[:] = jnp.where(wr1, bida_new, pw1b[:])
+                p0w = jnp.where(wr0, wa_new, p0w)
+                p0b = jnp.where(wr0, bida_new, p0b)
+                p1w = jnp.where(wr1, wa_new, p1w)
+                p1b = jnp.where(wr1, bida_new, p1b)
+                pw0w[:] = p0w
+                pw0b[:] = p0b
+                pw1w[:] = p1w
+                pw1b[:] = p1b
 
             # append hit via one-hot write at n_aln
             hof = do_add & (n_aln >= H)
@@ -617,8 +658,9 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 allow_diff = true_col
                 allow_m = true_col
             else:
-                w_plane = jnp.where(a0, pw0w[:], pw1w[:])
-                b_plane = jnp.where(a0, pw0b[:], pw1b[:])
+                # post-shadow register copies of the planes
+                w_plane = jnp.where(a0, p0w, p1w)
+                b_plane = jnp.where(a0, p0b, p1b)
                 bid_i2m1 = _extract(b_plane, i2 - 1)
                 bid_i2 = _extract(b_plane, i2)
                 w_i2m1 = _extract(w_plane, i2 - 1)
@@ -703,9 +745,9 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                     i=i2, k=mk, l=ml, nmm=e_nmm + is_mm.astype(I32),
                     go=e_go, ge=e_ge, state=STATE_M, diff=is_mm))
             if "cand" in lobotomy:      # cut all candidate arithmetic
-                cand = [dict(valid=expand & (sc < 4), i=i2, k=e_k, l=e_l,
-                             nmm=e_nmm, go=e_go, ge=e_ge, state=STATE_M,
-                             diff=true_col)]
+                cand = [dict(valid=expand & ((e_k & 3) > 0), i=i2, k=e_k,
+                             l=e_l, nmm=e_nmm, go=e_go, ge=e_ge,
+                             state=STATE_M, diff=true_col)]
 
             # push-time pruning (provably inert, see ops/dfs.py)
             seq_ctr = getreg("seqctr")
@@ -733,8 +775,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             overflow = overflow | sovf
             done = done | sovf
 
-            if "push" not in lobotomy:
-                freem = s_key[:] == FREE
+            if "push" not in lobotomy and "popmin" not in lobotomy:
+                freem = key_v == FREE
                 frank = _prefix_incl(freem.astype(I32), S)
                 for cd in cand:
                     v = cd["valid"] & ~sovf
@@ -747,10 +789,15 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                     ckey = (cd["score"] << 16) | (0xFFFF - seq_ctr
                                                   - cd["pref"])
                     mask = v & freem & (frank == cd["pref"] + 1)
-                    s_key[:] = jnp.where(mask, ckey, s_key[:])
-                    s_meta[:] = jnp.where(mask, meta_c, s_meta[:])
-                    s_k[:] = jnp.where(mask, cd["k"], s_k[:])
-                    s_l[:] = jnp.where(mask, cd["l"], s_l[:])
+                    key_v = jnp.where(mask, ckey, key_v)
+                    meta_v = jnp.where(mask, meta_c, meta_v)
+                    k_v = jnp.where(mask, cd["k"], k_v)
+                    l_v = jnp.where(mask, cd["l"], l_v)
+            if "popmin" not in lobotomy:
+                s_key[:] = key_v
+                s_meta[:] = meta_v
+                s_k[:] = k_v
+                s_l[:] = l_v
             n_pushed = jnp.where(sovf, 0, n_push)
             n_ent = n_ent + n_pushed
             seq_ctr = seq_ctr + n_pushed
@@ -795,6 +842,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             cond, body_u, (it0, live0) + tuple(c0[k] for k in c_keys))
         iters = final[0]
         fr = dict(zip(c_keys, final[2:]))
+        for k in ("naln", "hw", "ovf", "fin", "pend_iters"):
+            fr.setdefault(k, final[2])     # skel2 floor runs only
 
         # fix fin semantics: lanes done at init have fin 0; lanes done at
         # iteration t have fin=t (set in-loop)

@@ -62,13 +62,15 @@ n_blocks = -(-max(64, -(-len(reads) // 64) * 64) // eng.PALLAS_BB)
 tot_it = n_blocks * MAXIT
 
 CUTS = [
+    ("skel", ("nodone", "skel")),
     ("full", ("nodone",)),
-    ("-extracts", ("nodone", "extracts")),
-    ("-cand", ("nodone", "cand")),
-    ("-ex-cand", ("nodone", "extracts", "cand")),
-    ("-pop", ("nodone", "pop")),
+    ("-popmin", ("nodone", "popmin")),
+    ("-pend", ("nodone", "pend")),
+    ("-hit", ("nodone", "hit")),
     ("-all", ("nodone", "extracts", "cand", "pop", "push", "shadow",
               "occ", "fetch")),
+    ("-ALL+", ("nodone", "extracts", "cand", "popmin", "pop", "push",
+               "shadow", "occ", "fetch", "pend", "hit")),
 ]
 
 for name, cuts in CUTS:
