@@ -24,8 +24,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-WORK = pathlib.Path("/tmp/nabwa_bench")
-GLEN = 2_000_000
+WORK = pathlib.Path("/tmp/nabwa_bench64")
+# chromosome scale (chr20-class): the genome no longer fits VMEM, so the
+# device path exercises the HBM-resident Pallas DFS tier (VERDICT r2 #1)
+# and the index build exercises the blockwise incremental BWT builder
+GLEN = 64_000_000
 # chunk long enough that the host drain window exceeds the device link's
 # fixed latency — below ~16k reads the hybrid split correctly leaves the
 # (30 ms RTT) tunnel idle and the chip contributes nothing

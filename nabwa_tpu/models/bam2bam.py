@@ -695,9 +695,16 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
             if not unique(p, skip_duplicates):
                 p.phase = POSITIONED
 
+    # lease long enough that a legitimately slow chunk is never re-issued
+    # to a second worker (duplicate compute); the reference's resend sweep
+    # uses a 90 s lease (bam2bam.c:8,1577-1601).  Env-tunable so the
+    # worker-kill tests keep a fast redelivery turnaround.
+    import os as _os
+    lease_s = float(_os.environ.get("NABWA_LEASE_S", "90"))
     with timers("pass 1 align"):
         _, sched1 = run_distributed(chunks1, work_align,
                                     n_workers=n_workers,
+                                    lease_timeout=lease_s,
                                     writer=apply_align,
                                     worker_wrapper=worker_wrapper,
                                     coordinator=coordinator, phase=1)
@@ -776,6 +783,7 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     with timers("pass 2 finish"):
         _, sched2 = run_distributed(chunks2, work_finish,
                                     n_workers=n_workers,
+                                    lease_timeout=lease_s,
                                     writer=apply_finish,
                                     worker_wrapper=worker_wrapper,
                                     coordinator=coordinator, phase=2,

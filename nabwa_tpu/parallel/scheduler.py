@@ -68,6 +68,15 @@ class ChunkScheduler:
                 return cid
             return None
 
+    def fail(self, cid):
+        """Report a KNOWN failure: expire the lease now so the chunk
+        re-issues immediately instead of waiting out the timeout (a dead
+        remote worker can't call this — its lease expires on the clock)."""
+        with self.lock:
+            if cid in self.leases and cid not in self.completed:
+                _, cnt = self.leases[cid]
+                self.leases[cid] = (0.0, cnt)
+
     def complete(self, cid, result):
         """Submit a result.  Returns False for duplicates (dropped)."""
         with self.lock:
@@ -148,6 +157,7 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
                     print(f"[scheduler] work_fn failed on chunk {cid} "
                           f"(will re-issue):", file=sys.stderr)
                     traceback.print_exc()
+                sched.fail(cid)
                 continue
             if res is not None:
                 sched.complete(cid, res)

@@ -52,7 +52,10 @@ def spawn_worker(port, idle=30.0):
         stderr=subprocess.DEVNULL)
 
 
-def test_networked_workers_and_kill(tmp_path):
+def test_networked_workers_and_kill(tmp_path, monkeypatch):
+    # short lease: the killed worker's chunks must re-issue within the
+    # test budget (production default is the reference's 90 s)
+    monkeypatch.setenv("NABWA_LEASE_S", "5")
     fa, seqs = genomes.random_genome(40000, seed=401)
     fq1, fq2 = make_pairs(seqs[0], 48, 50, 250, 30, 402, err_rate=0.01)
     (tmp_path / "g.fa").write_bytes(fa)
