@@ -107,6 +107,20 @@ class BamRec:
         block = core + bytes(self.data)
         return struct.pack("<I", len(block)) + block
 
+    # tuple state: the default __slots__ pickle walks a per-slot dict,
+    # which dominated the coordinator's chunk serialization time in
+    # distributed bam2bam (thousands of records per chunk payload)
+    def __getstate__(self):
+        return (self.tid, self.pos, self.bin, self.qual, self.l_qname,
+                self.flag, self.n_cigar, self.l_qseq, self.mtid,
+                self.mpos, self.isize, bytes(self.data))
+
+    def __setstate__(self, st):
+        (self.tid, self.pos, self.bin, self.qual, self.l_qname,
+         self.flag, self.n_cigar, self.l_qseq, self.mtid, self.mpos,
+         self.isize, d) = st
+        self.data = bytearray(d)
+
 
 def _skip_tag(d, p):
     """Advance past one aux tag starting at p (tag layout per SAM spec)."""

@@ -55,6 +55,14 @@ class Pair:
         self.hw = [0, 0]
         self.side = None      # pre-computed .sai alignments (sideload)
 
+    def __getstate__(self):
+        # recno is assigned after construction; tolerate unset slots
+        return tuple(getattr(self, f, None) for f in Pair.__slots__)
+
+    def __setstate__(self, st):
+        for f, v in zip(Pair.__slots__, st):
+            setattr(self, f, v)
+
 
 def bam1_to_read(rec: BamRec, is_comp=True, trim_qual=0):
     """bam1_to_seq (bwaseqio.c:272-307) → io.fastq.Read."""

@@ -59,6 +59,15 @@ class SeqState:
         self.extra_flag = 0
         self.max_entries = 0
 
+    # tuple state: slot-dict pickling dominated distributed bam2bam's
+    # pass-2 chunk serialization at the coordinator
+    def __getstate__(self):
+        return tuple(getattr(self, f) for f in SeqState.__slots__)
+
+    def __setstate__(self, st):
+        for f, v in zip(SeqState.__slots__, st):
+            setattr(self, f, v)
+
 
 def aln2seq_core(alns, s, rng, set_main=True, n_multi=0):
     """bwa_aln2seq_core (bwase.c:19-95): reservoir-sample the primary hit

@@ -118,12 +118,17 @@ class Coordinator:
             self.threads.append(t)
 
     def _serve(self, conn):
+        import os as _os
+        timing = bool(_os.environ.get("NABWA_NET_TIMING"))
+        tget = tsend = taccept = 0.0
+        nget = nres = 0
         try:
             while not self.stopping:
                 msg = recv_msg(conn)
                 if msg is None:
                     return
                 op = msg.get("op")
+                t0 = time.monotonic() if timing else 0.0
                 if op == "hello":
                     print("[config_service] worker hello from %s"
                           % msg.get("host", "?"), file=sys.stderr)
@@ -144,6 +149,9 @@ class Coordinator:
                     send_msg(conn, {"type": "chunk", "phase": phase,
                                     "cid": cid, "ctx": ctx,
                                     "payload": self.chunks[cid]})
+                    if timing:
+                        tsend += time.monotonic() - t0
+                        nget += 1
                 elif op == "result":
                     with self.lock:
                         phase, accept = self.phase, self.accept_result
@@ -152,11 +160,18 @@ class Coordinator:
                     if phase == msg["phase"] and accept is not None:
                         accept(msg["cid"], msg["data"])
                     send_msg(conn, {"ok": True})
+                    if timing:
+                        taccept += time.monotonic() - t0
+                        nres += 1
                 elif op == "bye":
                     return
         except (OSError, EOFError, pickle.UnpicklingError):
             return
         finally:
+            if timing and (nget or nres):
+                print(f"[net.timing] serve: {nget} chunks sent "
+                      f"({tsend:.2f}s), {nres} results accepted "
+                      f"({taccept:.2f}s)", file=sys.stderr)
             try:
                 conn.close()
             except OSError:
