@@ -36,6 +36,26 @@ class Read:
     def len(self):
         return len(self.seq)
 
+    # compact pickle: four small-ndarray pickles per read dominated the
+    # distributed coordinator's pass-2 payload serialization; raw bytes
+    # round-trip ~5x faster at these sizes
+    def __getstate__(self):
+        return (self.name, self.seq.tobytes(), self.rseq.tobytes(),
+                None if self.qual is None else self.qual.tobytes(),
+                self.full_len, self.clip_len,
+                None if self.full_codes is None
+                else self.full_codes.tobytes(), self.bc)
+
+    def __setstate__(self, st):
+        (self.name, seq, rseq, qual, self.full_len, self.clip_len,
+         fc, self.bc) = st
+        self.seq = np.frombuffer(seq, dtype=np.uint8)
+        self.rseq = np.frombuffer(rseq, dtype=np.uint8)
+        self.qual = None if qual is None \
+            else np.frombuffer(qual, dtype=np.uint8)
+        self.full_codes = None if fc is None \
+            else np.frombuffer(fc, dtype=np.uint8)
+
 
 def _open(path):
     with open(path, "rb") as f:

@@ -49,7 +49,9 @@ def setup():
         build_index(str(fa))
     g = b"".join(l for l in fa.read_bytes().split(b"\n")
                  if not l.startswith(b">"))
-    bam_in = WORK / "in.bam"
+    # keyed by N_PAIRS: a cached input from a different C_PAIRS run would
+    # silently inflate every reported rate
+    bam_in = WORK / f"in_{N_PAIRS}.bam"
     if not bam_in.exists():
         f1, f2 = sample_pairs(g, N_PAIRS, seed=301)
         make_input_bam(str(bam_in), f1, f2)
