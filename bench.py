@@ -164,6 +164,10 @@ def main():
         "value": round(ours_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(ours_rps / ref_rps, 3),
+        # the reference binary is timed in the SAME run on the same host
+        # and data, so vs_baseline is a paired ratio (VERDICT r3 #8):
+        # the cross-round reference rate moved 7.8-13.7k on this shared box
+        "ref_reads_per_sec": round(ref_rps, 1),
         **extra,
     }))
 

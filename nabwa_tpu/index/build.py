@@ -20,8 +20,19 @@ BWT_INC_THRESHOLD = 50_000_000
 
 def _build_one(codes, prefix, ext_bwt, ext_sa, sa_intv):
     env = os.environ.get("NABWA_BWT_INC")
-    use_inc = (len(codes) > BWT_INC_THRESHOLD if env is None
-               else env not in ("", "0"))
+    if env is None:
+        use_inc = len(codes) > BWT_INC_THRESHOLD
+    else:
+        v = env.strip().lower()
+        if v in ("1", "true", "yes", "on"):
+            use_inc = True
+        elif v in ("", "0", "false", "no", "off"):
+            use_inc = False
+        else:
+            import sys
+            print(f"[index] NABWA_BWT_INC={env!r} not understood "
+                  f"(use 0/1); using size-based default", file=sys.stderr)
+            use_inc = len(codes) > BWT_INC_THRESHOLD
     inc = None
     if use_inc:
         from . import native as native_mod

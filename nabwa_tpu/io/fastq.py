@@ -47,14 +47,17 @@ class Read:
                 else self.full_codes.tobytes(), self.bc)
 
     def __setstate__(self, st):
+        # bytearray keeps the rebuilt arrays writeable (np.frombuffer over
+        # pickled bytes is read-only — locally built Reads are writeable,
+        # and the asymmetry would surface only on the network path)
         (self.name, seq, rseq, qual, self.full_len, self.clip_len,
          fc, self.bc) = st
-        self.seq = np.frombuffer(seq, dtype=np.uint8)
-        self.rseq = np.frombuffer(rseq, dtype=np.uint8)
+        self.seq = np.frombuffer(bytearray(seq), dtype=np.uint8)
+        self.rseq = np.frombuffer(bytearray(rseq), dtype=np.uint8)
         self.qual = None if qual is None \
-            else np.frombuffer(qual, dtype=np.uint8)
+            else np.frombuffer(bytearray(qual), dtype=np.uint8)
         self.full_codes = None if fc is None \
-            else np.frombuffer(fc, dtype=np.uint8)
+            else np.frombuffer(bytearray(fc), dtype=np.uint8)
 
 
 def _open(path):

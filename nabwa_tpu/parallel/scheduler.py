@@ -30,12 +30,18 @@ from collections import deque
 class ChunkScheduler:
     """Lease-tracked scheduler over a fixed sequence of chunk ids."""
 
-    def __init__(self, n_chunks, lease_timeout=90.0, window=512):
+    def __init__(self, n_chunks, lease_timeout=90.0, window=512,
+                 max_attempts=16):
         """lease_timeout mirrors the worker idle timeout (bam2bam.c:10);
-        window bounds in-flight chunks like the ring size."""
+        window bounds in-flight chunks like the ring size.  max_attempts
+        caps redelivery of a deterministically failing chunk — the pass
+        aborts instead of re-issuing it forever."""
         self.n_chunks = n_chunks
         self.lease_timeout = lease_timeout
         self.window = window
+        self.max_attempts = max_attempts
+        self.poisoned = None         # (chunk id, attempts) once a chunk
+                                     # exhausts max_attempts
         self.lock = threading.Lock()
         self.next_fresh = 0          # next never-issued chunk
         self.next_output = 0         # next chunk the writer needs
@@ -68,14 +74,22 @@ class ChunkScheduler:
                 return cid
             return None
 
-    def fail(self, cid):
-        """Report a KNOWN failure: expire the lease now so the chunk
-        re-issues immediately instead of waiting out the timeout (a dead
-        remote worker can't call this — its lease expires on the clock)."""
+    def fail(self, cid, now=None):
+        """Report a KNOWN failure: shorten the lease so the chunk re-issues
+        soon instead of waiting out the full timeout (a dead remote worker
+        can't call this — its lease expires on the clock).  The re-issue
+        delay grows exponentially with the attempt count so a
+        deterministically failing chunk can't hot-spin the workers, and
+        after max_attempts the pass is poisoned and aborts."""
+        now = time.monotonic() if now is None else now
         with self.lock:
             if cid in self.leases and cid not in self.completed:
                 _, cnt = self.leases[cid]
-                self.leases[cid] = (0.0, cnt)
+                if cnt >= self.max_attempts:
+                    self.poisoned = (cid, cnt)
+                    return
+                delay = min(2.0, 0.05 * (2 ** (cnt - 1)))
+                self.leases[cid] = (now + delay, cnt)
 
     def complete(self, cid, result):
         """Submit a result.  Returns False for duplicates (dropped)."""
@@ -105,7 +119,7 @@ class ChunkScheduler:
 
 def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
                     writer=None, worker_wrapper=None, coordinator=None,
-                    phase=0, ctx=None):
+                    phase=0, ctx=None, max_attempts=16):
     """Drive chunks through worker threads (each typically owning a device
     or remote host) with redelivery; returns ordered results.
 
@@ -118,7 +132,8 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
     and accompany the served chunks.  n_workers=0 with a coordinator
     means all compute is remote.
     """
-    sched = ChunkScheduler(len(chunks), lease_timeout=lease_timeout)
+    sched = ChunkScheduler(len(chunks), lease_timeout=lease_timeout,
+                           max_attempts=max_attempts)
     results = [None] * len(chunks)
     # Writer calls must be serialized AND ordered: release_ready() pops in
     # order under the scheduler lock, but without this lock worker A could
@@ -138,6 +153,8 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
     def worker(wid):
         fn = worker_wrapper(wid, work_fn) if worker_wrapper else work_fn
         while not sched.finished:
+            if sched.poisoned is not None:
+                return
             cid = sched.acquire()
             if cid is None:
                 if sched.finished:
@@ -176,10 +193,16 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
             t.start()
         for t in threads:
             t.join()
-        while coordinator is not None and not sched.finished:
+        while (coordinator is not None and not sched.finished
+               and sched.poisoned is None):
             time.sleep(0.02)
     finally:
         if coordinator is not None:
             coordinator.end_pass()
+    if sched.poisoned is not None:
+        cid, cnt = sched.poisoned
+        raise RuntimeError(
+            f"chunk {cid} failed {cnt} times (max_attempts="
+            f"{sched.max_attempts}); aborting the pass")
     drain_to_writer()
     return results, sched

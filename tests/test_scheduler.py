@@ -78,3 +78,40 @@ def test_windowed_in_order_release():
     assert sched.release_ready() == [(1, "c1"), (2, "c2")]
     # window slides
     assert sched.acquire() == 4
+
+
+def test_poison_chunk_aborts_with_backoff():
+    """A deterministically failing chunk must not hot-spin: fail() re-issues
+    with exponential backoff and the pass aborts after max_attempts instead
+    of retrying forever (ADVICE r3: previously deadline=0.0 → 100% CPU spin)."""
+    import pytest
+
+    attempts = []
+
+    def work(cid, payload):
+        if cid == 3:
+            attempts.append(time.monotonic())
+            raise ValueError("poison")
+        return payload
+
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="chunk 3 failed"):
+        run_distributed(list(range(6)), work, n_workers=2,
+                        lease_timeout=60.0, max_attempts=5)
+    elapsed = time.monotonic() - t0
+    assert len(attempts) == 5
+    # backoff actually spaced the retries out (not a hot spin):
+    # delays 0.05+0.1+0.2+0.4 ≈ 0.75s minimum
+    assert elapsed > 0.5
+
+
+def test_fail_backoff_delays_reissue():
+    sched = ChunkScheduler(2, lease_timeout=60.0)
+    now = 100.0
+    cid = sched.acquire(now=now)
+    assert cid == 0
+    sched.fail(0, now=now)
+    # not yet re-issuable before the backoff delay
+    assert sched.acquire(now=now + 0.01) == 1  # fresh chunk still flows
+    assert sched.acquire(now=now + 0.01) is None
+    assert sched.acquire(now=now + 0.06) == 0
