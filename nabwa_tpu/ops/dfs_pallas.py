@@ -44,6 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import (STATE_M, STATE_I, STATE_D, BWA_MODE_GAPE,
                          BWA_MODE_LOGGAP, BWA_MODE_NONSTOP)
+from .u32 import ult, ule, ugt, uge, ushr
 
 I32 = jnp.int32
 LANES = 128
@@ -257,13 +258,18 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
         s_l[:] = jnp.where((lane_s < 2) & seedable, seq_len, 0)
 
         def occ_prep(k, primary):
-            """Adjusted position + block geometry cols for one occ4."""
+            """Adjusted position + block geometry cols for one occ4.
+
+            Positions are uint32 bit patterns on int32 lanes (ops.u32):
+            unsigned compare vs primary and logical shifts keep the tier
+            correct past 2^31 bp (the reference's bwtint_t uint32 range,
+            bwt.h:41; cap 4 Gbp at bwtindex.c:103-105)."""
             is_neg1 = k == -1
-            kk = jnp.where(k >= primary, k - 1, k)
+            kk = jnp.where(uge(k, primary), k - 1, k)
             kk = jnp.where(is_neg1, 0, kk)
-            blk = kk >> 7
+            blk = ushr(kk, 7)
             sub = blk & 7
-            return (blk >> 3, sub, (kk >> 4) & 7, kk & 15,
+            return (blk >> 3, sub, ushr(kk, 4) & 7, kk & 15,
                     is_neg1.astype(I32))
 
         def body(carry):
@@ -550,7 +556,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             oll = _sel4(*cnt_l, cc)
             nk = l2c + okk + 1
             nl = l2c + oll
-            pfail = in_pend & ((pc > 3) | (nk > nl))
+            pfail = in_pend & ((pc > 3) | ugt(nk, nl))
             pstep = in_pend & ~pfail
             pend_k = jnp.where(pstep, nk, pend_k)
             pend_l = jnp.where(pstep, nl, pend_l)
@@ -614,7 +620,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             shadow_mask = (do_add.astype(I32)
                            * (lane_p < h_ldp).astype(I32)) != 0
             eqm = shadow_mask & (wa == x)
-            gtm = shadow_mask & (wa > x)
+            gtm = shadow_mask & ugt(wa, x)
             jc = _prefix_incl(eqm.astype(I32), LANES)
             wa_new = jnp.where(gtm, wa - x,
                                jnp.where(eqm, seq_len - jc, wa))
@@ -705,7 +711,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             can_ext_i = is_i & (e_ge < max_gape)
             can_ext_d = (is_d & (e_ge < max_gape)
                          & ((e_go + e_ge < max_diff)
-                            | (occ_width < max_del_occ)))
+                            | ult(occ_width, max_del_occ)))
 
             sc = base_c          # seq at i2 (shared lookup above)
 
@@ -725,7 +731,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 dl = l2s[c] + dcnt_l[c]
                 cand.append(dict(
                     valid=expand & ind_ok & (can_open | can_ext_d)
-                    & (dk <= dl),
+                    & ule(dk, dl),
                     i=i2 + 1, k=dk, l=dl, nmm=e_nmm,
                     go=e_go + is_m.astype(I32),
                     ge=e_ge + is_d.astype(I32),
@@ -740,7 +746,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 mk = l2c_j + _sel4(*cnt_k, c) + 1
                 ml = l2c_j + _sel4(*cnt_l, c)
                 cand.append(dict(
-                    valid=expand & (mk <= ml)
+                    valid=expand & ule(mk, ml)
                     & (mm_all | (exact_only & (jj == 4))),
                     i=i2, k=mk, l=ml, nmm=e_nmm + is_mm.astype(I32),
                     go=e_go, ge=e_ge, state=STATE_M, diff=is_mm))
