@@ -340,11 +340,6 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             e_ge = (e_meta >> M_GE) & 0xF
 
             a0 = e_a == 0
-            # one load per mutable plane per iteration; gap_shadow updates
-            # the register copies and they store back once
-            p0w, p0b = pw0w[:], pw0b[:]
-            p1w, p1b = pw1w[:], pw1b[:]
-            bid_plane = jnp.where(a0, p0b, p1b)
 
             # ---- best-score stop (bwtgap.c:144) ----
             if not nonstop:
@@ -358,29 +353,20 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 m = m - e_ge
             proc = do_pop & (m >= 0)
 
-            # ---- width lower bound (bwtgap.c:156) ----
-            if "extracts" in lobotomy:   # cut every plane _extract
-                bid_im1 = m & 1
-            else:
-                bid_im1 = _extract(bid_plane, e_i - 1)
-            proc = proc & ~((e_i > 0) & (m < bid_im1))
-
-            # ---- hit / exact-path / expand split (bwtgap.c:158-164) ----
-            direct_hit = proc & (e_i == 0)
             if not gape_mode:
                 exact_ok = (e_state == STATE_M) | (e_ge == max_gape)
             else:
                 exact_ok = true_col
-            need_exact = proc & ~direct_hit & (m == 0) & exact_ok
-            expand = proc & ~direct_hit & ~need_exact
 
-            pend_i = jnp.where(need_exact, e_i, getreg("pend_i"))
-            pend_k = jnp.where(need_exact, e_k, getreg("pend_k"))
-            pend_l = jnp.where(need_exact, e_l, getreg("pend_l"))
-            pend_a = jnp.where(need_exact, e_a, getreg("pend_a"))
-            pend_ldp = jnp.where(need_exact, e_ldp, getreg("pend_ldp"))
-            pend_cnt = jnp.where(need_exact, e_meta, getreg("pend_cnt"))
-            pend = in_pend | need_exact
+            # pre-extract fetch gate: lanes that certainly don't consume
+            # this iteration's occ skip both DMAs — done/empty lanes,
+            # budget-dead pops, direct hits (e_i == 0), and lanes ENTERING
+            # the pend path (their first exact step is next iteration).
+            # The width-lower-bound check can still kill a fetching lane
+            # later (extract-dependent, so not known at issue time); its
+            # fetch is wasted but harmless.
+            fetch_need = in_pend | (proc & (e_i > 0)
+                                    & ~((m == 0) & exact_ok))
 
             # ---- shared occ lookups (the bwt_2occ4 analog): a lane is
             # either pending or popping, never both ----
@@ -414,26 +400,35 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                         | ((planes[:, 128:256] & 0xFF) << 8)
                         | ((planes[:, 256:384] & 0xFF) << 16)
                         | (planes[:, 384:512] << 24))
-            elif hbm:
+                same_row = None
+            else:
+                # bwt_2occ4's shared-checkpoint shortcut (bwt.c:118-153):
+                # k-1 and l usually land in the same block row once the
+                # interval narrows — skip the second copy.  Lanes outside
+                # fetch_need skip both (their stage rows stay stale and
+                # every downstream use is masked).
+                same_row = rl_col == rk_col
+                if "fetch" not in lobotomy:
+                    rowidx[:, 0:1] = jnp.where(fetch_need, rk_col, -1)
+                    rowidx[:, 1:2] = jnp.where(fetch_need & ~same_row,
+                                               rl_col, -1)
+            if hbm:
                 # HBM-resident table: the two per-lane 512 B block rows
                 # arrive by async DMA instead of VMEM row copies — this
                 # removes the VMEM genome-size gate entirely (the
                 # reference streams the same 48 B blocks from DRAM per
-                # DFS step, bwt_2occ4 bwt.c:179-216).  All 2*BB copies
-                # are issued back-to-back so their latencies overlap;
-                # the wait loop then drains the shared semaphore.  The
-                # same-row shortcut (bwt.c:118-153) halves the issue
-                # count once intervals narrow.
-                same_row = rl_col == rk_col
-                if "fetch" not in lobotomy:
-                    rowidx[:, 0:1] = rk_col
-                    rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
-
+                # DFS step, bwt_2occ4 bwt.c:179-216).  All copies are
+                # issued back-to-back right after the pop; every occ-
+                # independent gate (plane extracts, seq lookup, free-slot
+                # prefix) then runs in the DMA shadow before the drain.
                 def issue(i, _):
                     rk = rowidx[i, 0]
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(rk, 1), :],
-                        stage.at[pl.ds(i, 1), :], dma_sem).start()
+
+                    @pl.when(rk >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(rk, 1), :],
+                            stage.at[pl.ds(i, 1), :], dma_sem).start()
                     rl = rowidx[i, 1]
 
                     @pl.when(rl >= 0)
@@ -442,39 +437,18 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                             table_ref.at[pl.ds(rl, 1), :],
                             stage.at[pl.ds(i + BB, 1), :], dma_sem).start()
                     return 0
-
-                def drain(i, _):
-                    rk = rowidx[i, 0]
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(rk, 1), :],
-                        stage.at[pl.ds(i, 1), :], dma_sem).wait()
-                    rl = rowidx[i, 1]
-
-                    @pl.when(rl >= 0)
-                    def _():
-                        pltpu.make_async_copy(
-                            table_ref.at[pl.ds(rl, 1), :],
-                            stage.at[pl.ds(i + BB, 1), :], dma_sem).wait()
-                    return 0
                 if "fetch" not in lobotomy:
                     jax.lax.fori_loop(0, BB, issue, 0, unroll=BB)
-                    jax.lax.fori_loop(0, BB, drain, 0, unroll=BB)
-
-                same_b = jnp.broadcast_to(same_row.astype(I32),
-                                          (BB, LANES)) != 0
-                stage_l = jnp.where(same_b, stage[0:BB, :], stage[BB:, :])
-            else:
-                # bwt_2occ4's shared-checkpoint shortcut (bwt.c:118-153):
-                # k-1 and l usually land in the same block row once the
-                # interval narrows — skip their second copy
-                same_row = rl_col == rk_col
-                if "fetch" not in lobotomy:
-                    rowidx[:, 0:1] = rk_col
-                    rowidx[:, 1:2] = jnp.where(same_row, -1, rl_col)
-
+            elif not mxu:
+                # VMEM-resident table: synchronous scalar-driven row
+                # copies (no DMA latency to hide, but dead lanes still
+                # skip theirs)
                 def load(i, _):
                     rk = rowidx[i, 0]
-                    stage[pl.ds(i, 1), :] = table_ref[pl.ds(rk, 1), :]
+
+                    @pl.when(rk >= 0)
+                    def _():
+                        stage[pl.ds(i, 1), :] = table_ref[pl.ds(rk, 1), :]
                     rl = rowidx[i, 1]
 
                     @pl.when(rl >= 0)
@@ -484,8 +458,152 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                     return 0
                 # full unroll: the copies are cheap, the per-iteration
                 # scalar loop control is not
-                jax.lax.fori_loop(0, BB, load, 0, unroll=BB)
+                if "fetch" not in lobotomy:
+                    jax.lax.fori_loop(0, BB, load, 0, unroll=BB)
 
+            # ================= DMA-shadow window =================
+            # Everything here is occ-independent vector work that runs
+            # while the HBM fetches are in flight.
+
+            # one load per mutable plane per iteration; gap_shadow updates
+            # the register copies and they store back once
+            p0w, p0b = pw0w[:], pw0b[:]
+            p1w, p1b = pw1w[:], pw1b[:]
+            bid_plane = jnp.where(a0, p0b, p1b)
+
+            # ---- width lower bound (bwtgap.c:156) ----
+            if "extracts" in lobotomy:   # cut every plane _extract
+                bid_im1 = m & 1
+            else:
+                bid_im1 = _extract(bid_plane, e_i - 1)
+            proc = proc & ~((e_i > 0) & (m < bid_im1))
+
+            # ---- hit / exact-path / expand split (bwtgap.c:158-164) ----
+            direct_hit = proc & (e_i == 0)
+            need_exact = proc & ~direct_hit & (m == 0) & exact_ok
+            expand = proc & ~direct_hit & ~need_exact
+
+            pend_i = jnp.where(need_exact, e_i, getreg("pend_i"))
+            pend_k = jnp.where(need_exact, e_k, getreg("pend_k"))
+            pend_l = jnp.where(need_exact, e_l, getreg("pend_l"))
+            pend_a = jnp.where(need_exact, e_a, getreg("pend_a"))
+            pend_ldp = jnp.where(need_exact, e_ldp, getreg("pend_ldp"))
+            pend_cnt = jnp.where(need_exact, e_meta, getreg("pend_cnt"))
+            pend = in_pend | need_exact
+
+            # ---- expansion gates, hoisted pre-occ (bwtgap.c:201-218).
+            # Pre-shadow plane reads are exact here: a lane never hits and
+            # expands in the same iteration (i==0 → hit, pend lanes never
+            # expand), and gap_shadow only writes the hitting lane's own
+            # plane row, so an expanding lane's row is untouched.
+            i2 = e_i - 1
+            occ_width = e_l - e_k + 1
+            if "extracts" in lobotomy:
+                allow_diff = true_col
+                allow_m = true_col
+            else:
+                w_plane = jnp.where(a0, p0w, p1w)
+                b_plane = jnp.where(a0, p0b, p1b)
+                bid_i2m1 = _extract(b_plane, i2 - 1)
+                bid_i2 = _extract(b_plane, i2)
+                w_i2m1 = _extract(w_plane, i2 - 1)
+                w_i2 = _extract(w_plane, i2)
+                i2_pos = i2 > 0
+                allow_diff = ~i2_pos | ~(bid_i2m1 > m - 1)
+                allow_m = ~i2_pos | ~((bid_i2m1 == m - 1)
+                                      & (bid_i2 == m - 1)
+                                      & (w_i2m1 == w_i2))
+                # seed bounds (bwtgap.c:210-214)
+                hseed = has_seed
+                ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
+                spw = jnp.where(a0, sww_f_ref[:, :], sww_r_ref[:, :])
+                spb = jnp.where(a0, swb_f_ref[:, :], swb_r_ref[:, :])
+                sbid_iim1 = _extract(spb, ii - 1)
+                sbid_ii = _extract(spb, ii)
+                sw_iim1 = _extract(spw, ii - 1)
+                sw_ii = _extract(spw, ii)
+                m_seed = max_seed_diff - (e_nmm + e_go) \
+                    - (e_ge if gape_mode else 0)
+                seed_gate = (i2 > 0) & (ii > 0)
+                allow_diff = allow_diff & ~(seed_gate
+                                            & (sbid_iim1 > m_seed - 1))
+                allow_m = allow_m & ~(seed_gate
+                                      & (sbid_iim1 == m_seed - 1)
+                                      & (sbid_ii == m_seed - 1)
+                                      & (sw_iim1 == sw_ii))
+
+            # indel gating (bwtgap.c:217-218)
+            vsum = e_go + e_ge
+            if loggap:
+                tmp = _int_log2(vsum) // 2 + 1
+            else:
+                tmp = vsum
+            ind_ok = (allow_diff & (i2 >= indel_end_skip + tmp)
+                      & (lengths - i2 >= indel_end_skip + tmp))
+
+            is_m = e_state == STATE_M
+            is_i = e_state == STATE_I
+            is_d = e_state == STATE_D
+            can_open = is_m & (e_go < max_gapo)
+            can_ext_i = is_i & (e_ge < max_gape)
+            # maxdiff: an expanding lane never hit this iteration, so its
+            # register value equals the post-hit local the original code
+            # read here
+            can_ext_d = (is_d & (e_ge < max_gape)
+                         & ((e_go + e_ge < getreg("maxdiff"))
+                            | ult(occ_width, max_del_occ)))
+
+            # ---- shared seq lookup (pend uses pend_i-1, expansion uses
+            # i2 = e_i-1; disjoint lanes) ----
+            p_a0 = getreg("pend_a") == 0
+            # select with i1 *operands* is unsupported (Mosaic i8<->i1
+            # trunc hole) — select in i32, then compare
+            use_f = jnp.where(in_pend, p_a0.astype(I32),
+                              a0.astype(I32)) != 0
+            seq_sel = jnp.where(use_f, seq_f, seq_r)
+            look_pos = jnp.where(in_pend, getreg("pend_i") - 1, e_i - 1)
+            base_c = _extract(seq_sel, look_pos)
+            sc = base_c          # seq at i2 for expansion
+            pc = base_c
+            cc = jnp.minimum(pc, 3)
+            l2c = _sel4(l2_0, l2_1, l2_2, l2_3, cc)
+
+            # free-slot rank for the push (needs only the post-pop keys)
+            if "push" not in lobotomy and "popmin" not in lobotomy:
+                freem = key_v == FREE
+                frank = _prefix_incl(freem.astype(I32), S)
+
+            # hit meta selects that don't need the stepped pend_k/pend_l
+            h_meta = jnp.where(direct_hit, e_meta, pend_cnt)
+            h_nmm = (h_meta >> M_NMM) & 0x1F
+            h_go = (h_meta >> M_GO) & 0xF
+            h_ge = (h_meta >> M_GE) & 0xF
+            h_a = jnp.where(direct_hit, e_a, getreg("pend_a"))
+            h_ldp = jnp.where(direct_hit, e_ldp, pend_ldp)
+            h_score = aln_score(h_nmm, h_go, h_ge)
+            # ================ end DMA-shadow window ================
+
+            if hbm:
+                def drain(i, _):
+                    rk = rowidx[i, 0]
+
+                    @pl.when(rk >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(rk, 1), :],
+                            stage.at[pl.ds(i, 1), :], dma_sem).wait()
+                    rl = rowidx[i, 1]
+
+                    @pl.when(rl >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(rl, 1), :],
+                            stage.at[pl.ds(i + BB, 1), :], dma_sem).wait()
+                    return 0
+                if "fetch" not in lobotomy:
+                    jax.lax.fori_loop(0, BB, drain, 0, unroll=BB)
+
+            if not mxu:
                 # same-row lanes read the k bank for l too (their slot in
                 # the second bank is stale)
                 same_b = jnp.broadcast_to(same_row.astype(I32),
@@ -538,20 +656,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             cnt_k = (cnt0[:BB], cnt1[:BB], cnt2[:BB], cnt3[:BB])
             cnt_l = (cnt0[BB:], cnt1[BB:], cnt2[BB:], cnt3[BB:])
 
-            # ---- pending exact-match step (bwt_match_exact_alt) ----
-            p_a0 = getreg("pend_a") == 0
-            # select with i1 *operands* is unsupported (Mosaic i8<->i1
-            # trunc hole) — select in i32, then compare
-            use_f = jnp.where(in_pend, p_a0.astype(I32),
-                              a0.astype(I32)) != 0
-            seq_sel = jnp.where(use_f, seq_f, seq_r)
-            # one shared seq lookup: pend uses pend_i-1, expansion uses
-            # i2 = e_i-1 (disjoint lanes)
-            look_pos = jnp.where(in_pend, getreg("pend_i") - 1, e_i - 1)
-            base_c = _extract(seq_sel, look_pos)
-            pc = base_c
-            cc = jnp.minimum(pc, 3)
-            l2c = _sel4(l2_0, l2_1, l2_2, l2_3, cc)
+            # ---- pending exact-match step (bwt_match_exact_alt);
+            # base_c/cc/l2c were computed in the DMA shadow ----
             okk = _sel4(*cnt_k, cc)
             oll = _sel4(*cnt_l, cc)
             nk = l2c + okk + 1
@@ -570,19 +676,13 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 pend_l = getreg("pend_l") + 2
                 pend_i = getreg("pend_i") - 1
 
-            # ---- hit processing (bwtgap.c:166-199) ----
+            # ---- hit processing (bwtgap.c:166-199); the h_* meta selects
+            # live in the DMA shadow, only h_k/h_l need the stepped pend --
             hit_now = direct_hit | pend_hit
             if "hit" in lobotomy:      # cut hit/best/shadow arithmetic
                 hit_now = hit_now & ~true_col
-            h_meta = jnp.where(direct_hit, e_meta, pend_cnt)
-            h_nmm = (h_meta >> M_NMM) & 0x1F
-            h_go = (h_meta >> M_GO) & 0xF
-            h_ge = (h_meta >> M_GE) & 0xF
-            h_a = jnp.where(direct_hit, e_a, getreg("pend_a"))
-            h_ldp = jnp.where(direct_hit, e_ldp, pend_ldp)
             h_k = jnp.where(direct_hit, e_k, pend_k)
             h_l = jnp.where(direct_hit, e_l, pend_l)
-            h_score = aln_score(h_nmm, h_go, h_ge)
 
             n_aln = getreg("naln")
             first_hit = hit_now & (n_aln == 0)
@@ -655,66 +755,10 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 hscore_ref[:] = jnp.where(hmask, h_score, hscore_ref[:])
             n_aln = n_aln + write_hit.astype(I32)
 
-            # ---- expansion (bwtgap.c:201-259) ----
-            i2 = e_i - 1
-            occ_width = e_l - e_k + 1
-
-            # strand planes may have changed via shadow; re-select
-            if "extracts" in lobotomy:
-                allow_diff = true_col
-                allow_m = true_col
-            else:
-                # post-shadow register copies of the planes
-                w_plane = jnp.where(a0, p0w, p1w)
-                b_plane = jnp.where(a0, p0b, p1b)
-                bid_i2m1 = _extract(b_plane, i2 - 1)
-                bid_i2 = _extract(b_plane, i2)
-                w_i2m1 = _extract(w_plane, i2 - 1)
-                w_i2 = _extract(w_plane, i2)
-                i2_pos = i2 > 0
-                allow_diff = ~i2_pos | ~(bid_i2m1 > m - 1)
-                allow_m = ~i2_pos | ~((bid_i2m1 == m - 1)
-                                      & (bid_i2 == m - 1)
-                                      & (w_i2m1 == w_i2))
-                # seed bounds (bwtgap.c:210-214)
-                hseed = has_seed
-                ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
-                spw = jnp.where(a0, sww_f_ref[:, :], sww_r_ref[:, :])
-                spb = jnp.where(a0, swb_f_ref[:, :], swb_r_ref[:, :])
-                sbid_iim1 = _extract(spb, ii - 1)
-                sbid_ii = _extract(spb, ii)
-                sw_iim1 = _extract(spw, ii - 1)
-                sw_ii = _extract(spw, ii)
-                m_seed = max_seed_diff - (e_nmm + e_go) \
-                    - (e_ge if gape_mode else 0)
-                seed_gate = (i2 > 0) & (ii > 0)
-                allow_diff = allow_diff & ~(seed_gate
-                                            & (sbid_iim1 > m_seed - 1))
-                allow_m = allow_m & ~(seed_gate
-                                      & (sbid_iim1 == m_seed - 1)
-                                      & (sbid_ii == m_seed - 1)
-                                      & (sw_iim1 == sw_ii))
-
-            # indel gating (bwtgap.c:217-218)
-            vsum = e_go + e_ge
-            if loggap:
-                tmp = _int_log2(vsum) // 2 + 1
-            else:
-                tmp = vsum
-            ind_ok = (allow_diff & (i2 >= indel_end_skip + tmp)
-                      & (lengths - i2 >= indel_end_skip + tmp))
-
-            is_m = e_state == STATE_M
-            is_i = e_state == STATE_I
-            is_d = e_state == STATE_D
-            can_open = is_m & (e_go < max_gapo)
-            can_ext_i = is_i & (e_ge < max_gape)
-            can_ext_d = (is_d & (e_ge < max_gape)
-                         & ((e_go + e_ge < max_diff)
-                            | ult(occ_width, max_del_occ)))
-
-            sc = base_c          # seq at i2 (shared lookup above)
-
+            # ---- expansion (bwtgap.c:201-259): every gate (allow_diff,
+            # allow_m, ind_ok, can_*) was computed in the DMA shadow from
+            # the pre-shadow planes, which is exact for expanding lanes
+            # (see the shadow-window comment) ----
             cand = []
             # slot 0: insertion open (M) or extension (I)
             cand.append(dict(
@@ -782,8 +826,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             done = done | sovf
 
             if "push" not in lobotomy and "popmin" not in lobotomy:
-                freem = key_v == FREE
-                frank = _prefix_incl(freem.astype(I32), S)
+                # freem/frank were computed in the DMA shadow
                 for cd in cand:
                     v = cd["valid"] & ~sovf
                     meta_c = (cd["i"] | (e_a << M_A)
