@@ -106,6 +106,16 @@ def _load():
             ctypes.c_int64, _u32, _i32, _i64, _u64, ctypes.c_int,
             ctypes.c_int, _u64, _i32, _i32, _i32, _i32]
         lib.se_select_batch.restype = ctypes.c_int
+        lib.se_multi_batch.argtypes = [
+            ctypes.c_int64, _u32, _i32, _i64, _i32, ctypes.c_int64,
+            _u64, _i32, _i32, _i32, _i32]
+        lib.se_multi_batch.restype = ctypes.c_int
+        lib.pe_pairing_batch.argtypes = [
+            ctypes.c_int64, _u64, _i64, _u32, _i64, _i64,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double]
+        lib.pe_pairing_batch.restype = ctypes.c_int64
         lib.md_batch.argtypes = [
             ctypes.c_int64, _i64, _u8, _i64, _i32, _i64, _u8,
             ctypes.c_int64, ctypes.c_int64, _i64, _i32, _u8,

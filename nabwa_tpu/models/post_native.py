@@ -266,6 +266,448 @@ def emit_states(bns, states, mate_idx, mode, max_top2, rg_id=None):
     return out[:total].tobytes()
 
 
+def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
+                last_ii=None, pos_memo=None, ntpac=None):
+    """Columnar native sampe for one chunk (bwa_sai2sam_pe_core,
+    bwape.c:660-762): SE selection + pairing + multi enumeration run in
+    native batch kernels over a [2n, NF] interleaved state matrix; mate
+    rescue stays on the existing device-batched SW generators via thin
+    per-candidate proxies.  Returns (sam_bytes, ii) or None to fall back
+    to the per-object pipeline (models.sampe.sampe).
+
+    Byte-identical with the object pipeline: the drand48 stream, pairing
+    sweep, rescue decisions and emit text all follow the same call order.
+    """
+    lib = native_mod._load()
+    if lib is None or ntpac is not None or not reads[0]:
+        return None
+    from ..constants import (BWA_PET_STD, BWA_PET_SOLID, SAM_FPD, SAM_FR1,
+                             SAM_FR2, SAM_FPP, BWA_TYPE_MATESW)
+    from . import sampe as pe
+    if popt.type not in (BWA_PET_STD, BWA_PET_SOLID):
+        return None
+    bns = engine.index.bns
+    pac = engine.index.pac
+    if pos_memo is None:
+        pos_memo = {}
+
+    n = len(reads[0])
+    assert len(reads[1]) == n
+    n2 = 2 * n
+    # interleaved rows: 2i = end 0, 2i+1 = end 1 (the emit order)
+    reads_flat = [reads[j][i] for i in range(n) for j in (0, 1)]
+    alns_flat = [per_read_alns[j][i] for i in range(n) for j in (0, 1)]
+
+    state = np.zeros((n2, NF), dtype=np.int64)
+    lens = np.array([r.len for r in reads_flat], dtype=np.int64)
+    state[:, F_LEN] = lens
+    state[:, F_FULL_LEN] = [r.full_len for r in reads_flat]
+    state[:, F_CLIP_LEN] = [r.clip_len for r in reads_flat]
+    xflag = np.full(n2, SAM_FPD | SAM_FR2, dtype=np.int64)
+    xflag[0::2] = SAM_FPD | SAM_FR1
+    state[:, F_XFLAG] = xflag
+
+    # --- SE phase (bwape.c:316-338): exact drand48 stream, j inner ---
+    recs, counts = _pack_recs(alns_flat)
+    hit_off = np.zeros(n2 + 1, dtype=np.int64)
+    np.cumsum(counts, out=hit_off[1:])
+    dummy_u64 = np.zeros(n2, dtype=np.uint64)
+    dummy_i32 = np.zeros(n2, dtype=np.int32)
+    multi_n0 = np.zeros(n2, dtype=np.int32)
+    rngst = np.array([rng.x], dtype=np.uint64)
+    lib.se_select_batch(n2, recs, counts, state.reshape(-1), rngst, 1,
+                        0, dummy_u64, dummy_i32, dummy_i32, dummy_i32,
+                        multi_n0)
+    rng.x = int(rngst[0])
+
+    # --- positions + mapQ (bwape.c:330-338) ---
+    matched = state[:, F_TYPE] != BWA_TYPE_NO_MATCH
+    strand = state[:, F_STRAND] != 0
+    rev_len = engine.index.rev.seq_len
+    for a in (1, 0):
+        sel = matched & (strand if a else ~strand)
+        if not sel.any():
+            continue
+        vals = engine.sa_rows(a, state[sel, F_SA].astype(np.uint32)) \
+            .astype(np.int64)
+        if a:
+            state[sel, F_POS] = vals
+        else:
+            state[sel, F_POS] = (rev_len - (vals + lens[sel])) & _NEG1
+    md_arr = _maxdiff_for(lens, gopt.fnr, gopt.max_diff)
+    c1 = state[:, F_C1]
+    c2 = state[:, F_C2]
+    g = se.G_LOG_N[np.minimum(c2, 255)]
+    mq = np.where(c1 == 0, 23,
+                  np.where(c1 > 1, 0,
+                           np.where(state[:, F_NMM] == md_arr, 25,
+                                    np.where(c2 == 0, 37,
+                                             np.where(23 < g, 0, 23 - g)))))
+    state[matched, F_MAPQ] = mq[matched]
+    state[matched, F_SEQ_Q] = mq[matched]
+
+    # --- infer isize (bwape.c:341-346) ---
+    p0 = state[0::2]
+    p1 = state[1::2]
+    good = (p0[:, F_MAPQ] >= 20) & (p1[:, F_MAPQ] >= 20)
+    x_lo = p1[:, F_POS] + p1[:, F_LEN] - p0[:, F_POS]
+    x_hi = p0[:, F_POS] + p0[:, F_LEN] - p1[:, F_POS]
+    x = np.where(p0[:, F_POS] < p1[:, F_POS], x_lo, x_hi)
+    isizes = x[good & (x < 100000)]
+    max_len = int(lens.max(initial=1))
+    ii, _ret = pe.infer_isize_core(isizes, max_len, popt.ap_prior,
+                                   engine.index.fwd.seq_len)
+    if ii.avg < 0.0 and last_ii is not None and last_ii.avg > 0.0:
+        ii = last_ii
+    if popt.force_isize:
+        ii.low = ii.high = 0
+        ii.avg = ii.std = -1.0
+
+    # --- pairing (bwape.c:349-398): vectorized interval expansion with
+    # the wide-interval memo, then the native per-pair sweep ---
+    hk = recs[1::4].astype(np.int64)
+    hl = recs[2::4].astype(np.int64)
+    hw = hl - hk + 1
+    hit_row = np.repeat(np.arange(n2, dtype=np.int64), counts)
+    cs_w = np.zeros(len(hw) + 1, dtype=np.int64)
+    np.cumsum(hw, out=cs_w[1:])
+    n_occ_read = cs_w[hit_off[1:]] - cs_w[hit_off[:-1]]
+    pair_ok = (matched[0::2] & matched[1::2]
+               & (n_occ_read[0::2] <= popt.max_occ)
+               & (n_occ_read[1::2] <= popt.max_occ))
+    hsel = pair_ok[hit_row >> 1]
+    sk = hk[hsel]
+    sw = hw[hsel]
+    srow = hit_row[hsel]
+    sstrand = ((recs[0::4][hsel].astype(np.int64) >> 24) & 1)
+    ski = (np.arange(len(hk), dtype=np.int64)
+           - hit_off[:-1][hit_row])[hsel]
+    stag = (ski << 1) | (srow & 1)
+    slen = lens[srow]
+    spair = srow >> 1
+    wide = sw >= pe.MIN_HASH_WIDTH
+
+    # expansion jobs: direct hits in order + first-seen wide intervals
+    d_k, d_w, d_strand, d_len = sk[~wide], sw[~wide], sstrand[~wide], \
+        slen[~wide]
+    wide_jobs = []          # (key, k, w, strand, len) first-seen wides
+    wide_hits = []          # (pair, tag, key) every selected wide hit
+    if wide.any():
+        for kk, ww, st_, ln_, pr, tg in zip(
+                sk[wide].tolist(), sw[wide].tolist(),
+                sstrand[wide].tolist(), slen[wide].tolist(),
+                spair[wide].tolist(), stag[wide].tolist()):
+            key = (kk, kk + ww - 1)
+            if key not in pos_memo:
+                pos_memo[key] = ("pending", len(wide_jobs))
+                wide_jobs.append((key, kk, ww, st_, ln_))
+            wide_hits.append((pr, tg, key))
+    j_k = np.concatenate([d_k, np.array([t[1] for t in wide_jobs],
+                                        dtype=np.int64)])
+    j_w = np.concatenate([d_w, np.array([t[2] for t in wide_jobs],
+                                        dtype=np.int64)])
+    j_strand = np.concatenate([d_strand,
+                               np.array([t[3] for t in wide_jobs],
+                                        dtype=np.int64)])
+    j_len = np.concatenate([d_len, np.array([t[4] for t in wide_jobs],
+                                            dtype=np.int64)])
+    cw = np.zeros(len(j_w) + 1, dtype=np.int64)
+    np.cumsum(j_w, out=cw[1:])
+    tot = int(cw[-1])
+    expanded = np.zeros(tot, dtype=np.uint64)
+    if tot:
+        rows_sa = (np.repeat(j_k, j_w)
+                   + (np.arange(tot, dtype=np.int64)
+                      - np.repeat(cw[:-1], j_w)))
+        jstr = np.repeat(j_strand, j_w) != 0
+        jlen = np.repeat(j_len, j_w)
+        for a in (1, 0):
+            jsel = jstr if a else ~jstr
+            if not jsel.any():
+                continue
+            vals = engine.sa_rows(a, rows_sa[jsel].astype(np.uint32)) \
+                .astype(np.int64)
+            if a:
+                expanded[jsel] = vals.astype(np.uint64)
+            else:
+                expanded[jsel] = ((rev_len - (vals + jlen[jsel]))
+                                  & _NEG1).astype(np.uint64)
+    n_dir = len(d_k)
+    dir_base = int(cw[n_dir])      # direct expansions occupy [0, dir_base)
+    for wj, (key, kk, ww, _s, _l) in enumerate(wide_jobs):
+        o = int(cw[n_dir + wj])
+        pos_memo[key] = expanded[o:o + ww].copy()
+
+    # per-pair key assembly: direct block then wide block
+    dir_cnt = np.bincount(spair[~wide], weights=sw[~wide],
+                          minlength=n).astype(np.int64) if n_dir else \
+        np.zeros(n, dtype=np.int64)
+    wide_cnt = np.zeros(n, dtype=np.int64)
+    for pr, tg, key in wide_hits:
+        wide_cnt[pr] += len(pos_memo[key])
+    key_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dir_cnt + wide_cnt, out=key_off[1:])
+    flat_keys = np.zeros(int(key_off[-1]), dtype=np.uint64)
+    if n_dir:
+        elem_pair = np.repeat(spair[~wide], d_w)
+        dstart = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dir_cnt, out=dstart[1:])
+        slots = key_off[:-1][elem_pair] + (
+            np.arange(dir_base, dtype=np.int64) - dstart[:-1][elem_pair])
+        flat_keys[slots] = ((expanded[:dir_base] << np.uint64(32))
+                            | np.repeat(stag[~wide], d_w)
+                            .astype(np.uint64))
+    if wide_hits:
+        cursor = (key_off[:-1] + dir_cnt).copy()
+        for pr, tg, key in wide_hits:
+            posv = pos_memo[key]
+            m = len(posv)
+            flat_keys[cursor[pr]:cursor[pr] + m] = \
+                (posv.astype(np.uint64) << np.uint64(32)) | np.uint64(tg)
+            cursor[pr] += m
+    pet = 0 if popt.type == BWA_PET_STD else 1
+    lib.pe_pairing_batch(
+        n, flat_keys, key_off, recs, 4 * hit_off, state.reshape(-1),
+        pet, popt.max_isize, gopt.s_mm, ii.high, ii.high_bayesian,
+        float(ii.avg), float(ii.std))
+
+    # --- multi hits (bwape.c:400-413) ---
+    stride = 1
+    multi_pos = np.zeros(n2, dtype=np.uint64)
+    multi_gap = np.zeros(n2, dtype=np.int32)
+    multi_mm = np.zeros(n2, dtype=np.int32)
+    multi_strand = np.zeros(n2, dtype=np.int32)
+    multi_n = np.zeros(n2, dtype=np.int32)
+    if popt.N_multi or popt.n_multi:
+        typ = state[:, F_TYPE]
+        mate_typ = typ.reshape(n, 2)[:, ::-1].reshape(-1)
+        fpp = (state[:, F_XFLAG] & SAM_FPP) != 0
+        cond = (~fpp) & (mate_typ != BWA_TYPE_NO_MATCH)
+        nm = np.where(cond,
+                      np.where(state[:, F_C1] + state[:, F_C2] - 1
+                               > popt.N_multi, popt.n_multi, popt.N_multi),
+                      popt.n_multi)
+        nm = np.where(typ != BWA_TYPE_NO_MATCH, nm, 0).astype(np.int32)
+        stride = int(max(popt.n_multi, popt.N_multi)) + 1
+        multi_pos = np.zeros(n2 * stride, dtype=np.uint64)
+        multi_gap = np.zeros(n2 * stride, dtype=np.int32)
+        multi_mm = np.zeros(n2 * stride, dtype=np.int32)
+        multi_strand = np.zeros(n2 * stride, dtype=np.int32)
+        lib.se_multi_batch(n2, recs, counts, state.reshape(-1), nm,
+                           stride, multi_pos, multi_gap, multi_mm,
+                           multi_strand, multi_n)
+
+    # multi SA rows -> positions (bwape.c:407-410)
+    mrows = np.nonzero(multi_n)[0]
+    mslot, mlen = [], []
+    for i in mrows.tolist():
+        for m in range(multi_n[i]):
+            mslot.append(i * stride + m)
+            mlen.append(lens[i])
+    mslot = np.array(mslot, dtype=np.int64)
+    mlen = np.array(mlen, dtype=np.int64)
+    if len(mslot):
+        m_strand = multi_strand[mslot] != 0
+        for a in (1, 0):
+            msel = m_strand if a else ~m_strand
+            if not msel.any():
+                continue
+            vals = engine.sa_rows(
+                a, multi_pos[mslot[msel]].astype(np.uint32)) \
+                .astype(np.int64)
+            if a:
+                multi_pos[mslot[msel]] = vals.astype(np.uint64)
+            else:
+                multi_pos[mslot[msel]] = \
+                    ((rev_len - (vals + mlen[msel])) & _NEG1) \
+                    .astype(np.uint64)
+
+    # --- mate rescue (bwa_paired_sw, bwape.c:635-658): proxies for the
+    # candidate pairs only, existing device-batched SW generators ---
+    cigars = {}
+    counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+    if popt.is_sw and ii.avg >= 0.0:
+        mq_pair = np.maximum(p0[:, F_MAPQ], p1[:, F_MAPQ])
+        cand = np.nonzero((mq_pair >= pe.SW_MIN_MAPQ)
+                          & ((p0[:, F_XFLAG] & SAM_FPP) == 0))[0]
+        if len(cand):
+            prox_pairs = []
+            for i in cand.tolist():
+                pp = []
+                for row in (2 * i, 2 * i + 1):
+                    s = se.SeqState(reads_flat[row])
+                    st = state[row]
+                    s.type = int(st[F_TYPE])
+                    s.strand = int(st[F_STRAND])
+                    s.pos = int(st[F_POS])
+                    s.mapQ = int(st[F_MAPQ])
+                    s.seQ = int(st[F_SEQ_Q])
+                    s.n_mm = int(st[F_NMM])
+                    s.n_gapo = int(st[F_NGO])
+                    s.n_gape = int(st[F_NGE])
+                    s.extra_flag = int(st[F_XFLAG])
+                    s.len = int(st[F_LEN])
+                    pp.append(s)
+                prox_pairs.append((i, pp))
+            pe.paired_sw_batch(bns, pac, [pp for _, pp in prox_pairs],
+                               popt, ii, counters)
+            for i, pp in prox_pairs:
+                for j, s in enumerate(pp):
+                    row = 2 * i + j
+                    st = state[row]
+                    st[F_TYPE] = s.type
+                    st[F_STRAND] = s.strand
+                    st[F_POS] = s.pos
+                    st[F_MAPQ] = s.mapQ
+                    st[F_SEQ_Q] = s.seQ
+                    st[F_NMM] = s.n_mm
+                    st[F_NGO] = s.n_gapo
+                    st[F_NGE] = s.n_gape
+                    st[F_XFLAG] = s.extra_flag
+                    if s.cigar:
+                        cigars[row] = s.cigar
+
+    # --- gapped refinement (bwa_refine_gapped, bwape.c:725-726) ---
+    mcigars = {}
+    jobs = []
+    fwd_cache = {}
+    strand = state[:, F_STRAND] != 0       # pairing/rescue moved strands
+
+    def fwd_codes(i):
+        c = fwd_cache.get(i)
+        if c is None:
+            c = reads_flat[i].seq[::-1]
+            fwd_cache[i] = c
+        return c
+
+    for o in mslot.tolist():
+        if multi_gap[o] == 0:
+            continue
+        i = o // stride
+        seqc = reads_flat[i].rseq if multi_strand[o] else fwd_codes(i)
+
+        def apply_m(cig, newpos, o=o):
+            mcigars[o] = cig
+            multi_pos[o] = newpos
+
+        jobs.append((apply_m, seqc, int(multi_pos[o]),
+                     (1 if multi_strand[o] else -1) * int(multi_gap[o])))
+    typ = state[:, F_TYPE]
+    gap_rows = np.nonzero((typ != BWA_TYPE_NO_MATCH)
+                          & (typ != BWA_TYPE_MATESW)
+                          & (state[:, F_NGO] > 0))[0]
+    for i in gap_rows.tolist():
+        seqc = reads_flat[i].rseq if strand[i] else fwd_codes(i)
+
+        def apply_s(cig, newpos, i=i):
+            cigars[i] = cig if cig else None
+            state[i, F_POS] = newpos
+
+        jobs.append((apply_s, seqc, int(state[i, F_POS]),
+                     (1 if strand[i] else -1)
+                     * int(state[i, F_NGO] + state[i, F_NGE])))
+    se._refine_jobs(jobs, pac, bns.l_pac, use_device=True)
+
+    # --- MD/NM ---
+    seq_chunks = [(reads_flat[i].rseq if strand[i] else fwd_codes(i))
+                  for i in range(n2)]
+    seq_flat, seq_off = _flat(seq_chunks)
+    cig_counts = np.zeros(n2, dtype=np.int64)
+    for i, cg in cigars.items():
+        if cg:
+            cig_counts[i] = 2 * len(cg)
+    cig_off = np.zeros(n2 + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=cig_off[1:])
+    cig = np.zeros(int(cig_off[-1]), dtype=np.int32)
+    for i, cg in cigars.items():
+        if cg:
+            cig[cig_off[i]:cig_off[i + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    _, _, _, _, amb_off, amb_len, amb_chr = _bns_emit_arrays(bns)
+    md_cap = int(seq_off[-1]) * 2 + 24 * n2 + 16
+    md_buf = np.empty(md_cap, dtype=np.uint8)
+    md_off = np.zeros(n2 + 1, dtype=np.int64)
+    rc = lib.md_batch(n2, state.reshape(-1), seq_flat, seq_off, cig,
+                      cig_off, pac, bns.l_pac, len(bns.ambs),
+                      amb_off, amb_len, amb_chr, md_buf, md_cap, md_off)
+    if rc != 0:
+        # the drand48 stream and pos_memo advanced already — falling back
+        # here would double-consume them
+        raise RuntimeError("sampe_bytes: md_batch failed mid-pipeline")
+
+    # --- quality-trim cigar correction (bwase.c:320-354; applied to
+    # every read, the len restore matters for unmapped SEQ output) ---
+    trimmed = np.nonzero(lens < state[:, F_FULL_LEN])[0]
+    for i in trimmed.tolist():
+        s = se.SeqState(reads_flat[i])
+        s.strand = int(state[i, F_STRAND])
+        s.cigar = list(cigars[i]) if cigars.get(i) else None
+        s.len = int(state[i, F_LEN])
+        se.correct_trimmed(s)
+        cigars[i] = s.cigar
+        state[i, F_LEN] = s.len
+
+    # --- bc concat quirk (bwape.c:731-740) ---
+    bcs = [r.bc.encode() if r.bc else b"" for r in reads_flat]
+    for i in range(n):
+        if bcs[2 * i] or bcs[2 * i + 1]:
+            bc = bcs[2 * i] + bcs[2 * i + 1]
+            bcs[2 * i] = bcs[2 * i + 1] = bc
+
+    # --- native SAM emission, interleaved with mate rows ---
+    names = [r.name.encode() for r in reads_flat]
+    name_flat, name_off = _flat(names)
+    bc_flat, bc_off = _flat(bcs)
+    sf_flat, sf_off = _flat([r.full_codes for r in reads_flat])
+    q_flat, q_off = _flat([(r.qual.tobytes() if r.qual is not None
+                            else b"") for r in reads_flat])
+    mcig_counts = np.zeros(n2 * stride, dtype=np.int64)
+    for o, cg in mcigars.items():
+        if cg:
+            mcig_counts[o] = 2 * len(cg)
+    roff = np.zeros(n2 + 1, dtype=np.int64)
+    cig_counts[:] = 0
+    for i, cg in cigars.items():
+        if cg:
+            cig_counts[i] = 2 * len(cg)
+    np.cumsum(cig_counts, out=roff[1:])
+    moff = np.zeros(n2 * stride + 1, dtype=np.int64)
+    np.cumsum(mcig_counts, out=moff[1:])
+    moff += roff[-1]
+    cig = np.zeros(int(moff[-1]), dtype=np.int32)
+    for i, cg in cigars.items():
+        if cg:
+            cig[roff[i]:roff[i + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    for o, cg in mcigars.items():
+        if cg:
+            cig[moff[o]:moff[o + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    cig_off_full = np.concatenate([roff, moff])
+
+    ann_off, ann_len, ann_names, ann_name_off, amb_off, amb_len, \
+        amb_chr = _bns_emit_arrays(bns)
+    rg = rg_id.encode() if rg_id else b""
+    rg_arr = np.frombuffer(rg, dtype=np.uint8) if rg else \
+        np.zeros(0, dtype=np.uint8)
+    mate_idx = np.arange(n2, dtype=np.int64) ^ 1
+    cap = int(sf_off[-1]) * 3 + int(md_off[-1]) + 256 * n2 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    args = (n2, state.reshape(-1), mate_idx,
+            name_flat, name_off, bc_flat, bc_off,
+            cig, cig_off_full, md_buf, md_off,
+            sf_flat, sf_off, q_flat, q_off,
+            multi_pos, multi_gap, multi_mm, multi_strand, multi_n, stride,
+            bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
+            len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
+            gopt.mode, gopt.max_top2, rg_arr, len(rg))
+    total = lib.sam_emit_batch(*args, out, cap)
+    if total > cap:
+        out = np.empty(int(total), dtype=np.uint8)
+        total = lib.sam_emit_batch(*args, out, int(total))
+    return out[:total].tobytes(), ii
+
+
 def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
                 rg_id=None, ntpac=None):
     """Native-pipeline samse for one chunk; returns the SAM text as bytes

@@ -69,7 +69,6 @@ class IsizeInfo:
 
 def infer_isize(states, ap_prior, L):
     """infer_isize (bwape.c:74-178).  states: (states0, states1)."""
-    ii = IsizeInfo()
     isizes = []
     max_len = 1
     for s0, s1 in zip(*states):
@@ -81,6 +80,13 @@ def infer_isize(states, ap_prior, L):
             if x < 100000:
                 isizes.append(x)
         max_len = max(max_len, s0.len, s1.len)
+    return infer_isize_core(isizes, max_len, ap_prior, L)
+
+
+def infer_isize_core(isizes, max_len, ap_prior, L):
+    """infer_isize numeric core over the collected candidate lengths
+    (also fed columnar by post_native.sampe_bytes)."""
+    ii = IsizeInfo()
     tot = len(isizes)
     if tot < 20:
         return ii, -1
@@ -106,16 +112,26 @@ def infer_isize(states, ap_prior, L):
         std_acc += tmp
         skewness += tmp * (v - ii.avg)
         kurtosis += tmp * tmp
-    kurtosis = kurtosis / n / (std_acc / n * std_acc / n) - 3
-    ii.std = math.sqrt(std_acc / n)
-    skewness = skewness / n / (ii.std ** 3)
+    # C float semantics, not Python's: sqrt(negative) must yield NaN (a
+    # zero-variance library drives std_acc to its -1.0 init, bwape.c:125)
+    # and flow through to the isnan reset below (bwape.c:168) instead of
+    # raising, and the div-by-zero prints are inf/nan, not exceptions
+    var = std_acc / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kurtosis = float(np.float64(kurtosis) / n / np.float64(var * var)
+                         - 3)
+        ii.std = float(np.sqrt(np.float64(var)))
+        skewness = float(np.float64(skewness) / n
+                         / np.float64(ii.std ** 3))
     y = 1.0
     while y < 10.0:
         if .5 * math.erfc(y / math.sqrt(2)) < ap_prior / L * (y * ii.std
                                                               + ii.avg):
             break
         y += 0.01
-    ii.high_bayesian = int(y * ii.std + ii.avg + .499)
+    hb = y * ii.std + ii.avg + .499
+    # (bwtint_t)(NaN) on x86-64: cvttsd2si -> INT64_MIN, truncated to 0
+    ii.high_bayesian = 0 if math.isnan(hb) else int(hb)
     n_ap = int((isizes > ii.high_bayesian).sum())
     ii.ap_prior = .01 * (n_ap + .01) / tot
     if ii.ap_prior < ap_prior:
@@ -497,6 +513,13 @@ def sampe(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     reads: (reads0, reads1); per_read_alns: (alns0, alns1).
     Returns (sam_lines, ii) — ii feeds the next chunk's last_ii.
     """
+    from . import post_native
+    res = post_native.sampe_bytes(engine, reads, per_read_alns, gopt,
+                                  popt, rng, rg_id=rg_id, last_ii=last_ii,
+                                  pos_memo=pos_memo, ntpac=ntpac)
+    if res is not None:
+        return res
+
     bns = engine.index.bns
     pac = engine.index.pac
     fwd, rev = engine.index.fwd, engine.index.rev

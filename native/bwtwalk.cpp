@@ -7,7 +7,10 @@
 // (OCC_INTERVAL 0x80), as produced by bwt_bwtupdate_core (bwtmisc.c:125).
 // Exposed via plain C ABI for ctypes.
 
+#include <algorithm>
 #include <cstdint>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -74,24 +77,43 @@ int bwt_cal_sa_u32(const uint32_t* bwt, uint32_t primary,
 
 // Batched bwt_sa (bwt.c:72-81): for each row k, walk invPsi to a sampled
 // row (intv must be a power of two) and add the step count.  Per-row
-// walks are <= intv steps; the batch is embarrassingly parallel but
-// short — callers batch thousands of rows, so a flat loop suffices.
+// walks are <= intv independent random-access steps — embarrassingly
+// parallel, and the sampe post spends most of its native time here, so
+// big batches fan out over hardware threads.
 int bwt_sa_batch_u32(const uint32_t* bwt, uint32_t primary,
                      const uint32_t* L2, uint32_t seq_len,
                      const uint32_t* sa_sample, int intv,
                      const uint32_t* rows, int64_t n, uint32_t* out) {
     uint32_t mask = (uint32_t)(intv - 1);
-    for (int64_t i = 0; i < n; ++i) {
-        uint32_t k = rows[i];
-        uint32_t s = 0;
-        while (k & mask) {
-            ++s;
-            k = inv_psi(bwt, primary, L2, seq_len, k);
+    auto span = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            uint32_t k = rows[i];
+            uint32_t s = 0;
+            while (k & mask) {
+                ++s;
+                k = inv_psi(bwt, primary, L2, seq_len, k);
+            }
+            // sa_sample[0] is the 0xFFFFFFFF sentinel; sa + (-1) wraps
+            // like the reference's bwtint arithmetic
+            out[i] = s + sa_sample[k / intv];
         }
-        // sa_sample[0] is the 0xFFFFFFFF sentinel; sa + (-1) wraps like
-        // the reference's bwtint arithmetic
-        out[i] = s + sa_sample[k / intv];
+    };
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt <= 0) nt = 1;
+    if (n < 4096 || nt == 1) {      // spawn cost beats short batches
+        span(0, n);
+        return 0;
     }
+    if (nt > 8) nt = 8;
+    std::vector<std::thread> threads;
+    int64_t step = (n + nt - 1) / nt;
+    for (int t = 1; t < nt; ++t) {
+        int64_t lo = t * step;
+        if (lo >= n) break;
+        threads.emplace_back(span, lo, std::min(n, lo + step));
+    }
+    span(0, std::min(n, step));
+    for (auto& th : threads) th.join();
     return 0;
 }
 

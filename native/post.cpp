@@ -13,6 +13,7 @@
 //   cigars:       flat (op,len) int32 pairs + int64 offsets, count<0 = None;
 //   strings:      concatenated bytes + int64 offsets [n+1].
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -148,6 +149,30 @@ static const char CIGAR_CHR[] = "MIDS";
 static const char FWD_BASES[] = "ACGTN";
 static const char REV_BASES[] = "TGCAN";
 
+// hash_64 (sampe.py hash_64, bwape.c:43-54)
+inline uint64_t hash_64(uint64_t key) {
+  key += ~(key << 32);
+  key ^= key >> 22;
+  key += ~(key << 13);
+  key ^= key >> 8;
+  key += key << 3;
+  key ^= key >> 15;
+  key += ~(key << 27);
+  key ^= key >> 31;
+  return key;
+}
+
+// g_log_n (samse.py make_g_log_n, bwase.c:613-617)
+struct GLogN {
+  int t[256];
+  GLogN() {
+    t[0] = 0;
+    for (int i = 1; i < 256; ++i)
+      t[i] = static_cast<int>(4.343 * std::log(i) + 0.5);
+  }
+};
+static const GLogN g_log_n;
+
 }  // namespace
 
 extern "C" {
@@ -246,6 +271,210 @@ int se_select_batch(int64_t n, const uint32_t *recs, const int32_t *counts,
   }
   *rng_state = x;
   return 0;
+}
+
+// Multi-hit enumeration with a PER-READ cap (the sampe multi phase,
+// sampe.py:625-640 / bwape.c:400-413): same hit walk as se_select_batch's
+// n_multi block, no drand48 use, keeps main fields untouched.  n_cap[i]
+// <= 0 skips read i.  stride rows per read in the multi arrays.
+int se_multi_batch(int64_t n, const uint32_t *recs, const int32_t *counts,
+                   const int64_t *state, const int32_t *n_cap,
+                   int64_t stride, uint64_t *multi_pos, int32_t *multi_gap,
+                   int32_t *multi_mm, int32_t *multi_strand,
+                   int32_t *multi_n) {
+  const uint32_t *r = recs;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t na = counts[i];
+    int32_t cap = n_cap[i];
+    multi_n[i] = 0;
+    if (na == 0 || cap <= 0) {
+      r += 4 * static_cast<int64_t>(na);
+      continue;
+    }
+    const int64_t *st = state + i * NF;
+    int64_t n_occ = 0;
+    for (int32_t j = 0; j < na; ++j) {
+      const uint32_t *p = r + 4 * j;
+      n_occ += static_cast<int64_t>(p[2]) - p[1] + 1;
+    }
+    if (n_occ <= cap + 1) {
+      int64_t rest = n_occ;
+      int64_t m = 0;
+      uint64_t main_sa = static_cast<uint64_t>(st[F_SA]);
+      for (int32_t j = 0; j < na; ++j) {
+        const uint32_t *p = r + 4 * j;
+        int64_t sz = static_cast<int64_t>(p[2]) - p[1] + 1;
+        if (sz > rest) break;  // unreachable given the cap (bwase.c:75)
+        uint32_t meta = p[0];
+        for (uint32_t l = p[1]; l <= p[2]; ++l) {
+          if (l == main_sa) continue;  // skip the primary (s.sa)
+          if (m < stride) {
+            int64_t o = i * stride + m;
+            multi_pos[o] = l;
+            multi_gap[o] = ((meta >> 8) & 0xFF) + ((meta >> 16) & 0xFF);
+            multi_mm[o] = meta & 0xFF;
+            multi_strand[o] = (meta >> 24) & 1;
+          }
+          ++m;
+        }
+        rest -= sz;
+      }
+      multi_n[i] = static_cast<int32_t>(m > cap ? cap : m);
+    }
+    r += 4 * static_cast<int64_t>(na);
+  }
+  return 0;
+}
+
+// pairing (sampe.py pairing, bwape.c:180-293) for a batch of pairs.
+//
+// keys: per-pair candidate arrays, flat uint64 (pos<<32 | ki<<1 | j),
+// UNSORTED within a pair — sorted here (the reference introsorts the
+// same keys, total order on the value).  key_off: [n_pairs+1]; an empty
+// segment skips the pair (not both ends matched / over max_occ).
+// recs/rec_off: per READ (2*n_pairs rows, interleaved ends) .sai record
+// words — the sweep reads hit strand/score/counts by (j, ki).
+// state: int64 [2*n_pairs, NF], interleaved ends; updated in place
+// exactly like the Python (mapQ/seQ merges, SAM_FPP, position moves).
+// pet_type: 0 = BWA_PET_STD sweep, 1 = BWA_PET_SOLID.
+// Returns total cnt_chg.
+int64_t pe_pairing_batch(int64_t n_pairs, uint64_t *keys,
+                         const int64_t *key_off, const uint32_t *recs,
+                         const int64_t *rec_off, int64_t *state,
+                         int pet_type, int64_t max_isize, int s_mm,
+                         int64_t ii_high, int64_t ii_high_bayesian,
+                         double ii_avg, double ii_std) {
+  constexpr uint64_t U64MAX = ~0ULL;
+  int64_t cnt_chg = 0;
+  for (int64_t pi = 0; pi < n_pairs; ++pi) {
+    int64_t k0 = key_off[pi], k1 = key_off[pi + 1];
+    if (k0 >= k1) continue;
+    std::sort(keys + k0, keys + k1);
+    int64_t *st[2] = {state + (2 * pi) * NF, state + (2 * pi + 1) * NF};
+    const uint32_t *aln[2] = {recs + rec_off[2 * pi],
+                              recs + rec_off[2 * pi + 1]};
+    uint32_t max_len = static_cast<uint32_t>(
+        std::max(st[0][F_FULL_LEN], st[1][F_FULL_LEN]));
+    uint64_t o_score = U64MAX, subo_score = U64MAX;
+    int o_n = 0, subo_n = 0;
+    uint64_t o_pos[2] = {U64MAX, U64MAX};
+    uint64_t last_pos[2][2] = {{U64MAX, U64MAX}, {U64MAX, U64MAX}};
+
+    auto aux = [&](uint64_t u, uint64_t v) {
+      if (u == U64MAX) return;
+      // bwtint_t (uint32) insert-length arithmetic, bwape.c:190
+      uint32_t l = static_cast<uint32_t>(v >> 32)
+          + static_cast<uint32_t>(st[v & 1][F_LEN])
+          - static_cast<uint32_t>(u >> 32);
+      if (!((v >> 32) > (u >> 32) && l >= max_len)) return;
+      if (!((ii_high && l <= static_cast<uint64_t>(ii_high_bayesian))
+            || (ii_high == 0 && l <= static_cast<uint64_t>(max_isize))))
+        return;
+      const uint32_t *rv = aln[v & 1] + 4 * (static_cast<uint32_t>(v) >> 1);
+      const uint32_t *ru = aln[u & 1] + 4 * (static_cast<uint32_t>(u) >> 1);
+      uint64_t s = static_cast<uint64_t>(static_cast<int32_t>(rv[3]))
+          + static_cast<int32_t>(ru[3]);
+      s *= 10;
+      if (ii_high)
+        s += static_cast<int>(
+            -4.343 * std::log(.5 * std::erfc(std::fabs(l - ii_avg)
+                                             / ii_std / M_SQRT2))
+            + .499);
+      s = (s << 32) | (static_cast<uint32_t>(
+          hash_64(((u >> 32) << 32) | (v >> 32))));
+      if ((s >> 32) == (o_score >> 32)) ++o_n;
+      else if ((s >> 32) < (o_score >> 32)) { subo_n += o_n; o_n = 1; }
+      else ++subo_n;
+      if (s < o_score) {
+        subo_score = o_score;
+        o_score = s;
+        o_pos[u & 1] = u;
+        o_pos[v & 1] = v;
+      } else if (s < subo_score) {
+        subo_score = s;
+      }
+    };
+
+    for (int64_t t = k0; t < k1; ++t) {
+      uint64_t x = keys[t];
+      int strand = (aln[x & 1][4 * (static_cast<uint32_t>(x) >> 1)]
+                    >> 24) & 1;
+      bool do_aux = pet_type == 0 ? strand == 1
+                                  : ((strand ^ static_cast<int>(x)) & 1)
+                                        != 0;
+      if (do_aux) {
+        int y = 1 - static_cast<int>(x & 1);
+        aux(last_pos[y][1], x);
+        aux(last_pos[y][0], x);
+      } else {
+        last_pos[x & 1][0] = last_pos[x & 1][1];
+        last_pos[x & 1][1] = x;
+      }
+    }
+
+    if (o_score == U64MAX) continue;
+    int mapQ_p = 0;
+    if (o_n == 1) {
+      if (subo_score == U64MAX) {
+        mapQ_p = 29;
+      } else if ((subo_score >> 32) - (o_score >> 32)
+                 > static_cast<uint64_t>(s_mm) * 10) {
+        mapQ_p = 23;
+      } else {
+        int nn = subo_n > 255 ? 255 : subo_n;
+        mapQ_p = static_cast<int>(((subo_score >> 32) - (o_score >> 32))
+                                  / 2) - g_log_n.t[nn];
+        if (mapQ_p < 0) mapQ_p = 0;
+      }
+    }
+    int rr[2];
+    for (int j = 0; j < 2; ++j)
+      rr[j] = (aln[o_pos[j] & 1][4 * (static_cast<uint32_t>(o_pos[j])
+                                      >> 1)] >> 24) & 1;
+    bool ok0 = st[0][F_POS] == static_cast<int64_t>(o_pos[0] >> 32)
+        && st[0][F_STRAND] == rr[0];
+    bool ok1 = st[1][F_POS] == static_cast<int64_t>(o_pos[1] >> 32)
+        && st[1][F_STRAND] == rr[1];
+    if (ok0 && ok1) {
+      if (st[0][F_MAPQ] > 0 && st[1][F_MAPQ] > 0) {
+        int64_t mq = st[0][F_MAPQ] + st[1][F_MAPQ];
+        if (mq > 60) mq = 60;
+        st[0][F_MAPQ] = st[1][F_MAPQ] = mq;
+      } else {
+        if (st[0][F_MAPQ] == 0)
+          st[0][F_MAPQ] = std::min<int64_t>(mapQ_p + 7, st[1][F_MAPQ]);
+        if (st[1][F_MAPQ] == 0)
+          st[1][F_MAPQ] = std::min<int64_t>(mapQ_p + 7, st[0][F_MAPQ]);
+      }
+    } else if (ok0) {  // end 1 moved
+      st[1][F_SEQ_Q] = 0;
+      st[1][F_MAPQ] = std::min<int64_t>(st[0][F_MAPQ], mapQ_p);
+    } else if (ok1) {  // end 0 moved
+      st[0][F_SEQ_Q] = 0;
+      st[0][F_MAPQ] = std::min<int64_t>(st[1][F_MAPQ], mapQ_p);
+    } else {  // both moved
+      st[0][F_SEQ_Q] = st[1][F_SEQ_Q] = 0;
+      mapQ_p = std::max(mapQ_p - 20, 0);
+      st[0][F_MAPQ] = st[1][F_MAPQ] = mapQ_p;
+    }
+    for (int j = 0; j < 2; ++j) {
+      uint64_t w = o_pos[j];
+      const uint32_t *r = aln[w & 1] + 4 * (static_cast<uint32_t>(w) >> 1);
+      int64_t *q = st[j];
+      q[F_XFLAG] |= SAM_FPP;
+      if (q[F_POS] != static_cast<int64_t>(w >> 32)
+          || q[F_STRAND] != static_cast<int64_t>((r[0] >> 24) & 1)) {
+        q[F_NMM] = r[0] & 0xFF;
+        q[F_NGO] = (r[0] >> 8) & 0xFF;
+        q[F_NGE] = (r[0] >> 16) & 0xFF;
+        q[F_STRAND] = (r[0] >> 24) & 1;
+        q[F_SCORE] = static_cast<int32_t>(r[3]);
+        q[F_POS] = static_cast<int64_t>(w >> 32);
+        if (q[F_MAPQ] > 0) ++cnt_chg;
+      }
+    }
+  }
+  return cnt_chg;
 }
 
 // bwa_cal_md1 (samse.py cal_md1, bwase.c:253-315) for a batch.
