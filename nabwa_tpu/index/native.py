@@ -110,11 +110,11 @@ def _load():
             ctypes.c_int64, _u32, _i32, _i64, _i32, ctypes.c_int64,
             _u64, _i32, _i32, _i32, _i32]
         lib.se_multi_batch.restype = ctypes.c_int
+        _f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.pe_pairing_batch.argtypes = [
             ctypes.c_int64, _u64, _i64, _u32, _i64, _i64,
             ctypes.c_int, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_double, ctypes.c_double]
+            _i64, _i64, _f64, _f64]
         lib.pe_pairing_batch.restype = ctypes.c_int64
         lib.md_batch.argtypes = [
             ctypes.c_int64, _i64, _u8, _i64, _i32, _i64, _u8,

@@ -468,8 +468,11 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     pet = 0 if popt.type == BWA_PET_STD else 1
     lib.pe_pairing_batch(
         n, flat_keys, key_off, recs, 4 * hit_off, state.reshape(-1),
-        pet, popt.max_isize, gopt.s_mm, ii.high, ii.high_bayesian,
-        float(ii.avg), float(ii.std))
+        pet, popt.max_isize, gopt.s_mm,
+        np.full(n, ii.high, dtype=np.int64),
+        np.full(n, ii.high_bayesian, dtype=np.int64),
+        np.full(n, float(ii.avg), dtype=np.float64),
+        np.full(n, float(ii.std), dtype=np.float64))
 
     # --- multi hits (bwape.c:400-413) ---
     stride = 1

@@ -421,7 +421,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 # issued back-to-back right after the pop; every occ-
                 # independent gate (plane extracts, seq lookup, free-slot
                 # prefix) then runs in the DMA shadow before the drain.
-                def issue(i, _):
+                def issue(i, cur):
                     rk = rowidx[i, 0]
 
                     @pl.when(rk >= 0)
@@ -436,9 +436,12 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                         pltpu.make_async_copy(
                             table_ref.at[pl.ds(rl, 1), :],
                             stage.at[pl.ds(i + BB, 1), :], dma_sem).start()
-                    return 0
+                    return (cur + (rk >= 0).astype(jnp.int32)
+                            + (rl >= 0).astype(jnp.int32))
+                n_dma = jnp.int32(0)
                 if "fetch" not in lobotomy:
-                    jax.lax.fori_loop(0, BB, issue, 0, unroll=BB)
+                    n_dma = jax.lax.fori_loop(0, BB, issue, jnp.int32(0),
+                                              unroll=BB)
             elif not mxu:
                 # VMEM-resident table: synchronous scalar-driven row
                 # copies (no DMA latency to hide, but dead lanes still
@@ -584,24 +587,19 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             # ================ end DMA-shadow window ================
 
             if hbm:
-                def drain(i, _):
-                    rk = rowidx[i, 0]
-
-                    @pl.when(rk >= 0)
-                    def _():
-                        pltpu.make_async_copy(
-                            table_ref.at[pl.ds(rk, 1), :],
-                            stage.at[pl.ds(i, 1), :], dma_sem).wait()
-                    rl = rowidx[i, 1]
-
-                    @pl.when(rl >= 0)
-                    def _():
-                        pltpu.make_async_copy(
-                            table_ref.at[pl.ds(rl, 1), :],
-                            stage.at[pl.ds(i + BB, 1), :], dma_sem).wait()
+                # drain: every copy is the same [1,128] shape, so a wait
+                # on a FIXED descriptor decrements the shared semaphore by
+                # exactly one copy's amount — n_dma fixed waits replace
+                # the per-lane rowidx reloads + branches + descriptor
+                # builds of the old mirrored drain loop (the fetch bucket
+                # was 23 us/iter, >60% of the whole iteration)
+                def drain1(i, _):
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(0, 1), :],
+                        stage.at[pl.ds(0, 1), :], dma_sem).wait()
                     return 0
                 if "fetch" not in lobotomy:
-                    jax.lax.fori_loop(0, BB, drain, 0, unroll=BB)
+                    jax.lax.fori_loop(0, n_dma, drain1, 0)
 
             if not mxu:
                 # same-row lanes read the k bank for l too (their slot in
@@ -879,7 +877,11 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
         # and iterating a fully-done block is a no-op (done lanes mutate
         # nothing), so up to UNROLL-1 wasted tail iterations are cheaper
         # than a sync per iteration (measured on v5e)
-        UNROLL = 8
+        # U=16 measured 2.3 us/iter cheaper than U=8 on v5e (the sync is
+        # ~35 us); the extra <=15 no-op tail iterations are ~3% of a
+        # typical 440-iteration block
+        import os as _os
+        UNROLL = int(_os.environ.get("NABWA_DFS_UNROLL", "16"))
 
         def body_u(carry):
             return jax.lax.fori_loop(0, UNROLL, lambda _, c: body(c),

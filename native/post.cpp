@@ -337,18 +337,25 @@ int se_multi_batch(int64_t n, const uint32_t *recs, const int32_t *counts,
 // state: int64 [2*n_pairs, NF], interleaved ends; updated in place
 // exactly like the Python (mapQ/seQ merges, SAM_FPP, position moves).
 // pet_type: 0 = BWA_PET_STD sweep, 1 = BWA_PET_SOLID.
+// ii_*: per-PAIR isize-info columns (bam2bam pairs carry per-read-group
+// infos, bam2bam.c:705-811; sampe broadcasts its chunk estimate).
 // Returns total cnt_chg.
 int64_t pe_pairing_batch(int64_t n_pairs, uint64_t *keys,
                          const int64_t *key_off, const uint32_t *recs,
                          const int64_t *rec_off, int64_t *state,
                          int pet_type, int64_t max_isize, int s_mm,
-                         int64_t ii_high, int64_t ii_high_bayesian,
-                         double ii_avg, double ii_std) {
+                         const int64_t *ii_high_arr,
+                         const int64_t *ii_high_bayesian_arr,
+                         const double *ii_avg_arr,
+                         const double *ii_std_arr) {
   constexpr uint64_t U64MAX = ~0ULL;
   int64_t cnt_chg = 0;
   for (int64_t pi = 0; pi < n_pairs; ++pi) {
     int64_t k0 = key_off[pi], k1 = key_off[pi + 1];
     if (k0 >= k1) continue;
+    int64_t ii_high = ii_high_arr[pi];
+    int64_t ii_high_bayesian = ii_high_bayesian_arr[pi];
+    double ii_avg = ii_avg_arr[pi], ii_std = ii_std_arr[pi];
     std::sort(keys + k0, keys + k1);
     int64_t *st[2] = {state + (2 * pi) * NF, state + (2 * pi + 1) * NF};
     const uint32_t *aln[2] = {recs + rec_off[2 * pi],

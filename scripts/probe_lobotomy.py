@@ -64,6 +64,13 @@ tot_it = n_blocks * MAXIT
 CUTS = [
     ("skel", ("nodone", "skel")),
     ("full", ("nodone",)),
+    ("-fetch", ("nodone", "fetch")),
+    ("-occ", ("nodone", "occ")),
+    ("-extracts", ("nodone", "extracts")),
+    ("-cand", ("nodone", "cand")),
+    ("-push", ("nodone", "push")),
+    ("-shadow", ("nodone", "shadow")),
+    ("-pop", ("nodone", "pop")),
     ("-popmin", ("nodone", "popmin")),
     ("-pend", ("nodone", "pend")),
     ("-hit", ("nodone", "hit")),

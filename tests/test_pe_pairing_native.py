@@ -110,8 +110,11 @@ def test_pairing_native_matches_python(seed):
     flat_keys = np.concatenate(keys_l).astype(np.uint64)
     cnt_native = lib.pe_pairing_batch(
         n, flat_keys, key_off, recs, 4 * hit_off, state.reshape(-1),
-        0, popt.max_isize, 3, ii.high, ii.high_bayesian,
-        float(ii.avg), float(ii.std))
+        0, popt.max_isize, 3,
+        np.full(n, ii.high, dtype=np.int64),
+        np.full(n, ii.high_bayesian, dtype=np.int64),
+        np.full(n, float(ii.avg), dtype=np.float64),
+        np.full(n, float(ii.std), dtype=np.float64))
 
     # --- python oracle per pair ---
     cnt_py = 0
