@@ -116,6 +116,19 @@ def _load():
             ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             _i64, _i64, _f64, _f64]
         lib.pe_pairing_batch.restype = ctypes.c_int64
+        lib.bam_update_batch.argtypes = [
+            ctypes.c_int64, _i64, _i64,
+            _i64, _i64, _i64, _i64,
+            _u8, _i64,
+            _i32, _i64,
+            _u8, _i64,
+            _u64, _i32, _i32, _i32, _i32, ctypes.c_int64,
+            _i32, ctypes.c_int,
+            ctypes.c_int, _i64, _i64, _u8, _i64,
+            ctypes.c_int64, _i64, _i32,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            _i64, _u8, ctypes.c_int64, _i64]
+        lib.bam_update_batch.restype = ctypes.c_int64
         lib.md_batch.argtypes = [
             ctypes.c_int64, _i64, _u8, _i64, _i32, _i64, _u8,
             ctypes.c_int64, ctypes.c_int64, _i64, _i32, _u8,

@@ -84,6 +84,60 @@ def bam1_to_read(rec: BamRec, is_comp=True, trim_qual=0):
                 full_len=full_len, clip_len=ln, full_codes=codes, bc="")
 
 
+def bam1_to_reads_batch(recs, is_comp=True, trim_qual=0):
+    """bam1_to_read over a whole chunk: ONE nybble decode + qual clamp
+    over the concatenated record bytes, per-read zero-copy views
+    (bam1_to_seq per record was ~30% of pass-1, bwaseqio.c:272-307)."""
+    n = len(recs)
+    if n == 0:
+        return []
+    lq = np.empty(n, dtype=np.int64)
+    seq_parts = []
+    qual_parts = []
+    for i, r in enumerate(recs):
+        L = r.l_qseq
+        lq[i] = L
+        so = r.seq_off()
+        nb = (L + 1) // 2
+        mv = memoryview(r.data)
+        seq_parts.append(mv[so:so + nb])
+        qual_parts.append(mv[so + nb:so + nb + L])
+    nb_arr = (lq + 1) // 2
+    seq_cat = np.frombuffer(b"".join(seq_parts), dtype=np.uint8)
+    q_cat = np.minimum(np.frombuffer(b"".join(qual_parts), dtype=np.uint8)
+                       .astype(np.int16) + 33, 126).astype(np.uint8)
+    dec = np.empty(seq_cat.size * 2, dtype=np.uint8)
+    dec[0::2] = seq_cat >> 4
+    dec[1::2] = seq_cat & 0xF
+    dec = bamio.NT16_NT4[dec]
+    dco = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(2 * nb_arr, out=dco[1:])
+    qo = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lq, out=qo[1:])
+    # restore original orientation for reverse-mapped inputs, in place
+    for i, r in enumerate(recs):
+        if r.flag & SAM_FSR:
+            a, L = int(dco[i]), int(lq[i])
+            codes = dec[a:a + L]
+            tmp = codes[::-1].copy()
+            codes[:] = np.where(tmp < 4, 3 - tmp, tmp)
+            quals = q_cat[int(qo[i]):int(qo[i + 1])]
+            quals[:] = quals[::-1].copy()
+    comp = np.where(dec < 4, 3 - dec, dec).astype(np.uint8) if is_comp \
+        else dec
+    out = []
+    for i, r in enumerate(recs):
+        a, L = int(dco[i]), int(lq[i])
+        codes = dec[a:a + L]
+        quals = q_cat[int(qo[i]):int(qo[i + 1])]
+        ln = trim_read(trim_qual, codes, quals, L) if trim_qual >= 1 \
+            else L
+        out.append(Read(name=r.qname, seq=codes[:ln][::-1],
+                        rseq=comp[a:a + ln][::-1], qual=quals,
+                        full_len=L, clip_len=ln, full_codes=codes, bc=""))
+    return out
+
+
 def try_get_sai(sai_streams, c):
     """try_get_sai (bwaseqio.c:323-338): pull the next record from sideload
     stream c; returns list-of-aln-dicts or None (stream absent/ended)."""
@@ -519,9 +573,13 @@ def pass1_work(engine, gopt, payload):
     processes (pair_aln, bam2bam.c:882-909)."""
     out = []
     jobs = []
+    all_recs = [recs[j] for pi, kind, recs, uniq, side in payload["items"]
+                for j in range(kind)]
+    all_reads = bam1_to_reads_batch(all_recs, True, gopt.trim_qual)
+    ri = 0
     for pi, kind, recs, uniq, side in payload["items"]:
-        states = [se.SeqState(bam1_to_read(recs[j], True, gopt.trim_qual))
-                  for j in range(kind)]
+        states = [se.SeqState(all_reads[ri + j]) for j in range(kind)]
+        ri += kind
         out.append((pi, kind, states, side))
         if uniq and side is None:
             for j in range(kind):
@@ -543,9 +601,23 @@ def pass1_work(engine, gopt, payload):
 
 def pass2_work(engine, gopt, popt, iinfos, payload):
     """Phase-2 chunk job (finish): pairing + mate rescue + refinement +
-    BAM splice on COPIES of the pairs (idempotent under redelivery).
+    BAM splice.  Columnar native pipeline when the C++ kernels are
+    available (states -> one [R,NF] matrix, batch pairing/multi/refine/
+    MD, native BAM splice into FRESH records — idempotent without deep
+    clones); the per-object path below is the oracle/fallback.
     Runs identically on local threads and remote workers (pair_finish,
     bam2bam.c:882-909)."""
+    import os as _os
+    from ..index import native as _native_mod
+    if (_native_mod._load() is not None
+            and not _os.environ.get("NABWA_B2B_OBJ")):
+        return _pass2_work_columnar(engine, gopt, popt, iinfos, payload)
+    return _pass2_work_obj(engine, gopt, popt, iinfos, payload)
+
+
+def _pass2_work_obj(engine, gopt, popt, iinfos, payload):
+    """Per-object pass-2 (the original pipeline; byte-identical oracle
+    for _pass2_work_columnar, and the no-native fallback)."""
     import copy as _copy
 
     bns = engine.index.bns
@@ -609,6 +681,366 @@ def pass2_work(engine, gopt, popt, iinfos, payload):
             update_bam1(p.recs[1], bns, s[1], s[0], gopt.mode,
                         gopt.max_top2, debug_bam=debug_bam)
     return [(pi, p.recs[:p.kind]) for pi, p in out], counters
+
+
+def _pass2_work_columnar(engine, gopt, popt, iinfos, payload):
+    """Columnar pass-2: one [R, NF] int64 state matrix over the chunk
+    (paired rows first, interleaved ends; singletons after), the native
+    pairing/multi kernels, proxy-based mate rescue, columnar refine/MD/
+    trim, and the native BAM splice (bam_update_batch) into FRESH
+    records.  Byte-identical with _pass2_work_obj — pinned by
+    tests/test_bam2bam*.py and the NABWA_B2B_OBJ A/B escape."""
+    from ..constants import BWA_PET_STD, BWA_PET_SOLID
+    from ..index import native as native_mod
+    from . import post_native as pn
+    from .post_native import (NF, F_TYPE, F_STRAND, F_POS, F_MAPQ,
+                              F_SEQ_Q, F_C1, F_C2, F_NMM, F_NGO, F_NGE,
+                              F_NM, F_LEN, F_FULL_LEN, F_CLIP_LEN,
+                              F_XFLAG, F_SA, F_SCORE)
+    lib = native_mod._load()
+    if popt.type not in (BWA_PET_STD, BWA_PET_SOLID):
+        return _pass2_work_obj(engine, gopt, popt, iinfos, payload)
+    bns = engine.index.bns
+    pac = engine.index.pac
+    skip_duplicates = payload["skip_duplicates"]
+    debug_bam = payload["debug_bam"]
+    null_ii = NullIsize()
+    counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
+
+    out = []
+    paired = []
+    singles = []
+    done = set()
+    for pi, p in payload["items"]:
+        out.append((pi, p))
+        if unique(p, skip_duplicates):
+            done.add(id(p))
+            (singles if p.kind == SINGLETON else paired).append(p)
+    n_p = len(paired)
+
+    rows_states = []
+    rows_reads = []
+    row_alns = []
+    for p in paired:
+        for j in (0, 1):
+            s = p.states[j]
+            rows_states.append(s)
+            rows_reads.append(s.read)
+            row_alns.append(p.alns[j] or [])
+    for p in singles:
+        s = p.states[0]
+        rows_states.append(s)
+        rows_reads.append(s.read)
+        row_alns.append(p.alns[0] or [])
+    R = len(rows_states)
+    if R == 0:
+        return [(pi, p.recs[:p.kind]) for pi, p in out], counters
+
+    state = np.zeros((R, NF), dtype=np.int64)
+    for fi, attr in ((F_TYPE, "type"), (F_STRAND, "strand"),
+                     (F_POS, "pos"), (F_MAPQ, "mapQ"), (F_SEQ_Q, "seQ"),
+                     (F_C1, "c1"), (F_C2, "c2"), (F_NMM, "n_mm"),
+                     (F_NGO, "n_gapo"), (F_NGE, "n_gape"),
+                     (F_XFLAG, "extra_flag"), (F_SA, "sa"),
+                     (F_SCORE, "score"), (F_LEN, "len")):
+        state[:, fi] = [getattr(s, attr) for s in rows_states]
+    state[:, F_FULL_LEN] = [r.full_len for r in rows_reads]
+    state[:, F_CLIP_LEN] = [r.clip_len for r in rows_reads]
+    lens = state[:, F_LEN]
+    recs_flat, hit_counts = pn._pack_recs(row_alns)
+    hit_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(hit_counts, out=hit_off[1:])
+
+    # --- pairing over the interleaved paired region ---
+    if n_p:
+        ii_list = [iinfos.get(p.recs[0].get_rg(), null_ii)
+                   for p in paired]
+        flat_keys, key_off = pn.build_pair_keys(
+            engine, state, recs_flat, hit_counts, hit_off, n_p,
+            popt.max_occ, {})
+        pet = 0 if popt.type == BWA_PET_STD else 1
+        lib.pe_pairing_batch(
+            n_p, flat_keys, key_off, recs_flat, 4 * hit_off,
+            state.reshape(-1), pet, popt.max_isize, gopt.s_mm,
+            np.array([ii.high for ii in ii_list], dtype=np.int64),
+            np.array([ii.high_bayesian for ii in ii_list],
+                     dtype=np.int64),
+            np.array([ii.avg for ii in ii_list], dtype=np.float64),
+            np.array([ii.std for ii in ii_list], dtype=np.float64))
+
+    # --- multi hits (paired rows only, bam2bam.c:705-811) ---
+    stride = 1
+    multi_pos = np.zeros(R, dtype=np.uint64)
+    multi_gap = np.zeros(R, dtype=np.int32)
+    multi_mm = np.zeros(R, dtype=np.int32)
+    multi_strand = np.zeros(R, dtype=np.int32)
+    multi_n = np.zeros(R, dtype=np.int32)
+    if (popt.N_multi or popt.n_multi) and n_p:
+        n2 = 2 * n_p
+        typ2 = state[:n2, F_TYPE]
+        mate_typ = typ2.reshape(n_p, 2)[:, ::-1].reshape(-1)
+        fpp = (state[:n2, F_XFLAG] & SAM_FPP) != 0
+        cond = (~fpp) & (mate_typ != BWA_TYPE_NO_MATCH)
+        nm = np.where(cond,
+                      np.where(state[:n2, F_C1] + state[:n2, F_C2] - 1
+                               > popt.N_multi, popt.n_multi,
+                               popt.N_multi),
+                      popt.n_multi)
+        nm = np.where(typ2 != BWA_TYPE_NO_MATCH, nm, 0).astype(np.int32)
+        nm_full = np.zeros(R, dtype=np.int32)
+        nm_full[:n2] = nm
+        stride = int(max(popt.n_multi, popt.N_multi)) + 1
+        multi_pos = np.zeros(R * stride, dtype=np.uint64)
+        multi_gap = np.zeros(R * stride, dtype=np.int32)
+        multi_mm = np.zeros(R * stride, dtype=np.int32)
+        multi_strand = np.zeros(R * stride, dtype=np.int32)
+        lib.se_multi_batch(R, recs_flat, hit_counts, state.reshape(-1),
+                           nm_full, stride, multi_pos, multi_gap,
+                           multi_mm, multi_strand, multi_n)
+
+    mrows = np.nonzero(multi_n)[0]
+    mslot, mlen = [], []
+    for i in mrows.tolist():
+        for m in range(multi_n[i]):
+            mslot.append(i * stride + m)
+            mlen.append(lens[i])
+    mslot = np.array(mslot, dtype=np.int64)
+    mlen = np.array(mlen, dtype=np.int64)
+    rev_len = engine.index.rev.seq_len
+    if len(mslot):
+        m_strand = multi_strand[mslot] != 0
+        for a in (1, 0):
+            msel = m_strand if a else ~m_strand
+            if not msel.any():
+                continue
+            vals = engine.sa_rows(
+                a, multi_pos[mslot[msel]].astype(np.uint32)) \
+                .astype(np.int64)
+            if a:
+                multi_pos[mslot[msel]] = vals.astype(np.uint64)
+            else:
+                multi_pos[mslot[msel]] = \
+                    ((rev_len - (vals + mlen[msel])) & 0xFFFFFFFF) \
+                    .astype(np.uint64)
+
+    # --- mate rescue via per-candidate proxies (bwa_paired_sw) ---
+    cigars = {}
+    if n_p:
+        p0v = state[0:2 * n_p:2]
+        p1v = state[1:2 * n_p:2]
+        mq_pair = np.maximum(p0v[:, F_MAPQ], p1v[:, F_MAPQ])
+        cand = np.nonzero((mq_pair >= pe.SW_MIN_MAPQ)
+                          & ((p0v[:, F_XFLAG] & SAM_FPP) == 0))[0]
+        if len(cand):
+            prox = []
+            for i in cand.tolist():
+                pp = []
+                for row in (2 * i, 2 * i + 1):
+                    s = se.SeqState(rows_reads[row])
+                    st = state[row]
+                    s.type = int(st[F_TYPE])
+                    s.strand = int(st[F_STRAND])
+                    s.pos = int(st[F_POS])
+                    s.mapQ = int(st[F_MAPQ])
+                    s.seQ = int(st[F_SEQ_Q])
+                    s.n_mm = int(st[F_NMM])
+                    s.n_gapo = int(st[F_NGO])
+                    s.n_gape = int(st[F_NGE])
+                    s.extra_flag = int(st[F_XFLAG])
+                    s.len = int(st[F_LEN])
+                    pp.append(s)
+                prox.append((i, pp))
+            pe.paired_sw_batch(bns, pac, [pp for _, pp in prox], popt,
+                               [ii_list[i] for i, _ in prox], counters)
+            for i, pp in prox:
+                for j, s in enumerate(pp):
+                    row = 2 * i + j
+                    st = state[row]
+                    st[F_TYPE] = s.type
+                    st[F_STRAND] = s.strand
+                    st[F_POS] = s.pos
+                    st[F_MAPQ] = s.mapQ
+                    st[F_SEQ_Q] = s.seQ
+                    st[F_NMM] = s.n_mm
+                    st[F_NGO] = s.n_gapo
+                    st[F_NGE] = s.n_gape
+                    st[F_XFLAG] = s.extra_flag
+                    if s.cigar:
+                        cigars[row] = s.cigar
+
+    # --- gapped refinement (bwa_refine_gapped) ---
+    mcigars = {}
+    jobs = []
+    fwd_cache = {}
+    strand = state[:, F_STRAND] != 0
+
+    def fwd_codes(i):
+        c = fwd_cache.get(i)
+        if c is None:
+            c = rows_reads[i].seq[::-1]
+            fwd_cache[i] = c
+        return c
+
+    for o in mslot.tolist():
+        if multi_gap[o] == 0:
+            continue
+        i = o // stride
+        seqc = rows_reads[i].rseq if multi_strand[o] else fwd_codes(i)
+
+        def apply_m(cig, newpos, o=o):
+            mcigars[o] = cig
+            multi_pos[o] = newpos
+
+        jobs.append((apply_m, seqc, int(multi_pos[o]),
+                     (1 if multi_strand[o] else -1) * int(multi_gap[o])))
+    typ = state[:, F_TYPE]
+    gap_rows = np.nonzero((typ != BWA_TYPE_NO_MATCH)
+                          & (typ != BWA_TYPE_MATESW)
+                          & (state[:, F_NGO] > 0))[0]
+    for i in gap_rows.tolist():
+        seqc = rows_reads[i].rseq if strand[i] else fwd_codes(i)
+
+        def apply_s(cig, newpos, i=i):
+            cigars[i] = cig if cig else None
+            state[i, F_POS] = newpos
+
+        jobs.append((apply_s, seqc, int(state[i, F_POS]),
+                     (1 if strand[i] else -1)
+                     * int(state[i, F_NGO] + state[i, F_NGE])))
+    se._refine_jobs(jobs, pac, bns.l_pac, use_device=True)
+
+    # --- MD/NM ---
+    seq_chunks = [(rows_reads[i].rseq if strand[i] else fwd_codes(i))
+                  for i in range(R)]
+    seq_flat, seq_off = pn._flat(seq_chunks)
+    cig_counts = np.zeros(R, dtype=np.int64)
+    for i, cg in cigars.items():
+        if cg:
+            cig_counts[i] = 2 * len(cg)
+    cig_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=cig_off[1:])
+    cig = np.zeros(int(cig_off[-1]), dtype=np.int32)
+    for i, cg in cigars.items():
+        if cg:
+            cig[cig_off[i]:cig_off[i + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    ann_off, ann_len, ann_names, ann_name_off, amb_off, amb_len, \
+        amb_chr = pn._bns_emit_arrays(bns)
+    md_cap = int(seq_off[-1]) * 2 + 24 * R + 16
+    md_buf = np.empty(md_cap, dtype=np.uint8)
+    md_off = np.zeros(R + 1, dtype=np.int64)
+    rc = lib.md_batch(R, state.reshape(-1), seq_flat, seq_off, cig,
+                      cig_off, np.ascontiguousarray(pac, dtype=np.uint8),
+                      bns.l_pac, len(bns.ambs), amb_off, amb_len,
+                      amb_chr, md_buf, md_cap, md_off)
+    if rc != 0:
+        raise RuntimeError("pass2 columnar: md_batch failed")
+
+    # --- quality-trim cigar correction (every read, bwase.c:418) ---
+    trimmed = np.nonzero(lens < state[:, F_FULL_LEN])[0]
+    for i in trimmed.tolist():
+        s = se.SeqState(rows_reads[i])
+        s.strand = int(state[i, F_STRAND])
+        s.cigar = list(cigars[i]) if cigars.get(i) else None
+        s.len = int(state[i, F_LEN])
+        se.correct_trimmed(s)
+        cigars[i] = s.cigar
+        state[i, F_LEN] = s.len
+
+    # --- native BAM splice into fresh records ---
+    mate_idx = np.full(R, -1, dtype=np.int64)
+    if n_p:
+        mate_idx[:2 * n_p] = np.arange(2 * n_p, dtype=np.int64) ^ 1
+    rec_objs = [p.recs[j] for p in paired for j in (0, 1)] \
+        + [p.recs[0] for p in singles]
+    in_flag = np.array([r.flag for r in rec_objs], dtype=np.int64)
+    in_l_qname = np.array([r.l_qname for r in rec_objs], dtype=np.int64)
+    in_n_cigar = np.array([r.n_cigar for r in rec_objs], dtype=np.int64)
+    in_l_qseq = np.array([r.l_qseq for r in rec_objs], dtype=np.int64)
+    in_data, in_off = pn._flat([r.data for r in rec_objs])
+
+    # rebuild flat cigars post-trim, multi cigars appended (emit layout)
+    cig_counts[:] = 0
+    for i, cg in cigars.items():
+        if cg:
+            cig_counts[i] = 2 * len(cg)
+    mcig_counts = np.zeros(R * stride, dtype=np.int64)
+    for o, cg in mcigars.items():
+        if cg:
+            mcig_counts[o] = 2 * len(cg)
+    roff = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(cig_counts, out=roff[1:])
+    moff = np.zeros(R * stride + 1, dtype=np.int64)
+    np.cumsum(mcig_counts, out=moff[1:])
+    moff += roff[-1]
+    cig = np.zeros(int(moff[-1]), dtype=np.int32)
+    for i, cg in cigars.items():
+        if cg:
+            cig[roff[i]:roff[i + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    for o, cg in mcigars.items():
+        if cg:
+            cig[moff[o]:moff[o + 1]] = \
+                np.array(cg, dtype=np.int32).reshape(-1)
+    cig_off_full = np.concatenate([roff, moff])
+
+    max_ent = np.array([getattr(s, "max_entries", 0) or 0
+                        for s in rows_states], dtype=np.int32)
+    out_fields = np.zeros((R, 9), dtype=np.int64)
+    out_off = np.zeros(R + 1, dtype=np.int64)
+    cap = (int(in_off[-1]) + int(md_off[-1]) + 200 * R
+           + 64 * int(multi_n.sum()) + 1024)
+    blob = np.empty(cap, dtype=np.uint8)
+    args = (R, state.reshape(-1), mate_idx,
+            in_flag, in_l_qname, in_n_cigar, in_l_qseq, in_data, in_off,
+            cig, cig_off_full, md_buf, md_off,
+            multi_pos, multi_gap, multi_mm, multi_strand, multi_n,
+            stride, max_ent, 1 if debug_bam else 0,
+            bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
+            len(bns.ambs), amb_off, amb_len, bns.l_pac,
+            gopt.mode, gopt.max_top2)
+    total = lib.bam_update_batch(*args, out_fields.reshape(-1), blob,
+                                 cap, out_off)
+    if total > cap:
+        blob = np.empty(int(total), dtype=np.uint8)
+        total = lib.bam_update_batch(*args, out_fields.reshape(-1),
+                                     blob, int(total), out_off)
+
+    def mk_rec(row, old):
+        nr = BamRec()
+        nr.l_qname = old.l_qname
+        nr.l_qseq = old.l_qseq
+        f = out_fields[row]
+        nr.flag = int(f[0])
+        nr.tid = int(f[1])
+        nr.pos = int(f[2])
+        nr.bin = int(f[3])
+        nr.qual = int(f[4])
+        nr.mtid = int(f[5])
+        nr.mpos = int(f[6])
+        nr.isize = int(f[7])
+        nr.n_cigar = int(f[8])
+        nr.data = bytearray(
+            blob[int(out_off[row]):int(out_off[row + 1])].tobytes())
+        return nr
+
+    row_of = {}
+    for i, p in enumerate(paired):
+        row_of[id(p)] = 2 * i
+    for k, p in enumerate(singles):
+        row_of[id(p)] = 2 * n_p + k
+    result = []
+    for pi, p in out:
+        if id(p) not in done:
+            result.append((pi, p.recs[:p.kind]))
+        elif p.kind == SINGLETON:
+            r0 = row_of[id(p)]
+            result.append((pi, [mk_rec(r0, p.recs[0])]))
+        else:
+            r0 = row_of[id(p)]
+            result.append((pi, [mk_rec(r0, p.recs[0]),
+                                mk_rec(r0 + 1, p.recs[1])]))
+    return result, counters
 
 
 def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,

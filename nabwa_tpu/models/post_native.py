@@ -266,6 +266,128 @@ def emit_states(bns, states, mate_idx, mode, max_top2, rg_id=None):
     return out[:total].tobytes()
 
 
+def build_pair_keys(engine, state, recs, counts, hit_off, n_pairs,
+                    max_occ, pos_memo):
+    """Vectorized pairing-candidate assembly (bwape.c:368-396 semantics
+    incl. the wide-interval memo): gate each pair (both ends matched,
+    n_occ within max_occ), expand every hit's SA interval to genome
+    positions through batched sa_rows calls, and pack the per-pair
+    sorted-later key arrays (pos<<32 | ki<<1 | j) for pe_pairing_batch.
+
+    state: int64 [R, NF] with rows [0, 2*n_pairs) interleaved ends;
+    recs/counts/hit_off: the _pack_recs layout over all R rows (hits of
+    rows >= 2*n_pairs are ignored).  Returns (flat_keys, key_off); an
+    empty segment means the pair skipped its gates."""
+    from . import sampe as pe
+    n = n_pairs
+    n2 = 2 * n
+    matched = state[:n2, F_TYPE] != BWA_TYPE_NO_MATCH
+    lens = state[:, F_LEN]
+    rev_len = engine.index.rev.seq_len
+    nh2 = int(hit_off[n2])          # hits belonging to paired rows
+    hk = recs[1:4 * nh2:4].astype(np.int64)
+    hl = recs[2:4 * nh2:4].astype(np.int64)
+    hw = hl - hk + 1
+    hit_row = np.repeat(np.arange(n2, dtype=np.int64), counts[:n2])
+    cs_w = np.zeros(nh2 + 1, dtype=np.int64)
+    np.cumsum(hw, out=cs_w[1:])
+    n_occ_read = cs_w[hit_off[1:n2 + 1]] - cs_w[hit_off[:n2]]
+    pair_ok = (matched[0::2] & matched[1::2]
+               & (n_occ_read[0::2] <= max_occ)
+               & (n_occ_read[1::2] <= max_occ))
+    hsel = pair_ok[hit_row >> 1]
+    sk = hk[hsel]
+    sw = hw[hsel]
+    srow = hit_row[hsel]
+    sstrand = ((recs[0:4 * nh2:4][hsel].astype(np.int64) >> 24) & 1)
+    ski = (np.arange(nh2, dtype=np.int64)
+           - hit_off[:n2][hit_row])[hsel]
+    stag = (ski << 1) | (srow & 1)
+    slen = lens[srow]
+    spair = srow >> 1
+    wide = sw >= pe.MIN_HASH_WIDTH
+
+    # expansion jobs: direct hits in order + first-seen wide intervals
+    d_k, d_w, d_strand, d_len = sk[~wide], sw[~wide], sstrand[~wide], \
+        slen[~wide]
+    wide_jobs = []          # (key, k, w, strand, len) first-seen wides
+    wide_hits = []          # (pair, tag, key) every selected wide hit
+    if wide.any():
+        for kk, ww, st_, ln_, pr, tg in zip(
+                sk[wide].tolist(), sw[wide].tolist(),
+                sstrand[wide].tolist(), slen[wide].tolist(),
+                spair[wide].tolist(), stag[wide].tolist()):
+            key = (kk, kk + ww - 1)
+            if key not in pos_memo:
+                pos_memo[key] = ("pending", len(wide_jobs))
+                wide_jobs.append((key, kk, ww, st_, ln_))
+            wide_hits.append((pr, tg, key))
+    j_k = np.concatenate([d_k, np.array([t[1] for t in wide_jobs],
+                                        dtype=np.int64)])
+    j_w = np.concatenate([d_w, np.array([t[2] for t in wide_jobs],
+                                        dtype=np.int64)])
+    j_strand = np.concatenate([d_strand,
+                               np.array([t[3] for t in wide_jobs],
+                                        dtype=np.int64)])
+    j_len = np.concatenate([d_len, np.array([t[4] for t in wide_jobs],
+                                            dtype=np.int64)])
+    cw = np.zeros(len(j_w) + 1, dtype=np.int64)
+    np.cumsum(j_w, out=cw[1:])
+    tot = int(cw[-1])
+    expanded = np.zeros(tot, dtype=np.uint64)
+    if tot:
+        rows_sa = (np.repeat(j_k, j_w)
+                   + (np.arange(tot, dtype=np.int64)
+                      - np.repeat(cw[:-1], j_w)))
+        jstr = np.repeat(j_strand, j_w) != 0
+        jlen = np.repeat(j_len, j_w)
+        for a in (1, 0):
+            jsel = jstr if a else ~jstr
+            if not jsel.any():
+                continue
+            vals = engine.sa_rows(a, rows_sa[jsel].astype(np.uint32)) \
+                .astype(np.int64)
+            if a:
+                expanded[jsel] = vals.astype(np.uint64)
+            else:
+                expanded[jsel] = ((rev_len - (vals + jlen[jsel]))
+                                  & _NEG1).astype(np.uint64)
+    n_dir = len(d_k)
+    dir_base = int(cw[n_dir])      # direct expansions occupy [0, dir_base)
+    for wj, (key, kk, ww, _s, _l) in enumerate(wide_jobs):
+        o = int(cw[n_dir + wj])
+        pos_memo[key] = expanded[o:o + ww].copy()
+
+    # per-pair key assembly: direct block then wide block
+    dir_cnt = np.bincount(spair[~wide], weights=sw[~wide],
+                          minlength=n).astype(np.int64) if n_dir else \
+        np.zeros(n, dtype=np.int64)
+    wide_cnt = np.zeros(n, dtype=np.int64)
+    for pr, tg, key in wide_hits:
+        wide_cnt[pr] += len(pos_memo[key])
+    key_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dir_cnt + wide_cnt, out=key_off[1:])
+    flat_keys = np.zeros(int(key_off[-1]), dtype=np.uint64)
+    if n_dir:
+        elem_pair = np.repeat(spair[~wide], d_w)
+        dstart = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dir_cnt, out=dstart[1:])
+        slots = key_off[:-1][elem_pair] + (
+            np.arange(dir_base, dtype=np.int64) - dstart[:-1][elem_pair])
+        flat_keys[slots] = ((expanded[:dir_base] << np.uint64(32))
+                            | np.repeat(stag[~wide], d_w)
+                            .astype(np.uint64))
+    if wide_hits:
+        cursor = (key_off[:-1] + dir_cnt).copy()
+        for pr, tg, key in wide_hits:
+            posv = pos_memo[key]
+            m = len(posv)
+            flat_keys[cursor[pr]:cursor[pr] + m] = \
+                (posv.astype(np.uint64) << np.uint64(32)) | np.uint64(tg)
+            cursor[pr] += m
+    return flat_keys, key_off
+
+
 def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
                 last_ii=None, pos_memo=None, ntpac=None):
     """Columnar native sampe for one chunk (bwa_sai2sam_pe_core,
@@ -365,106 +487,9 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
 
     # --- pairing (bwape.c:349-398): vectorized interval expansion with
     # the wide-interval memo, then the native per-pair sweep ---
-    hk = recs[1::4].astype(np.int64)
-    hl = recs[2::4].astype(np.int64)
-    hw = hl - hk + 1
-    hit_row = np.repeat(np.arange(n2, dtype=np.int64), counts)
-    cs_w = np.zeros(len(hw) + 1, dtype=np.int64)
-    np.cumsum(hw, out=cs_w[1:])
-    n_occ_read = cs_w[hit_off[1:]] - cs_w[hit_off[:-1]]
-    pair_ok = (matched[0::2] & matched[1::2]
-               & (n_occ_read[0::2] <= popt.max_occ)
-               & (n_occ_read[1::2] <= popt.max_occ))
-    hsel = pair_ok[hit_row >> 1]
-    sk = hk[hsel]
-    sw = hw[hsel]
-    srow = hit_row[hsel]
-    sstrand = ((recs[0::4][hsel].astype(np.int64) >> 24) & 1)
-    ski = (np.arange(len(hk), dtype=np.int64)
-           - hit_off[:-1][hit_row])[hsel]
-    stag = (ski << 1) | (srow & 1)
-    slen = lens[srow]
-    spair = srow >> 1
-    wide = sw >= pe.MIN_HASH_WIDTH
-
-    # expansion jobs: direct hits in order + first-seen wide intervals
-    d_k, d_w, d_strand, d_len = sk[~wide], sw[~wide], sstrand[~wide], \
-        slen[~wide]
-    wide_jobs = []          # (key, k, w, strand, len) first-seen wides
-    wide_hits = []          # (pair, tag, key) every selected wide hit
-    if wide.any():
-        for kk, ww, st_, ln_, pr, tg in zip(
-                sk[wide].tolist(), sw[wide].tolist(),
-                sstrand[wide].tolist(), slen[wide].tolist(),
-                spair[wide].tolist(), stag[wide].tolist()):
-            key = (kk, kk + ww - 1)
-            if key not in pos_memo:
-                pos_memo[key] = ("pending", len(wide_jobs))
-                wide_jobs.append((key, kk, ww, st_, ln_))
-            wide_hits.append((pr, tg, key))
-    j_k = np.concatenate([d_k, np.array([t[1] for t in wide_jobs],
-                                        dtype=np.int64)])
-    j_w = np.concatenate([d_w, np.array([t[2] for t in wide_jobs],
-                                        dtype=np.int64)])
-    j_strand = np.concatenate([d_strand,
-                               np.array([t[3] for t in wide_jobs],
-                                        dtype=np.int64)])
-    j_len = np.concatenate([d_len, np.array([t[4] for t in wide_jobs],
-                                            dtype=np.int64)])
-    cw = np.zeros(len(j_w) + 1, dtype=np.int64)
-    np.cumsum(j_w, out=cw[1:])
-    tot = int(cw[-1])
-    expanded = np.zeros(tot, dtype=np.uint64)
-    if tot:
-        rows_sa = (np.repeat(j_k, j_w)
-                   + (np.arange(tot, dtype=np.int64)
-                      - np.repeat(cw[:-1], j_w)))
-        jstr = np.repeat(j_strand, j_w) != 0
-        jlen = np.repeat(j_len, j_w)
-        for a in (1, 0):
-            jsel = jstr if a else ~jstr
-            if not jsel.any():
-                continue
-            vals = engine.sa_rows(a, rows_sa[jsel].astype(np.uint32)) \
-                .astype(np.int64)
-            if a:
-                expanded[jsel] = vals.astype(np.uint64)
-            else:
-                expanded[jsel] = ((rev_len - (vals + jlen[jsel]))
-                                  & _NEG1).astype(np.uint64)
-    n_dir = len(d_k)
-    dir_base = int(cw[n_dir])      # direct expansions occupy [0, dir_base)
-    for wj, (key, kk, ww, _s, _l) in enumerate(wide_jobs):
-        o = int(cw[n_dir + wj])
-        pos_memo[key] = expanded[o:o + ww].copy()
-
-    # per-pair key assembly: direct block then wide block
-    dir_cnt = np.bincount(spair[~wide], weights=sw[~wide],
-                          minlength=n).astype(np.int64) if n_dir else \
-        np.zeros(n, dtype=np.int64)
-    wide_cnt = np.zeros(n, dtype=np.int64)
-    for pr, tg, key in wide_hits:
-        wide_cnt[pr] += len(pos_memo[key])
-    key_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(dir_cnt + wide_cnt, out=key_off[1:])
-    flat_keys = np.zeros(int(key_off[-1]), dtype=np.uint64)
-    if n_dir:
-        elem_pair = np.repeat(spair[~wide], d_w)
-        dstart = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(dir_cnt, out=dstart[1:])
-        slots = key_off[:-1][elem_pair] + (
-            np.arange(dir_base, dtype=np.int64) - dstart[:-1][elem_pair])
-        flat_keys[slots] = ((expanded[:dir_base] << np.uint64(32))
-                            | np.repeat(stag[~wide], d_w)
-                            .astype(np.uint64))
-    if wide_hits:
-        cursor = (key_off[:-1] + dir_cnt).copy()
-        for pr, tg, key in wide_hits:
-            posv = pos_memo[key]
-            m = len(posv)
-            flat_keys[cursor[pr]:cursor[pr] + m] = \
-                (posv.astype(np.uint64) << np.uint64(32)) | np.uint64(tg)
-            cursor[pr] += m
+    flat_keys, key_off = build_pair_keys(engine, state, recs, counts,
+                                         hit_off, n, popt.max_occ,
+                                         pos_memo)
     pet = 0 if popt.type == BWA_PET_STD else 1
     lib.pe_pairing_batch(
         n, flat_keys, key_off, recs, 4 * hit_off, state.reshape(-1),

@@ -484,6 +484,307 @@ int64_t pe_pairing_batch(int64_t n_pairs, uint64_t *keys,
   return cnt_chg;
 }
 
+// bwa_update_bam1 (bam2bam.py update_bam1, bam2bam.c:430-593) for a
+// batch: splice the finished alignment state into fresh BAM record
+// blobs.  Inputs mirror the sam_emit_batch conventions (state matrix,
+// flat refined cigars with the [n+1]+[n*stride+1] offset layout, flat
+// MDs, multi arrays, bns columns).  Old records arrive as core-field
+// columns + flat data blobs; outputs are 9 new core fields per row
+// (flag,tid,pos,bin,qual,mtid,mpos,isize,n_cigar) and a fresh data blob
+// per row (qname | new cigar | seq | qual | old aux | appended tags).
+// Returns the total blob length (re-run with a bigger buffer if > cap).
+// Mutates state F_POS/F_STRAND/F_XFLAG/F_MAPQ exactly like the Python
+// (the NO_MATCH-with-mate coordinate adoption).
+int64_t bam_update_batch(
+    int64_t n, int64_t *state, const int64_t *mate_idx,
+    const int64_t *in_flag, const int64_t *in_l_qname,
+    const int64_t *in_n_cigar, const int64_t *in_l_qseq,
+    const uint8_t *in_data, const int64_t *in_off,
+    const int32_t *cig, const int64_t *cig_off,
+    const uint8_t *md, const int64_t *md_off,
+    const uint64_t *multi_pos, const int32_t *multi_gap,
+    const int32_t *multi_mm, const int32_t *multi_strand,
+    const int32_t *multi_n, int64_t stride,
+    const int32_t *max_entries, int debug_bam,
+    int n_seqs, const int64_t *ann_off, const int64_t *ann_len,
+    const uint8_t *ann_names, const int64_t *ann_name_off,
+    int64_t n_holes, const int64_t *amb_off, const int32_t *amb_len_a,
+    int64_t l_pac, int mode, int64_t max_top2,
+    int64_t *out_fields, uint8_t *out_data, int64_t out_cap,
+    int64_t *out_off) {
+  Bns bns{n_seqs, ann_off, ann_len, ann_names, ann_name_off,
+          n_holes, amb_off, amb_len_a, nullptr, l_pac};
+  // revcom1 (bam2bam.c:109-126): bit-reversal of the byte swaps and
+  // complements both nt16 nybbles at once
+  static uint8_t revcom1[256];
+  static bool rc_init = false;
+  if (!rc_init) {
+    for (int i = 0; i < 256; ++i) {
+      uint8_t v = 0;
+      for (int b = 0; b < 8; ++b)
+        if (i & (1 << b)) v |= 1 << (7 - b);
+      revcom1[i] = v;
+    }
+    rc_init = true;
+  }
+  static const int CIG_BAM_OP[4] = {0, 1, 2, 4};
+  constexpr int FSR = 16, FSC = 256;
+  Writer w{out_data, out_cap, 0, false};
+
+  auto reg2bin = [](int64_t beg, int64_t end) -> int64_t {
+    --end;
+    if (beg >> 14 == end >> 14) return 4681 + (beg >> 14);
+    if (beg >> 17 == end >> 17) return 585 + (beg >> 17);
+    if (beg >> 20 == end >> 20) return 73 + (beg >> 20);
+    if (beg >> 23 == end >> 23) return 9 + (beg >> 23);
+    if (beg >> 26 == end >> 26) return 1 + (beg >> 26);
+    return 0;
+  };
+  auto push_int = [&](char u, char v, int64_t x) {
+    char t[3] = {u, v, 'i'};
+    w.bytes(reinterpret_cast<const uint8_t *>(t), 3);
+    uint32_t val = static_cast<uint32_t>(x);
+    w.bytes(reinterpret_cast<const uint8_t *>(&val), 4);
+  };
+  auto push_char = [&](char u, char v, char c) {
+    char t[4] = {u, v, 'A', c};
+    w.bytes(reinterpret_cast<const uint8_t *>(t), 4);
+  };
+
+  for (int64_t i = 0; i < n; ++i) {
+    out_off[i] = w.len;
+    int64_t *st = state + i * NF;
+    int64_t mi = mate_idx[i];
+    int64_t *mt = mi >= 0 ? state + mi * NF : nullptr;
+    int64_t flag = in_flag[i];
+    int64_t l_qname = in_l_qname[i], l_qseq = in_l_qseq[i];
+    const uint8_t *ind = in_data + in_off[i];
+    int64_t in_len = in_off[i + 1] - in_off[i];
+    int64_t old_cig_off = l_qname;
+    int64_t seq_src = l_qname + 4 * in_n_cigar[i];
+    int64_t nbytes = (l_qseq + 1) / 2;
+    int64_t qual_src = seq_src + nbytes;
+    int64_t aux_src = qual_src + l_qseq;
+    (void)old_cig_off;
+
+    int64_t c0 = cig_off[i], c1 = cig_off[i + 1];
+    bool has_cigar = c1 > c0;
+    int64_t tid, pos_out, bin, qual, mtid, mpos, isize, n_cig_new;
+    bool revcom = false;
+
+    bool s_matched = st[F_TYPE] != TYPE_NO_MATCH;
+    bool m_matched = mt && mt[F_TYPE] != TYPE_NO_MATCH;
+    if (s_matched || m_matched) {
+      int64_t am = 0, j;
+      if (!s_matched) {
+        st[F_POS] = mt[F_POS];
+        st[F_STRAND] = mt[F_STRAND];
+        st[F_XFLAG] |= SAM_FSU;
+        j = 1;
+      } else {
+        j = pos_end(state, cig, cig_off, i) - st[F_POS];
+      }
+      revcom = (st[F_STRAND] != 0) != ((flag & FSR) != 0);
+      if (revcom) flag ^= FSR;
+      flag &= ~(SAM_FPP | SAM_FSU | SAM_FMU | FSC | SAM_FMR);
+      flag |= st[F_XFLAG];
+
+      int64_t seqid, nn;
+      coor_pac2real(bns, st[F_POS], j, &seqid, &nn);
+      if (s_matched
+          && st[F_POS] + j - ann_off[seqid] > ann_len[seqid]) {
+        flag |= SAM_FSU;
+        flag &= ~SAM_FPP;
+        st[F_MAPQ] = 0;
+      }
+      tid = seqid;
+      pos_out = st[F_POS] - ann_off[seqid];
+      bin = reg2bin(pos_out,
+                    pos_end(state, cig, cig_off, i) - ann_off[seqid]);
+      qual = st[F_MAPQ];
+      n_cig_new = has_cigar ? (c1 - c0) / 2 : (s_matched ? 1 : 0);
+
+      if (m_matched) {
+        am = std::min(mt[F_SEQ_Q], st[F_SEQ_Q]);
+        int64_t m_seqid, m_nn;
+        coor_pac2real(bns, mt[F_POS], mt[F_LEN], &m_seqid, &m_nn);
+        nn += m_nn;
+        int64_t m_j = pos_end(state, cig, cig_off, mi) - mt[F_POS];
+        if (mt[F_POS] + m_j - ann_off[m_seqid] > ann_len[m_seqid]) {
+          flag |= SAM_FMU;
+          flag &= ~SAM_FPP;
+        }
+        if (mt[F_STRAND]) flag |= SAM_FMR;
+        mtid = m_seqid;
+        mpos = mt[F_POS] - ann_off[m_seqid];
+        if (!s_matched) {
+          isize = 0;
+        } else {
+          isize = seqid == m_seqid
+              ? pos_5(state, cig, cig_off, mi)
+                    - pos_5(state, cig, cig_off, i)
+              : 0;
+        }
+      } else if (mt) {
+        flag |= SAM_FMU;
+        flag &= ~SAM_FPP;
+        mtid = seqid;
+        mpos = st[F_POS] - ann_off[seqid];
+        isize = 0;
+      } else {
+        mtid = -1;
+        mpos = -1;
+        isize = 0;
+      }
+
+      // ---- data blob: qname | new cigar | seq' | qual' | aux ----
+      w.bytes(ind, l_qname);
+      if (has_cigar) {
+        for (int64_t c = c0; c < c1; c += 2) {
+          uint32_t word = (static_cast<uint32_t>(cig[c + 1]) << 4)
+              | CIG_BAM_OP[cig[c] & 3];
+          w.bytes(reinterpret_cast<const uint8_t *>(&word), 4);
+        }
+      } else if (s_matched) {
+        uint32_t word = static_cast<uint32_t>(st[F_LEN]) << 4;
+        w.bytes(reinterpret_cast<const uint8_t *>(&word), 4);
+      }
+      if (revcom) {
+        // revcom_bam1 (bam2bam.c:335-362)
+        if (w.len + nbytes <= w.cap) {
+          uint8_t *dst = w.buf + w.len;
+          for (int64_t b = 0; b < nbytes; ++b)
+            dst[b] = revcom1[ind[seq_src + nbytes - 1 - b]];
+          if (l_qseq & 1) {
+            for (int64_t b = 0; b < nbytes - 1; ++b)
+              dst[b] = static_cast<uint8_t>(((dst[b] & 0x0F) << 4)
+                                            | ((dst[b + 1] & 0xF0) >> 4));
+            dst[nbytes - 1] = static_cast<uint8_t>((dst[nbytes - 1]
+                                                    & 0x0F) << 4);
+          }
+        } else {
+          w.overflow = true;
+        }
+        w.len += nbytes;
+        if (w.len + l_qseq <= w.cap) {
+          uint8_t *dst = w.buf + w.len;
+          for (int64_t b = 0; b < l_qseq; ++b)
+            dst[b] = ind[qual_src + l_qseq - 1 - b];
+        } else {
+          w.overflow = true;
+        }
+        w.len += l_qseq;
+      } else {
+        w.bytes(ind + seq_src, nbytes + l_qseq);
+      }
+      w.bytes(ind + aux_src, in_len - aux_src);
+
+      // ---- tag pushes (same append order as the Python) ----
+      if (st[F_CLIP_LEN] < st[F_FULL_LEN])
+        push_int('X', 'C', st[F_CLIP_LEN]);
+      if (max_entries && max_entries[i] && debug_bam)
+        push_int('Y', 'Q', max_entries[i]);
+      if (s_matched) {
+        char xt = "NURM"[st[F_TYPE] & 3];
+        if (nn > 10) xt = 'N';
+        push_char('X', 'T', xt);
+        if (mode & MODE_COMPREAD) push_int('N', 'M', st[F_NM]);
+        else push_int('C', 'M', st[F_NM]);
+        if (nn) push_int('X', 'N', nn);
+        if (mt) {
+          push_int('S', 'M', st[F_SEQ_Q]);
+          push_int('A', 'M', am);
+        }
+        if (st[F_TYPE] != TYPE_MATESW) {
+          push_int('X', '0', st[F_C1]);
+          if (st[F_C1] <= max_top2) push_int('X', '1', st[F_C2]);
+        }
+        push_int('X', 'M', st[F_NMM]);
+        push_int('X', 'O', st[F_NGO]);
+        push_int('X', 'G', st[F_NGO] + st[F_NGE]);
+        if (md_off[i + 1] > md_off[i]) {
+          char t[3] = {'M', 'D', 'Z'};
+          w.bytes(reinterpret_cast<const uint8_t *>(t), 3);
+          w.bytes(md + md_off[i], md_off[i + 1] - md_off[i]);
+          w.put('\0');
+        }
+        if (multi_n && multi_n[i]) {
+          char t[3] = {'X', 'A', 'Z'};
+          w.bytes(reinterpret_cast<const uint8_t *>(t), 3);
+          char tmp[32];
+          for (int32_t m = 0; m < multi_n[i]; ++m) {
+            int64_t o = i * stride + m;
+            int64_t mc0 = cig_off[n + 1 + o], mc1 = cig_off[n + 2 + o];
+            int64_t mpos_p = static_cast<int64_t>(multi_pos[o]);
+            int64_t jj;
+            if (mc1 > mc0) {
+              jj = 0;
+              for (int64_t c = mc0; c < mc1; c += 2)
+                if (cig[c] == 0 || cig[c] == 2) jj += cig[c + 1];
+            } else {
+              jj = st[F_LEN];
+            }
+            int64_t sid, dummy_nn;
+            coor_pac2real(bns, mpos_p, jj, &sid, &dummy_nn);
+            w.bytes(ann_names + ann_name_off[sid],
+                    ann_name_off[sid + 1] - ann_name_off[sid]);
+            w.put(',');
+            w.put(multi_strand[o] ? '-' : '+');
+            w.num(mpos_p - ann_off[sid] + 1);
+            w.put(',');
+            if (mc1 > mc0) {
+              for (int64_t c = mc0; c < mc1; c += 2) {
+                w.num(cig[c + 1]);
+                w.put(CIGAR_CHR[cig[c] & 3]);
+              }
+            } else {
+              int nw = std::snprintf(tmp, sizeof tmp, "%lldM",
+                                     static_cast<long long>(st[F_LEN]));
+              w.bytes(reinterpret_cast<const uint8_t *>(tmp), nw);
+            }
+            w.put(',');
+            w.num(multi_gap[o] + multi_mm[o]);
+            w.put(';');
+          }
+          w.put('\0');
+        }
+      }
+    } else {  // neither end matched (bam2bam.c:576-592)
+      tid = -1;
+      pos_out = -1;
+      bin = 0;
+      qual = 0;
+      mtid = -1;
+      mpos = -1;
+      isize = 0;
+      flag &= ~(SAM_FPP | SAM_FMU | FSC);
+      flag |= SAM_FSU;
+      if (mt) flag |= SAM_FMU;   // mate exists and is NO_MATCH here
+      n_cig_new = 0;
+      w.bytes(ind, l_qname);
+      w.bytes(ind + seq_src, nbytes + l_qseq);
+      w.bytes(ind + aux_src, in_len - aux_src);
+      if (st[F_CLIP_LEN] < st[F_FULL_LEN])
+        push_int('X', 'C', st[F_CLIP_LEN]);
+      if (max_entries && max_entries[i] && debug_bam)
+        push_int('Y', 'Q', max_entries[i]);
+    }
+
+    int64_t *of = out_fields + i * 9;
+    of[0] = flag;
+    of[1] = tid;
+    of[2] = pos_out;
+    of[3] = bin;
+    of[4] = qual;
+    of[5] = mtid;
+    of[6] = mpos;
+    of[7] = isize;
+    of[8] = n_cig_new;
+  }
+  out_off[n] = w.len;
+  return w.len;
+}
+
 // bwa_cal_md1 (samse.py cal_md1, bwase.c:253-315) for a batch.
 // seqs: strand-resolved read codes (forward reference orientation),
 // flat + offsets.  cig counts of <=0 pairs = no cigar.  md_out must hold

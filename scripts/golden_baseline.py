@@ -289,8 +289,12 @@ def config5():
             for p in procs:
                 p.wait(timeout=30)
     else:
+        # local scheduler threads: Python sections serialize on the GIL
+        # while the native kernels thread internally, so fewer scheduler
+        # threads with full native width can win — C5_THREADS to probe
         odt = ours(["bam2bam", "-g", str(fa), "-f",
-                    str(WORK / "c5.got.bam"), str(bam_in), "-t", "4"])
+                    str(WORK / "c5.got.bam"), str(bam_in), "-t",
+                    os.environ.get("C5_THREADS", "4")])
     rtext, ref_recs = dump_records(str(WORK / "c5.ref.bam"))
     gtext, got_recs = dump_records(str(WORK / "c5.got.bam"))
 
