@@ -384,9 +384,13 @@ def dfs_match_gap_native(fwd_bwt, primary_fwd, rev_bwt, primary_rev, l2,
         sub_seqs = np.ascontiguousarray(seqs[pending])
         sub_len = np.ascontiguousarray(lengths[pending])
         sub_md = np.ascontiguousarray(maxdiff[pending])
+        # callers may hand int32 bit patterns (AlnEngine stores u32
+        # positions that way); mask before the uint32 narrowing — numpy
+        # raises on out-of-bounds conversions past 2 Gbp
         lib.dfs_match_gap_batch(
-            fwd, np.uint32(primary_fwd), rev, np.uint32(primary_rev),
-            l2a, np.uint32(seq_len),
+            fwd, np.uint32(primary_fwd & 0xFFFFFFFF),
+            rev, np.uint32(primary_rev & 0xFFFFFFFF),
+            l2a, np.uint32(seq_len & 0xFFFFFFFF),
             sub_seqs, L, sub_len, sub_md, m,
             local.s_mm, local.s_gapo, local.s_gape, local.max_gape,
             local.max_gapo, local.indel_end_skip, local.max_del_occ,
