@@ -629,6 +629,14 @@ class AlnEngine:
                    and B % self.PALLAS_BB == 0)
         if use_pal:
             from ..ops import dfs_pallas
+            import os as _os3
+            # the HBM tier runs the persistent-occupancy (lane-refill)
+            # variant: finished lanes pull the next read instead of
+            # no-op iterating until the whole block drains (the lockstep
+            # block was ~54% idle at chromosome scale).  Lobotomy probes
+            # measure the lockstep kernel.
+            refill = (self._pal_hbm and not lobotomy
+                      and not _os3.environ.get("NABWA_NO_REFILL"))
             out = dfs_pallas.aln_device_step_pallas(
                 self._pal_table, self._pal_params, self.bwt_fwd,
                 self.bwt_rev, self.rev_off, self.primary_fwd,
@@ -637,7 +645,8 @@ class AlnEngine:
                 jnp.asarray(sseq), jnp.asarray(slen),
                 jnp.asarray(has_seed), jnp.asarray(maxdiff),
                 BB=self.PALLAS_BB, mxu=self._pal_mxu,
-                hbm=self._pal_hbm, lobotomy=lobotomy, **statics)
+                hbm=self._pal_hbm, refill=refill, lobotomy=lobotomy,
+                **statics)
         else:
             from ..ops.dfs import aln_device_step
             out = aln_device_step(

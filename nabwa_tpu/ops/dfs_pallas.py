@@ -157,7 +157,8 @@ def build_table_i8(table):
 def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 indel_end_skip, max_del_occ, max_entries, max_top2,
                 max_seed_diff, seed_len, mode, max_iters, mxu=False,
-                hbm=False, lobotomy=()):
+                hbm=False, refill=False, B_total=0, unroll=16,
+                lobotomy=()):
     # lobotomy: diagnostic-only static cuts for per-iteration cost
     # attribution ("nodone" forces exactly max_iters iterations; "fetch"/
     # "push"/"shadow"/"pend" skip those blocks).  Results are WRONG with
@@ -166,18 +167,42 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
     nonstop = bool(mode & BWA_MODE_NONSTOP)
     loggap = bool(mode & BWA_MODE_LOGGAP)
     BIG = 0x7FFFFFF
+    assert not refill or hbm, "refill tier requires the HBM table"
+    # refill outputs move by per-lane DMA, and Mosaic requires DMA slices
+    # lane-aligned to 128 — pad the hit/summ widths (driver slices back)
+    HW = -(-H // 128) * 128 if refill else H
+    SW = 128 if refill else 8
 
     def aln_score(m, o, e):
         return m * s_mm + o * s_gapo + e * s_gape
 
-    def kernel(params_ref, seqf_ref, seqr_ref, pww_f_ref, pww_r_ref,
-               pwb_f_ref, pwb_r_ref, sww_f_ref, sww_r_ref,
-               swb_f_ref, swb_r_ref, md_ref, len_ref, hseed_ref,
-               table_ref,
-               hmeta_ref, hk_ref, hl_ref, hscore_ref, summ_ref,
-               s_key, s_meta, s_k, s_l, stage, rowidx,
-               pw0w, pw0b, pw1w, pw1b, *dma_sem):
-        dma_sem = dma_sem[0] if dma_sem else None
+    def kernel(*refs):
+        if refill:
+            # persistent-occupancy variant: per-read inputs stay in HBM;
+            # a finished lane DMAs its outputs out and the cursor's next
+            # read in, so the block never stalls on one slow read (the
+            # reference's per-record work distribution keeps every core
+            # busy the same way, bam2bam.c:1387-1442)
+            (params_ref, seqf_h, seqr_h, pwwf_h, pwwr_h, pwbf_h, pwbr_h,
+             swwf_h, swwr_h, swbf_h, swbr_h, meta_h, table_ref,
+             hmeta_o, hk_o, hl_o, hscore_o, summ_o,
+             s_key, s_meta, s_k, s_l, stage, rowidx,
+             pw0w, pw0b, pw1w, pw1b,
+             seqf_s, seqr_s, swwf_s, swwr_s, swbf_s, swbr_s, meta_s,
+             hms, hks, hls, hss, summ_s, lanestat, fillflag, cur_read,
+             dma_sem, sem_in, sem_out) = refs
+            sww_f_ref, sww_r_ref = swwf_s, swwr_s
+            swb_f_ref, swb_r_ref = swbf_s, swbr_s
+            hmeta_ref, hk_ref, hl_ref, hscore_ref = hms, hks, hls, hss
+        else:
+            (params_ref, seqf_ref, seqr_ref, pww_f_ref, pww_r_ref,
+             pwb_f_ref, pwb_r_ref, sww_f_ref, sww_r_ref,
+             swb_f_ref, swb_r_ref, md_ref, len_ref, hseed_ref,
+             table_ref,
+             hmeta_ref, hk_ref, hl_ref, hscore_ref, summ_ref,
+             s_key, s_meta, s_k, s_l, stage, rowidx,
+             pw0w, pw0b, pw1w, pw1b, *dma_sem) = refs
+            dma_sem = dma_sem[0] if dma_sem else None
         l2_0 = params_ref[0, 0]
         l2_1 = params_ref[0, 1]
         l2_2 = params_ref[0, 2]
@@ -192,70 +217,94 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
         # all-true [BB,1] column via a compare (Mosaic rejects bool
         # constant vectors: i8->i1 trunc unsupported)
         true_col = _lane_iota((BB, 1)) == 0
+        zcol = jnp.zeros((BB, 1), I32)
 
-        lengths = len_ref[:, :1]
-        max_diff0 = md_ref[:, :1]
-        has_seed = hseed_ref[:, :1] != 0
-        seq_f = seqf_ref[:, :]
-        seq_r = seqr_ref[:, :]
+        if not refill:
+            lengths = len_ref[:, :1]
+            max_diff0 = md_ref[:, :1]
+            has_seed = hseed_ref[:, :1] != 0
+            seq_f = seqf_ref[:, :]
+            seq_r = seqr_ref[:, :]
 
-        # mutable width planes (gap_shadow writes them); w and bid ride in
-        # SEPARATE planes — the old (w<<8|bid) packing silently dropped
-        # w's high bits for genomes >= 2^24 bp, corrupting gap_shadow and
-        # the allow_m equality checks at chromosome scale
-        pw0w[:] = pww_f_ref[:, :]
-        pw0b[:] = pwb_f_ref[:, :]
-        pw1w[:] = pww_r_ref[:, :]
-        pw1b[:] = pwb_r_ref[:, :]
+            # mutable width planes (gap_shadow writes them); w and bid
+            # ride in SEPARATE planes — the old (w<<8|bid) packing
+            # silently dropped w's high bits for genomes >= 2^24 bp,
+            # corrupting gap_shadow and the allow_m equality checks at
+            # chromosome scale
+            pw0w[:] = pww_f_ref[:, :]
+            pw0b[:] = pwb_f_ref[:, :]
+            pw1w[:] = pww_r_ref[:, :]
+            pw1b[:] = pwb_r_ref[:, :]
 
         # ---- init ----
         s_key[:] = jnp.full((BB, S), FREE, I32)
         s_meta[:] = jnp.zeros((BB, S), I32)
         s_k[:] = jnp.zeros((BB, S), I32)
         s_l[:] = jnp.zeros((BB, S), I32)
-        hmeta_ref[:] = jnp.zeros((BB, H), I32)
-        hk_ref[:] = jnp.zeros((BB, H), I32)
-        hl_ref[:] = jnp.zeros((BB, H), I32)
-        hscore_ref[:] = jnp.zeros((BB, H), I32)
+        hmeta_ref[:] = jnp.zeros((BB, HW), I32)
+        hk_ref[:] = jnp.zeros((BB, HW), I32)
+        hl_ref[:] = jnp.zeros((BB, HW), I32)
+        hscore_ref[:] = jnp.zeros((BB, HW), I32)
 
-        n_count = ((seq_f > 3) & (lane_p < lengths)).astype(I32) \
-            .sum(axis=1, keepdims=True)
-        done0 = (n_count > max_diff0) | (lengths <= 0)
-        seedable = ~done0
+        if refill:
+            # every lane starts done with no read assigned; the first
+            # sweep fills the block from the cursor.  cur_read is SMEM
+            # scratch (uninitialized): set every slot to -1 before the
+            # first sweep can read it
+            def _init_cr(i, x):
+                cur_read[i] = -1
+                return x
+            jax.lax.fori_loop(0, BB, _init_cr, 0, unroll=BB)
+            ocol = jnp.broadcast_to(jnp.ones((1, 1), I32), (BB, 1))
+            c0 = dict(
+                nent=zcol, seqctr=zcol, best_score=zcol, best_diff=zcol,
+                best_cnt=zcol, maxdiff=zcol, naln=zcol, done=ocol,
+                ovf=zcol, hw=zcol, pend=zcol, pend_i=zcol, pend_k=zcol,
+                pend_l=zcol, pend_cnt=zcol, pend_a=zcol, pend_ldp=zcol,
+                fin=zcol, pend_iters=zcol, itst=zcol)
+            c_keys = sorted(c0)
+            def lane_inputs():
+                return (meta_s[:, 1:2], meta_s[:, 0:1],
+                        meta_s[:, 2:3] != 0, seqf_s[:, :], seqr_s[:, :])
+        else:
+            n_count = ((seq_f > 3) & (lane_p < lengths)).astype(I32) \
+                .sum(axis=1, keepdims=True)
+            done0 = (n_count > max_diff0) | (lengths <= 0)
+            seedable = ~done0
 
-        # per-read register file: [BB,1] while_loop carries (a VMEM
-        # scratch register tile cost ~30 strided loads + an 18-way masked
-        # writeback per iteration; carries live in vregs)
-        zcol = jnp.zeros((BB, 1), I32)
-        c0 = dict(
-            nent=jnp.where(seedable, 2, 0).astype(I32),
-            seqctr=jnp.where(seedable, 2, 0).astype(I32),
-            best_score=jnp.broadcast_to(
-                aln_score(max_diff0 + 1, max_gapo + 1, max_gape + 1),
-                (BB, 1)).astype(I32),
-            best_diff=(max_diff0 + 1).astype(I32),
-            best_cnt=zcol, maxdiff=max_diff0.astype(I32),
-            naln=zcol, done=done0.astype(I32), ovf=zcol, hw=zcol,
-            pend=zcol, pend_i=zcol, pend_k=zcol, pend_l=zcol,
-            pend_cnt=zcol, pend_a=zcol, pend_ldp=zcol, fin=zcol,
-            pend_iters=zcol)
-        if "skel2" in lobotomy:        # carry-count floor measurement
-            c0 = dict(done=c0["done"], fin=zcol, nent=c0["nent"])
-        c_keys = sorted(c0)
+            # per-read register file: [BB,1] while_loop carries (a VMEM
+            # scratch register tile cost ~30 strided loads + an 18-way
+            # masked writeback per iteration; carries live in vregs)
+            c0 = dict(
+                nent=jnp.where(seedable, 2, 0).astype(I32),
+                seqctr=jnp.where(seedable, 2, 0).astype(I32),
+                best_score=jnp.broadcast_to(
+                    aln_score(max_diff0 + 1, max_gapo + 1, max_gape + 1),
+                    (BB, 1)).astype(I32),
+                best_diff=(max_diff0 + 1).astype(I32),
+                best_cnt=zcol, maxdiff=max_diff0.astype(I32),
+                naln=zcol, done=done0.astype(I32), ovf=zcol, hw=zcol,
+                pend=zcol, pend_i=zcol, pend_k=zcol, pend_l=zcol,
+                pend_cnt=zcol, pend_a=zcol, pend_ldp=zcol, fin=zcol,
+                pend_iters=zcol)
+            if "skel2" in lobotomy:        # carry-count floor measurement
+                c0 = dict(done=c0["done"], fin=zcol, nent=c0["nent"])
+            c_keys = sorted(c0)
 
-        # seed pushes: slots 0 (a=0) and 1 (a=1), score 0; the a=1 key
-        # 0xFFFE is smaller so it pops first like the C (bwtgap.c:127-128)
-        seedk = jnp.where(
-            lane_s == 0, jnp.where(seedable, 0xFFFF, FREE),
-            jnp.where(lane_s == 1, jnp.where(seedable, 0xFFFE, FREE),
-                      FREE))
-        s_key[:] = seedk
-        m0 = lengths            # i=len, a=0, ldp=0, state M, cnt 0
-        m1 = lengths | (1 << M_A)
-        s_meta[:] = jnp.where(
-            lane_s == 0, jnp.where(seedable, m0, 0),
-            jnp.where(lane_s == 1, jnp.where(seedable, m1, 0), 0))
-        s_l[:] = jnp.where((lane_s < 2) & seedable, seq_len, 0)
+            # seed pushes: slots 0 (a=0) and 1 (a=1), score 0; the a=1
+            # key 0xFFFE is smaller so it pops first like the C
+            # (bwtgap.c:127-128)
+            seedk = jnp.where(
+                lane_s == 0, jnp.where(seedable, 0xFFFF, FREE),
+                jnp.where(lane_s == 1, jnp.where(seedable, 0xFFFE, FREE),
+                          FREE))
+            s_key[:] = seedk
+            m0 = lengths            # i=len, a=0, ldp=0, state M, cnt 0
+            m1 = lengths | (1 << M_A)
+            s_meta[:] = jnp.where(
+                lane_s == 0, jnp.where(seedable, m0, 0),
+                jnp.where(lane_s == 1, jnp.where(seedable, m1, 0), 0))
+            s_l[:] = jnp.where((lane_s < 2) & seedable, seq_len, 0)
 
         def occ_prep(k, primary):
             """Adjusted position + block geometry cols for one occ4.
@@ -278,6 +327,17 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 
             def getreg(name):
                 return cr[name]
+
+            if refill:
+                # per-lane inputs live in VMEM scratch and change at
+                # refill sweeps — re-read each iteration (cheap VMEM
+                # loads; the closure reads of the block-input variant
+                # would alias stale rows)
+                lengths_b, _md0_b, has_seed_b, seq_f_b, seq_r_b = \
+                    lane_inputs()
+            else:
+                lengths_b, has_seed_b = lengths, has_seed
+                seq_f_b, seq_r_b = seq_f, seq_r
 
             if "skel" in lobotomy:     # loop-machinery floor measurement
                 it = it + 1
@@ -517,8 +577,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                                       & (bid_i2 == m - 1)
                                       & (w_i2m1 == w_i2))
                 # seed bounds (bwtgap.c:210-214)
-                hseed = has_seed
-                ii = jnp.where(hseed, i2 - (lengths - seed_len), -1)
+                hseed = has_seed_b
+                ii = jnp.where(hseed, i2 - (lengths_b - seed_len), -1)
                 spw = jnp.where(a0, sww_f_ref[:, :], sww_r_ref[:, :])
                 spb = jnp.where(a0, swb_f_ref[:, :], swb_r_ref[:, :])
                 sbid_iim1 = _extract(spb, ii - 1)
@@ -542,7 +602,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             else:
                 tmp = vsum
             ind_ok = (allow_diff & (i2 >= indel_end_skip + tmp)
-                      & (lengths - i2 >= indel_end_skip + tmp))
+                      & (lengths_b - i2 >= indel_end_skip + tmp))
 
             is_m = e_state == STATE_M
             is_i = e_state == STATE_I
@@ -563,7 +623,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             # trunc hole) — select in i32, then compare
             use_f = jnp.where(in_pend, p_a0.astype(I32),
                               a0.astype(I32)) != 0
-            seq_sel = jnp.where(use_f, seq_f, seq_r)
+            seq_sel = jnp.where(use_f, seq_f_b, seq_r_b)
             look_pos = jnp.where(in_pend, getreg("pend_i") - 1, e_i - 1)
             base_c = _extract(seq_sel, look_pos)
             sc = base_c          # seq at i2 for expansion
@@ -702,7 +762,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             done = done | brk2
             add_lane = hit_now & ~brk2
             # tandem-repeat dedup (bwtgap.c:179-183)
-            lane_h = _lane_iota((BB, H))
+            lane_h = _lane_iota((BB, HW))
             in_hits = ((hk_ref[:] == h_k) & (hl_ref[:] == h_l)
                        & (lane_h < n_aln)).astype(I32) \
                 .sum(axis=1, keepdims=True) > 0
@@ -852,10 +912,15 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             it = it + 1
             if "nodone" in lobotomy:    # fixed-iteration timing run
                 done = done & ~true_col
-            fin = jnp.where(active & done, it, getreg("fin"))
-            cap_hit = it >= max_iters
-            overflow = overflow | (~done & cap_hit)
-            done = done | cap_hit
+            if refill:
+                lane_it = it - getreg("itst")
+                fin = jnp.where(active & done, lane_it, getreg("fin"))
+                cap_hit = lane_it >= max_iters
+            else:
+                fin = jnp.where(active & done, it, getreg("fin"))
+                cap_hit = it >= max_iters
+            overflow = overflow | (active & ~done & cap_hit)
+            done = done | (active & cap_hit)
 
             # ---- next-iteration register file ----
             nxt = dict(
@@ -866,6 +931,11 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 pend_l=pend_l, pend_cnt=pend_cnt, pend_a=pend_a,
                 pend_ldp=pend_ldp, fin=fin, seqctr=seq_ctr,
                 pend_iters=getreg("pend_iters") + in_pend.astype(I32))
+            if refill:
+                nxt["itst"] = getreg("itst")
+                # liveness is owned by the sweep (live = unflushed reads);
+                # the per-iteration cross-sublane reduce is skipped
+                return (it, live) + tuple(nxt[k] for k in c_keys)
             live = (done == 0).astype(I32).sum()
             return (it, live) + tuple(nxt[k] for k in c_keys)
 
@@ -881,7 +951,180 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
         # ~35 us); the extra <=15 no-op tail iterations are ~3% of a
         # typical 440-iteration block
         import os as _os
-        UNROLL = int(_os.environ.get("NABWA_DFS_UNROLL", "16"))
+        UNROLL = int(_os.environ.get("NABWA_DFS_UNROLL", str(unroll)))
+
+        if refill:
+            lane8 = _lane_iota((BB, SW))
+
+            def sweep(it, cursor, cr):
+                """Flush finished lanes' outputs to HBM, pull the next
+                reads from the cursor, re-seed the refilled lanes.
+                Runs every UNROLL iterations; returns the new register
+                file + (n_flushed, new_cursor)."""
+                # vector -> scalar handoff: done flags + the summ rows
+                lanestat[:, 0:1] = cr["done"]
+                fillflag[:] = jnp.zeros((BB, LANES), I32)
+                summ = jnp.zeros((BB, SW), I32)
+                summ = jnp.where(lane8 == 0, cr["naln"], summ)
+                summ = jnp.where(lane8 == 1, cr["hw"], summ)
+                summ = jnp.where(lane8 == 2, cr["ovf"], summ)
+                summ = jnp.where(lane8 == 3, cr["fin"], summ)
+                summ = jnp.where(lane8 == 4, it, summ)
+                summ = jnp.where(lane8 == 5, cr["pend_iters"], summ)
+                summ_s[:] = summ
+
+                one_row = jnp.ones((1, LANES), I32)
+
+                def lane(i, c):
+                    nf, ni, cur = c
+                    st = lanestat[i, 0]
+                    rd = cur_read[i]
+                    do_flush = (st != 0) & (rd >= 0)
+
+                    @pl.when(do_flush)
+                    def _():
+                        for src, dst in ((hms, hmeta_o), (hks, hk_o),
+                                         (hls, hl_o), (hss, hscore_o)):
+                            pltpu.make_async_copy(
+                                src.at[pl.ds(i, 1), :],
+                                dst.at[pl.ds(rd, 1), :], sem_out).start()
+                        pltpu.make_async_copy(
+                            summ_s.at[pl.ds(i, 1), :],
+                            summ_o.at[pl.ds(rd, 1), :], sem_out).start()
+                    do_fill = (st != 0) & (cur < B_total)
+
+                    @pl.when(do_fill)
+                    def _():
+                        for src, dst in ((seqf_h, seqf_s), (seqr_h, seqr_s),
+                                         (pwwf_h, pw0w), (pwwr_h, pw1w),
+                                         (pwbf_h, pw0b), (pwbr_h, pw1b),
+                                         (swwf_h, swwf_s),
+                                         (swwr_h, swwr_s),
+                                         (swbf_h, swbf_s),
+                                         (swbr_h, swbr_s),
+                                         (meta_h, meta_s)):
+                            pltpu.make_async_copy(
+                                src.at[pl.ds(cur, 1), :],
+                                dst.at[pl.ds(i, 1), :], sem_in).start()
+                        cur_read[i] = cur
+                        fillflag[pl.ds(i, 1), :] = one_row
+
+                    @pl.when((st != 0) & (cur >= B_total) & (rd >= 0))
+                    def _():
+                        cur_read[i] = -1
+                    return (nf + do_flush.astype(I32),
+                            ni + do_fill.astype(I32),
+                            cur + do_fill.astype(I32))
+
+                nf, ni, cursor2 = jax.lax.fori_loop(
+                    0, BB, lane, (jnp.int32(0), jnp.int32(0), cursor),
+                    unroll=BB)
+
+                # drain: fixed-shape waits, one per issued copy (shared-
+                # semaphore byte accounting, same trick as the fetch
+                # drain below)
+                def dr_in(_, x):
+                    pltpu.make_async_copy(
+                        seqf_h.at[pl.ds(0, 1), :],
+                        seqf_s.at[pl.ds(0, 1), :], sem_in).wait()
+                    return x
+                jax.lax.fori_loop(0, 11 * ni, dr_in, 0)
+
+                def dr_oh(_, x):
+                    pltpu.make_async_copy(
+                        hms.at[pl.ds(0, 1), :],
+                        hmeta_o.at[pl.ds(0, 1), :], sem_out).wait()
+                    return x
+                jax.lax.fori_loop(0, 4 * nf, dr_oh, 0)
+
+                def dr_os(_, x):
+                    pltpu.make_async_copy(
+                        summ_s.at[pl.ds(0, 1), :],
+                        summ_o.at[pl.ds(0, 1), :], sem_out).wait()
+                    return x
+                jax.lax.fori_loop(0, nf, dr_os, 0)
+
+                # vector re-init of the refilled lanes
+                fillc = fillflag[:, 0:1] != 0
+                fill_b = jnp.broadcast_to(fillc.astype(I32),
+                                          (BB, S)) != 0
+                fill_h = jnp.broadcast_to(fillc.astype(I32),
+                                          (BB, HW)) != 0
+                len_col = meta_s[:, 1:2]
+                md_col = meta_s[:, 0:1]
+                seq_f2 = seqf_s[:, :]
+                n_count = ((seq_f2 > 3) & (lane_p < len_col)) \
+                    .astype(I32).sum(axis=1, keepdims=True)
+                done0 = (n_count > md_col) | (len_col <= 0)
+                seedable = fillc & ~done0
+                seedk = jnp.where(
+                    lane_s == 0, jnp.where(seedable, 0xFFFF, FREE),
+                    jnp.where(lane_s == 1,
+                              jnp.where(seedable, 0xFFFE, FREE), FREE))
+                s_key[:] = jnp.where(fill_b, seedk, s_key[:])
+                m0 = len_col
+                m1 = len_col | (1 << M_A)
+                seedm = jnp.where(
+                    lane_s == 0, jnp.where(seedable, m0, 0),
+                    jnp.where(lane_s == 1, jnp.where(seedable, m1, 0), 0))
+                s_meta[:] = jnp.where(fill_b, seedm, s_meta[:])
+                s_k[:] = jnp.where(fill_b, 0, s_k[:])
+                s_l[:] = jnp.where(
+                    fill_b, jnp.where((lane_s < 2) & seedable, seq_len, 0),
+                    s_l[:])
+                hms[:] = jnp.where(fill_h, 0, hms[:])
+                hks[:] = jnp.where(fill_h, 0, hks[:])
+                hls[:] = jnp.where(fill_h, 0, hls[:])
+                hss[:] = jnp.where(fill_h, 0, hss[:])
+
+                two = jnp.where(seedable, 2, 0).astype(I32)
+                nxt = dict(
+                    nent=jnp.where(fillc, two, cr["nent"]),
+                    seqctr=jnp.where(fillc, two, cr["seqctr"]),
+                    best_score=jnp.where(
+                        fillc, aln_score(md_col + 1, max_gapo + 1,
+                                         max_gape + 1),
+                        cr["best_score"]),
+                    best_diff=jnp.where(fillc, md_col + 1,
+                                        cr["best_diff"]),
+                    best_cnt=jnp.where(fillc, 0, cr["best_cnt"]),
+                    maxdiff=jnp.where(fillc, md_col, cr["maxdiff"]),
+                    naln=jnp.where(fillc, 0, cr["naln"]),
+                    done=jnp.where(fillc, done0.astype(I32), cr["done"]),
+                    ovf=jnp.where(fillc, 0, cr["ovf"]),
+                    hw=jnp.where(fillc, 0, cr["hw"]),
+                    pend=jnp.where(fillc, 0, cr["pend"]),
+                    pend_i=jnp.where(fillc, 0, cr["pend_i"]),
+                    pend_k=jnp.where(fillc, 0, cr["pend_k"]),
+                    pend_l=jnp.where(fillc, 0, cr["pend_l"]),
+                    pend_cnt=jnp.where(fillc, 0, cr["pend_cnt"]),
+                    pend_a=jnp.where(fillc, 0, cr["pend_a"]),
+                    pend_ldp=jnp.where(fillc, 0, cr["pend_ldp"]),
+                    fin=jnp.where(fillc, 0, cr["fin"]),
+                    pend_iters=jnp.where(fillc, 0, cr["pend_iters"]),
+                    itst=jnp.where(fillc, it, cr["itst"]))
+                return nxt, nf, cursor2
+
+            def body_u(carry):
+                it, flushed, cursor = carry[0], carry[2], carry[3]
+                cr = dict(zip(c_keys, carry[4:]))
+                cr2, nf, cursor2 = sweep(it, cursor, cr)
+                flushed2 = flushed + nf
+                live2 = jnp.int32(B_total) - flushed2
+                inner0 = (it, live2) + tuple(cr2[k] for k in c_keys)
+                inner = jax.lax.cond(
+                    live2 > 0,
+                    lambda c: jax.lax.fori_loop(
+                        0, UNROLL, lambda _, cc: body(cc), c),
+                    lambda c: c, inner0)
+                return (inner[0], inner[1], flushed2,
+                        cursor2) + tuple(inner[2:])
+
+            final = jax.lax.while_loop(
+                cond, body_u,
+                (jnp.int32(0), jnp.int32(B_total), jnp.int32(0),
+                 jnp.int32(0)) + tuple(c0[k] for k in c_keys))
+            return
 
         def body_u(carry):
             return jax.lax.fori_loop(0, UNROLL, lambda _, c: body(c),
@@ -914,7 +1157,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 _STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
             "indel_end_skip", "max_del_occ", "max_entries", "max_top2",
             "max_seed_diff", "seed_len", "mode", "stack_cap", "hits_cap",
-            "max_iters", "BB", "interpret", "mxu", "hbm", "lobotomy")
+            "max_iters", "BB", "interpret", "mxu", "hbm", "refill",
+            "unroll", "lobotomy")
 
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
@@ -924,7 +1168,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
                     max_top2, max_seed_diff, seed_len, mode,
                     stack_cap=256, hits_cap=32, max_iters=200000,
                     BB=256, interpret=False, mxu=False, hbm=False,
-                    lobotomy=()):
+                    refill=False, unroll=16, lobotomy=()):
     """Run the pallas DFS.  Inputs:
 
     table: int32 [n_rows, 128] block16 table (build_table);
@@ -950,7 +1194,78 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
         indel_end_skip=indel_end_skip, max_del_occ=max_del_occ,
         max_entries=max_entries, max_top2=max_top2,
         max_seed_diff=max_seed_diff, seed_len=seed_len, mode=mode,
-        max_iters=max_iters, mxu=mxu, hbm=hbm, lobotomy=lobotomy)
+        max_iters=max_iters, mxu=mxu, hbm=hbm, refill=refill,
+        B_total=B, unroll=unroll, lobotomy=lobotomy)
+
+    if refill:
+        # persistent-occupancy call: one grid step owns the whole batch;
+        # per-read inputs/outputs stay in HBM and move by per-lane DMA at
+        # the refill sweeps
+        lane_meta = (
+            jnp.zeros((B, LANES), I32)
+            .at[:, 0].set(max_diff.reshape(B))
+            .at[:, 1].set(lengths.reshape(B))
+            .at[:, 2].set(has_seed.reshape(B).astype(I32)))
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        # widths padded to the 128-lane DMA tiling; sliced back below
+        HW = -(-H // 128) * 128
+        outs = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]  # params
+            + [any_spec] * 12,            # 10 planes + meta + table
+            out_specs=[any_spec] * 5,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, HW), I32),
+                jax.ShapeDtypeStruct((B, HW), I32),
+                jax.ShapeDtypeStruct((B, HW), I32),
+                jax.ShapeDtypeStruct((B, HW), I32),
+                jax.ShapeDtypeStruct((B, 128), I32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BB, S), I32),       # s_key
+                pltpu.VMEM((BB, S), I32),       # s_meta
+                pltpu.VMEM((BB, S), I32),       # s_k
+                pltpu.VMEM((BB, S), I32),       # s_l
+                pltpu.VMEM((2 * BB, 128), I32),  # stage
+                pltpu.VMEM((BB, 128), I32),     # rowidx
+                pltpu.VMEM((BB, 128), I32),     # pw0w (mutable planes)
+                pltpu.VMEM((BB, 128), I32),     # pw0b
+                pltpu.VMEM((BB, 128), I32),     # pw1w
+                pltpu.VMEM((BB, 128), I32),     # pw1b
+                pltpu.VMEM((BB, 128), I32),     # seqf_s
+                pltpu.VMEM((BB, 128), I32),     # seqr_s
+                pltpu.VMEM((BB, 128), I32),     # swwf_s
+                pltpu.VMEM((BB, 128), I32),     # swwr_s
+                pltpu.VMEM((BB, 128), I32),     # swbf_s
+                pltpu.VMEM((BB, 128), I32),     # swbr_s
+                pltpu.VMEM((BB, 128), I32),     # meta_s
+                pltpu.VMEM((BB, HW), I32),      # hms
+                pltpu.VMEM((BB, HW), I32),      # hks
+                pltpu.VMEM((BB, HW), I32),      # hls
+                pltpu.VMEM((BB, HW), I32),      # hss
+                pltpu.VMEM((BB, 128), I32),     # summ_s
+                pltpu.VMEM((BB, 128), I32),     # lanestat
+                pltpu.VMEM((BB, 128), I32),     # fillflag
+                pltpu.SMEM((BB,), I32),         # cur_read
+                pltpu.SemaphoreType.DMA(()),    # dma_sem (fetch)
+                pltpu.SemaphoreType.DMA(()),    # sem_in
+                pltpu.SemaphoreType.DMA(()),    # sem_out
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(params,
+          seqs[:, 0, :], seqs[:, 1, :],
+          pw_w[:, 0, :], pw_w[:, 1, :],
+          pw_b[:, 0, :], pw_b[:, 1, :],
+          sw_w[:, 0, :], sw_w[:, 1, :],
+          sw_b[:, 0, :], sw_b[:, 1, :],
+          lane_meta, table)
+        hmeta, hk, hl, hscore, summ = outs
+        return jnp.concatenate([
+            hmeta[:, :H], hk[:, :H], hl[:, :H], hscore[:, :H],
+            summ[:, 0:1], summ[:, 1:2], summ[:, 2:3], summ[:, 3:4],
+            summ[:, 4:5], summ[:, 5:6],
+        ], axis=1)
 
     grid = (B // BB,)
 

@@ -26,7 +26,8 @@ from . import genomes
 
 
 def _run_both(tmp_path, glen, n_reads, read_len, err, indel, seed, opt,
-              stack_cap=128, hits_cap=16, hbm=False):
+              stack_cap=128, hits_cap=16, hbm=False, refill=False,
+              BB=None):
     fa, seqs = genomes.random_genome(glen, seed=seed)
     fq = genomes.sample_reads(seqs[0], n_reads, read_len, seed=seed + 1,
                               err_rate=err, indel_rate=indel)
@@ -102,7 +103,7 @@ def _run_both(tmp_path, glen, n_reads, read_len, err, indel, seed, opt,
         eng.rev_off, eng.primary_fwd, eng.primary_rev, eng.l2, eng.seq_len,
         jnp.asarray(seqs_a), jnp.asarray(lengths), jnp.asarray(sseq),
         jnp.asarray(slen), jnp.asarray(has_seed), jnp.asarray(maxdiff),
-        BB=B, interpret=True, hbm=hbm, **statics))
+        BB=BB or B, interpret=True, hbm=hbm, refill=refill, **statics))
 
     ru = unpack_result(ref, hits_cap)
     pu = unpack_result(pal, hits_cap)
@@ -143,3 +144,25 @@ def test_pallas_hbm_gapped(tmp_path):
 def test_pallas_hbm_seeded(tmp_path):
     _run_both(tmp_path, 30000, 16, 80, 0.03, 0.2, 305,
               GapOpt(seed_len=25), hbm=True)
+
+
+def test_pallas_refill_gapped(tmp_path):
+    """Persistent-occupancy (lane-refill) variant: BB=8 lanes cycle
+    through 16 reads, outputs land by per-lane DMA — must match the jnp
+    engine bit-exactly."""
+    _run_both(tmp_path, 30000, 16, 75, 0.02, 0.5, 306,
+              GapOpt(max_diff=4, fnr=-1.0, max_gapo=2), hbm=True,
+              refill=True, BB=8)
+
+
+def test_pallas_refill_seeded(tmp_path):
+    _run_both(tmp_path, 30000, 16, 80, 0.03, 0.2, 307,
+              GapOpt(seed_len=25), hbm=True, refill=True, BB=8)
+
+
+def test_pallas_refill_overflow(tmp_path):
+    """Stack-overflow reads must flush with the ovf flag through the
+    refill path (tiny stack forces overflows)."""
+    _run_both(tmp_path, 30000, 16, 75, 0.03, 0.5, 308,
+              GapOpt(max_diff=4, fnr=-1.0, max_gapo=2), stack_cap=32,
+              hbm=True, refill=True, BB=8)
