@@ -19,6 +19,7 @@ _SRCS = [_ROOT / "native" / "sais.cpp",
          _ROOT / "native" / "dfsgap.cpp",
          _ROOT / "native" / "stdaln.cpp",
          _ROOT / "native" / "bsw2core.cpp",
+         _ROOT / "native" / "bsw2aln.cpp",
          _ROOT / "native" / "post.cpp",
          _ROOT / "native" / "bwtgen.cpp"]
 _BUILD = _ROOT / "native" / "build"
@@ -102,6 +103,18 @@ def _load():
             _i64, _i64, ctypes.c_int64, _i64]
         lib.bsw2_core_u32.restype = ctypes.c_int
         _u64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.bsw2_aln_batch.argtypes = [
+            _u32, ctypes.c_uint32, _u32, ctypes.c_uint32, _u32,
+            ctypes.c_int32,
+            _u32, ctypes.c_uint32, _u32, ctypes.c_uint32, _u32,
+            ctypes.c_int32,
+            _u8, ctypes.c_int64,
+            _u8, _i64, ctypes.c_int64,
+            _i32, ctypes.c_float, ctypes.c_double,
+            _u64, ctypes.c_int32,
+            _i64, _i64, ctypes.c_int64,
+            _i32, ctypes.c_int64, _i64]
+        lib.bsw2_aln_batch.restype = ctypes.c_int64
         lib.se_select_batch.argtypes = [
             ctypes.c_int64, _u32, _i32, _i64, _u64, ctypes.c_int,
             ctypes.c_int, _u64, _i32, _i32, _i32, _i32]

@@ -1127,6 +1127,106 @@ def aln_one(opt0, bns, pac, fms, name, read_str, qual_str, rng):
     return print_hits(bns, opt, name, read_str, qual_str, b0, cigars)
 
 
+def _adjusted_opt(opt0, l):
+    """Per-read t/bw adjustment (bwtsw2_aux.c:472-485); print_hits reads
+    the adjusted t for the mapQ subo floor."""
+    opt = opt0.copy()
+    if opt.t < math.log(l) * opt.coef:
+        opt.t = int(math.log(l) * opt.coef + .499)
+    k = (l * opt.a - 2 * opt.q) // (2 * opt.r + opt.a)
+    i = (l * opt.a - opt.a - opt.t) // opt.r
+    if k > i:
+        k = i
+    if k < 1:
+        k = 1
+    opt.bw = min(opt0.bw, k)
+    return opt
+
+
+def _bwasw_native_batch(index, reads, opt, rng):
+    """Whole-orbit native driver (native/bsw2aln.cpp): threaded rng-free
+    alignment phase + sequential drand48 replay, bit-identical to the
+    per-read Python path.  Returns list of SAM chunks or None."""
+    import os
+
+    from ..index import native as native_mod
+
+    lib = native_mod._load()
+    if lib is None or not hasattr(lib, "bsw2_aln_batch"):
+        return None
+    if any(len(s) == 0 for _, s, _ in reads):
+        return None  # keep the Python path's exception behavior
+    fwd, rev = index.fwd, index.rev
+    codes = np.concatenate([
+        NT4[np.frombuffer(s.encode(), dtype=np.uint8)] for _, s, _ in reads
+    ]).astype(np.uint8)
+    offs = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum([len(s) for _, s, _ in reads], out=offs[1:])
+    iopt = np.array([opt.a, opt.b, opt.q, opt.r, opt.t, opt.bw, opt.z,
+                     opt.is_, opt.t_seeds, opt.hard_clip], dtype=np.int32)
+    state = np.array([rng.x], dtype=np.uint64)
+    hits_cap = 64 * len(reads) + 1024
+    hit_cnt = np.zeros(len(reads), dtype=np.int64)
+    hits = np.zeros((hits_cap, 9), dtype=np.int64)
+    cig_cap = 8192 * len(reads) + 65536
+    cig = np.zeros((cig_cap, 2), dtype=np.int32)
+    cig_cnt = np.zeros(hits_cap, dtype=np.int64)
+    nth = int(os.environ.get("NABWA_BWASW_THREADS",
+                             os.environ.get("NABWA_THREADS", "0")))
+    htot = lib.bsw2_aln_batch(
+        np.ascontiguousarray(fwd.bwt, dtype=np.uint32),
+        np.uint32(fwd.primary),
+        np.ascontiguousarray(fwd.l2, dtype=np.uint32),
+        np.uint32(fwd.seq_len),
+        np.ascontiguousarray(fwd.sa, dtype=np.uint32),
+        np.int32(fwd.sa_intv),
+        np.ascontiguousarray(rev.bwt, dtype=np.uint32),
+        np.uint32(rev.primary),
+        np.ascontiguousarray(rev.l2, dtype=np.uint32),
+        np.uint32(rev.seq_len),
+        np.ascontiguousarray(rev.sa, dtype=np.uint32),
+        np.int32(rev.sa_intv),
+        np.ascontiguousarray(index.pac, dtype=np.uint8),
+        np.int64(index.bns.l_pac),
+        codes, offs, np.int64(len(reads)),
+        iopt, np.float32(opt.mask_level), float(opt.coef),
+        state, np.int32(nth),
+        hit_cnt, hits.reshape(-1), np.int64(hits_cap),
+        cig.reshape(-1), np.int64(cig_cap), cig_cnt)
+    if htot < 0:
+        return None
+    rng.x = int(state[0])
+    bns = index.bns
+    out = []
+    hi = 0
+    ci = 0
+    for ri, (name, seq_str, qual_str) in enumerate(reads):
+        n = int(hit_cnt[ri])
+        opt_l = _adjusted_opt(opt, len(seq_str))
+        if n == 0:
+            out.append(print_hits(bns, opt_l, name, seq_str, qual_str,
+                                  None, None))
+            continue
+        b = []
+        cigars = []
+        for _ in range(n):
+            row = hits[hi]
+            h = Hit.__new__(Hit)
+            (h.k, h.l, h.flag, h.n_seeds, h.len, h.G, h.G2, h.beg,
+             h.end) = (int(row[0]), int(row[1]), int(row[2]), int(row[3]),
+                       int(row[4]), int(row[5]), int(row[6]), int(row[7]),
+                       int(row[8]))
+            b.append(h)
+            npairs = int(cig_cnt[hi])
+            cigars.append([(int(op), int(ln))
+                           for op, ln in cig[ci:ci + npairs]])
+            ci += npairs
+            hi += 1
+        out.append(print_hits(bns, opt_l, name, seq_str, qual_str, b,
+                              cigars))
+    return out
+
+
 def bwasw(index, reads, opt=None, rng=None):
     """Full bwasw over (name, seq, qual) tuples.  Returns SAM text
     (including @SQ header lines like bsw2_aln, bwtsw2_aux.c:606-607)."""
@@ -1136,10 +1236,17 @@ def bwasw(index, reads, opt=None, rng=None):
     rng = rng or Rand48(11)   # srand48(11), bwtsw2_main.c:19
     bns = index.bns
     pac = index.pac
-    fms = (_fast_fm(index.fwd), _fast_fm(index.rev))
     out = []
     for a in bns.anns:
         out.append("@SQ\tSN:%s\tLN:%d\n" % (a.name, a.length))
+    reads = list(reads)
+    import os
+    if os.environ.get("NABWA_BWASW_OBJ") != "1":
+        nat = _bwasw_native_batch(index, reads, opt, rng)
+        if nat is not None:
+            out.extend(nat)
+            return "".join(out)
+    fms = (_fast_fm(index.fwd), _fast_fm(index.rev))
     for name, seq_str, qual_str in reads:
         out.append(aln_one(opt, bns, pac, fms, name, seq_str, qual_str, rng))
     return "".join(out)
