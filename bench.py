@@ -127,17 +127,24 @@ def bench_reference(fa_path, fq_path):
     return sorted(rates)[1]
 
 
-def _device_alive(timeout_s=120):
+def _device_alive(timeout_s=420, attempts=2):
     """Probe the device link in a subprocess: a hung tunnel blocks any
     in-process jax call forever (observed), which must not take the
-    benchmark down with it."""
+    benchmark down with it.  Fresh-process device attach through the
+    stdio-multiplexed tunnel costs 75-420 s on this deployment (measured
+    r5, high variance) — a single 120 s probe misclassifies a live chip
+    as down and silently benches host-native only, so probe generously
+    and retry once."""
     code = "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))"
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0 and b"28" in r.stdout
-    except Exception:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0 and b"28" in r.stdout:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def main():
