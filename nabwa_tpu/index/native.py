@@ -145,7 +145,7 @@ def _load():
         lib.md_batch.argtypes = [
             ctypes.c_int64, _i64, _u8, _i64, _i32, _i64, _u8,
             ctypes.c_int64, ctypes.c_int64, _i64, _i32, _u8,
-            _u8, ctypes.c_int64, _i64]
+            _u8, ctypes.c_int64, _i64, ctypes.c_int]
         lib.md_batch.restype = ctypes.c_int
         lib.sam_emit_batch.argtypes = [
             ctypes.c_int64, _i64, _i64,
@@ -156,7 +156,7 @@ def _load():
             ctypes.c_int, _i64, _i64, _u8, _i64,
             ctypes.c_int64, _i64, _i32, _u8, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, _u8, ctypes.c_int64,
-            _u8, ctypes.c_int64]
+            _u8, ctypes.c_int64, ctypes.c_int]
         lib.sam_emit_batch.restype = ctypes.c_int64
         lib.bwt_inc_u8.argtypes = [
             _u8, ctypes.c_int64, ctypes.c_int64, _u8, _u64]

@@ -122,6 +122,9 @@ class AlnEngine:
         # engine-level tier selection (_device_init/_run_device) is
         # exercisable without hardware (VERDICT r4 weak #2)
         self._pal_interpret = bool(_os.environ.get("NABWA_PALLAS_INTERPRET"))
+        # unconditional-fetch HBM DFS variant (see dfs_pallas fetch2)
+        self._pal_fetch2 = _os.environ.get("NABWA_PALLAS_FETCH2",
+                                           "1") not in ("0", "")
         self.host_frac = 0.5 if host_frac == "auto" else float(host_frac)
         self.mesh = mesh
         if mesh is not None:
@@ -656,7 +659,8 @@ class AlnEngine:
                 jnp.asarray(sseq), jnp.asarray(slen),
                 jnp.asarray(has_seed), jnp.asarray(maxdiff),
                 BB=self.PALLAS_BB, mxu=self._pal_mxu,
-                hbm=self._pal_hbm, refill=refill, lobotomy=lobotomy,
+                hbm=self._pal_hbm, refill=refill,
+                fetch2=self._pal_fetch2, lobotomy=lobotomy,
                 interpret=self._pal_interpret, **statics)
         else:
             from ..ops.dfs import aln_device_step

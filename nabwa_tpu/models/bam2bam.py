@@ -932,7 +932,8 @@ def _pass2_work_columnar(engine, gopt, popt, iinfos, payload):
     rc = lib.md_batch(R, state.reshape(-1), seq_flat, seq_off, cig,
                       cig_off, np.ascontiguousarray(pac, dtype=np.uint8),
                       bns.l_pac, len(bns.ambs), amb_off, amb_len,
-                      amb_chr, md_buf, md_cap, md_off)
+                      amb_chr, md_buf, md_cap, md_off,
+                      pn._post_threads())
     if rc != 0:
         raise RuntimeError("pass2 columnar: md_batch failed")
 

@@ -51,6 +51,15 @@ def _bns_emit_arrays(bns):
     return arr
 
 
+def _post_threads():
+    """Thread fan-out for the emit/MD native kernels (0 = hardware
+    concurrency; the C++ side self-caps on small batches so scheduler
+    threads calling in parallel don't oversubscribe)."""
+    import os as _os
+    v = _os.environ.get("NABWA_POST_THREADS")
+    return int(v) if v else 0
+
+
 def _flat(chunks):
     """list of bytes/arrays -> (flat uint8 array, int64 offsets)."""
     off = np.zeros(len(chunks) + 1, dtype=np.int64)
@@ -158,7 +167,7 @@ def md_states(states, bns, pac):
     rc = lib.md_batch(n, state.reshape(-1), seq_flat, seq_off, cig,
                       cig_off, np.ascontiguousarray(pac, dtype=np.uint8),
                       bns.l_pac, len(bns.ambs), amb_off, amb_len, amb_chr,
-                      md_buf, md_cap, md_off)
+                      md_buf, md_cap, md_off, _post_threads())
     if rc != 0:
         return False
     text = md_buf[:int(md_off[-1])].tobytes().decode("latin1")
@@ -259,10 +268,10 @@ def emit_states(bns, states, mate_idx, mode, max_top2, rg_id=None):
             bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
             len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
             mode, max_top2, rg_arr, len(rg))
-    total = lib.sam_emit_batch(*args, out, cap)
+    total = lib.sam_emit_batch(*args, out, cap, _post_threads())
     if total > cap:
         out = np.empty(int(total), dtype=np.uint8)
-        total = lib.sam_emit_batch(*args, out, int(total))
+        total = lib.sam_emit_batch(*args, out, int(total), _post_threads())
     return out[:total].tobytes()
 
 
@@ -657,7 +666,8 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     md_off = np.zeros(n2 + 1, dtype=np.int64)
     rc = lib.md_batch(n2, state.reshape(-1), seq_flat, seq_off, cig,
                       cig_off, pac, bns.l_pac, len(bns.ambs),
-                      amb_off, amb_len, amb_chr, md_buf, md_cap, md_off)
+                      amb_off, amb_len, amb_chr, md_buf, md_cap, md_off,
+                      _post_threads())
     if rc != 0:
         # the drand48 stream and pos_memo advanced already — falling back
         # here would double-consume them
@@ -729,10 +739,10 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
             bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
             len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
             gopt.mode, gopt.max_top2, rg_arr, len(rg))
-    total = lib.sam_emit_batch(*args, out, cap)
+    total = lib.sam_emit_batch(*args, out, cap, _post_threads())
     if total > cap:
         out = np.empty(int(total), dtype=np.uint8)
-        total = lib.sam_emit_batch(*args, out, int(total))
+        total = lib.sam_emit_batch(*args, out, int(total), _post_threads())
     return out[:total].tobytes(), ii
 
 
@@ -881,7 +891,8 @@ def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
     md_off = np.zeros(n + 1, dtype=np.int64)
     rc = lib.md_batch(n, state.reshape(-1), seq_flat, seq_off, cig,
                       cig_off, pac, bns.l_pac, len(bns.ambs),
-                      amb_off, amb_len, amb_chr, md_buf, md_cap, md_off)
+                      amb_off, amb_len, amb_chr, md_buf, md_cap, md_off,
+                      _post_threads())
     if rc != 0:
         return None
 
@@ -951,7 +962,7 @@ def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
         bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
         len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
         opt.mode, opt.max_top2, rg_arr, len(rg),
-        out, cap)
+        out, cap, _post_threads())
     if total > cap:
         out = np.empty(int(total), dtype=np.uint8)
         total = lib.sam_emit_batch(
@@ -963,5 +974,5 @@ def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
             bns.n_seqs, ann_off, ann_len, ann_names, ann_name_off,
             len(bns.ambs), amb_off, amb_len, amb_chr, bns.l_pac,
             opt.mode, opt.max_top2, rg_arr, len(rg),
-            out, int(total))
+            out, int(total), _post_threads())
     return out[:total].tobytes()

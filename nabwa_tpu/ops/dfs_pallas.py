@@ -157,8 +157,8 @@ def build_table_i8(table):
 def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 indel_end_skip, max_del_occ, max_entries, max_top2,
                 max_seed_diff, seed_len, mode, max_iters, mxu=False,
-                hbm=False, refill=False, B_total=0, unroll=16,
-                lobotomy=()):
+                hbm=False, refill=False, fetch2=False, B_total=0,
+                unroll=16, lobotomy=()):
     # lobotomy: diagnostic-only static cuts for per-iteration cost
     # attribution ("nodone" forces exactly max_iters iterations; "fetch"/
     # "push"/"shadow"/"pend" skip those blocks).  Results are WRONG with
@@ -469,9 +469,22 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 # every downstream use is masked).
                 same_row = rl_col == rk_col
                 if "fetch" not in lobotomy:
-                    rowidx[:, 0:1] = jnp.where(fetch_need, rk_col, -1)
-                    rowidx[:, 1:2] = jnp.where(fetch_need & ~same_row,
-                                               rl_col, -1)
+                    if fetch2:
+                        # unconditional-fetch variant: every lane always
+                        # copies both (clamped) rows — no per-lane guard
+                        # branches, a statically-known descriptor count,
+                        # and a fixed-length drain.  Dead/pend lanes copy
+                        # garbage rows whose uses are masked downstream;
+                        # the extra HBM traffic (~64 KB/iter at BB=128)
+                        # is far below the descriptor-issue cost it
+                        # replaces (fetch bucket = 62% of kernel time,
+                        # probe_lobotomy r5).
+                        rowidx[:, 0:1] = rk_col
+                        rowidx[:, 1:2] = rl_col
+                    else:
+                        rowidx[:, 0:1] = jnp.where(fetch_need, rk_col, -1)
+                        rowidx[:, 1:2] = jnp.where(fetch_need & ~same_row,
+                                                   rl_col, -1)
             if hbm:
                 # HBM-resident table: the two per-lane 512 B block rows
                 # arrive by async DMA instead of VMEM row copies — this
@@ -481,27 +494,42 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 # issued back-to-back right after the pop; every occ-
                 # independent gate (plane extracts, seq lookup, free-slot
                 # prefix) then runs in the DMA shadow before the drain.
-                def issue(i, cur):
-                    rk = rowidx[i, 0]
-
-                    @pl.when(rk >= 0)
-                    def _():
+                if fetch2:
+                    def issue2(i, cur):
                         pltpu.make_async_copy(
-                            table_ref.at[pl.ds(rk, 1), :],
+                            table_ref.at[pl.ds(rowidx[i, 0], 1), :],
                             stage.at[pl.ds(i, 1), :], dma_sem).start()
-                    rl = rowidx[i, 1]
-
-                    @pl.when(rl >= 0)
-                    def _():
                         pltpu.make_async_copy(
-                            table_ref.at[pl.ds(rl, 1), :],
+                            table_ref.at[pl.ds(rowidx[i, 1], 1), :],
                             stage.at[pl.ds(i + BB, 1), :], dma_sem).start()
-                    return (cur + (rk >= 0).astype(jnp.int32)
-                            + (rl >= 0).astype(jnp.int32))
-                n_dma = jnp.int32(0)
-                if "fetch" not in lobotomy:
-                    n_dma = jax.lax.fori_loop(0, BB, issue, jnp.int32(0),
-                                              unroll=BB)
+                        return cur
+                    n_dma = jnp.int32(2 * BB)
+                    if "fetch" not in lobotomy:
+                        jax.lax.fori_loop(0, BB, issue2, jnp.int32(0),
+                                          unroll=BB)
+                else:
+                    def issue(i, cur):
+                        rk = rowidx[i, 0]
+
+                        @pl.when(rk >= 0)
+                        def _():
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(rk, 1), :],
+                                stage.at[pl.ds(i, 1), :], dma_sem).start()
+                        rl = rowidx[i, 1]
+
+                        @pl.when(rl >= 0)
+                        def _():
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(rl, 1), :],
+                                stage.at[pl.ds(i + BB, 1), :],
+                                dma_sem).start()
+                        return (cur + (rk >= 0).astype(jnp.int32)
+                                + (rl >= 0).astype(jnp.int32))
+                    n_dma = jnp.int32(0)
+                    if "fetch" not in lobotomy:
+                        n_dma = jax.lax.fori_loop(0, BB, issue,
+                                                  jnp.int32(0), unroll=BB)
             elif not mxu:
                 # VMEM-resident table: synchronous scalar-driven row
                 # copies (no DMA latency to hide, but dead lanes still
@@ -659,7 +687,14 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                         stage.at[pl.ds(0, 1), :], dma_sem).wait()
                     return 0
                 if "fetch" not in lobotomy:
-                    jax.lax.fori_loop(0, n_dma, drain1, 0)
+                    if fetch2:
+                        # static count: the loop bound is known at trace
+                        # time, so the drain unrolls with no scalar
+                        # bookkeeping
+                        jax.lax.fori_loop(0, 2 * BB, drain1, 0,
+                                          unroll=2 * BB)
+                    else:
+                        jax.lax.fori_loop(0, n_dma, drain1, 0)
 
             if not mxu:
                 # same-row lanes read the k bank for l too (their slot in
@@ -1158,7 +1193,7 @@ _STATICS = ("s_mm", "s_gapo", "s_gape", "max_gape", "max_gapo",
             "indel_end_skip", "max_del_occ", "max_entries", "max_top2",
             "max_seed_diff", "seed_len", "mode", "stack_cap", "hits_cap",
             "max_iters", "BB", "interpret", "mxu", "hbm", "refill",
-            "unroll", "lobotomy")
+            "fetch2", "unroll", "lobotomy")
 
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
@@ -1168,7 +1203,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
                     max_top2, max_seed_diff, seed_len, mode,
                     stack_cap=256, hits_cap=32, max_iters=200000,
                     BB=256, interpret=False, mxu=False, hbm=False,
-                    refill=False, unroll=16, lobotomy=()):
+                    refill=False, fetch2=False, unroll=16, lobotomy=()):
     """Run the pallas DFS.  Inputs:
 
     table: int32 [n_rows, 128] block16 table (build_table);
@@ -1195,7 +1230,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
         max_entries=max_entries, max_top2=max_top2,
         max_seed_diff=max_seed_diff, seed_len=seed_len, mode=mode,
         max_iters=max_iters, mxu=mxu, hbm=hbm, refill=refill,
-        B_total=B, unroll=unroll, lobotomy=lobotomy)
+        fetch2=fetch2, B_total=B, unroll=unroll, lobotomy=lobotomy)
 
     if refill:
         # persistent-occupancy call: one grid step owns the whole batch;

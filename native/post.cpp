@@ -18,6 +18,9 @@
 #include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <memory>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -795,9 +798,14 @@ int md_batch(int64_t n, int64_t *state, const uint8_t *seqs,
              const int64_t *cig_off, const uint8_t *pac, int64_t l_pac,
              int64_t n_holes, const int64_t *amb_off,
              const int32_t *amb_len, const uint8_t *amb_chr,
-             uint8_t *md_out, int64_t md_cap, int64_t *md_off) {
+             uint8_t *md_out, int64_t md_cap, int64_t *md_off,
+             int n_threads) {
+  // Rows are independent (own state row + read-only pac walk), so ranges
+  // emit into disjoint scratch slices and compact in order.
+  auto md_rows = [&](int64_t lo, int64_t hi, uint8_t *obuf,
+                     int64_t ocap) -> int64_t {
   int64_t w = 0;
-  for (int64_t i = 0; i < n; ++i) {
+  for (int64_t i = lo; i < hi; ++i) {
     md_off[i] = w;
     int64_t *st = state + i * NF;
     if (st[F_TYPE] == TYPE_NO_MATCH) continue;
@@ -825,7 +833,7 @@ int md_batch(int64_t n, int64_t *state, const uint8_t *seqs,
       if (ridx < n_holes && p >= amb_off[ridx] + amb_len[ridx]) ++ridx;
     };
     auto put = [&](char c) {
-      if (w < md_cap) md_out[w] = static_cast<uint8_t>(c);
+      if (w < ocap) obuf[w] = static_cast<uint8_t>(c);
       ++w;
     };
     auto put_num = [&](int64_t v) {
@@ -889,8 +897,56 @@ int md_batch(int64_t n, int64_t *state, const uint8_t *seqs,
     put_num(u);
     st[F_NM] = nm;
   }
-  md_off[n] = w;
-  return w <= md_cap ? 0 : -1;
+  return w;
+  };  // md_rows
+
+  int nth = n_threads > 0 ? n_threads
+      : static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads <= 0 && nth > static_cast<int>(n / 4096))
+    nth = static_cast<int>(n / 4096);
+  if (nth > n) nth = static_cast<int>(n);
+  if (nth <= 1) {
+    int64_t w = md_rows(0, n, md_out, md_cap);
+    md_off[n] = w;
+    return w <= md_cap ? 0 : -1;
+  }
+
+  std::vector<int64_t> bnd(nth + 1, 0), cut(nth + 1, n), lens(nth, 0);
+  cut[0] = 0;
+  for (int t = 1; t < nth; ++t) cut[t] = n * t / nth;
+  for (int t = 0; t < nth; ++t) {
+    int64_t b = 0;
+    for (int64_t i = cut[t]; i < cut[t + 1]; ++i)
+      b += 4 * (seq_off[i + 1] - seq_off[i]) + 32;
+    bnd[t + 1] = bnd[t] + b;
+  }
+  std::unique_ptr<uint8_t[]> scratch(new uint8_t[bnd[nth]]);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nth; ++t)
+    ts.emplace_back([&, t]() {
+      lens[t] = md_rows(cut[t], cut[t + 1], scratch.get() + bnd[t],
+                        bnd[t + 1] - bnd[t]);
+    });
+  for (auto &th : ts) th.join();
+  for (int t = 0; t < nth; ++t)
+    if (lens[t] > bnd[t + 1] - bnd[t]) {
+      // bound breach (should be impossible): redo sequentially — safe,
+      // rows only assign their own state/offsets
+      int64_t w = md_rows(0, n, md_out, md_cap);
+      md_off[n] = w;
+      return w <= md_cap ? 0 : -1;
+    }
+  int64_t total = 0;
+  for (int t = 0; t < nth; ++t) {
+    // rebase this range's offsets from slice-local to global
+    for (int64_t i = cut[t]; i < cut[t + 1]; ++i) md_off[i] += total;
+    if (total + lens[t] <= md_cap)
+      std::memcpy(md_out + total, scratch.get() + bnd[t],
+                  static_cast<size_t>(lens[t]));
+    total += lens[t];
+  }
+  md_off[n] = total;
+  return total <= md_cap ? 0 : -1;
 }
 
 // bwa_print_sam1 (samse.py print_sam1, bwase.c:458-592) for a batch, with
@@ -915,12 +971,15 @@ int64_t sam_emit_batch(
     int64_t n_holes, const int64_t *amb_off, const int32_t *amb_len,
     const uint8_t *amb_chr, int64_t l_pac,
     int mode, int max_top2, const uint8_t *rg, int64_t rg_len,
-    uint8_t *out, int64_t out_cap) {
+    uint8_t *out, int64_t out_cap, int n_threads) {
   Bns bns{n_seqs, ann_off, ann_len, ann_names, ann_name_off,
           n_holes, amb_off, amb_len, amb_chr, l_pac};
-  Writer wtr{out, out_cap, 0, false};
-  // scratch for seq/qual reversal
-  for (int64_t i = 0; i < n; ++i) {
+  // Rows are emitted by ranges.  Cross-row traffic is mate-local only
+  // (mate_idx pairs), and a row's state mutations are idempotent
+  // assignments from fields its mate never writes, so any split at a
+  // pair boundary reproduces the sequential byte stream exactly.
+  auto emit_rows = [&](int64_t lo, int64_t hi, Writer &wtr) {
+  for (int64_t i = lo; i < hi; ++i) {
     int64_t *st = state + i * NF;
     int64_t mi = mate_idx ? mate_idx[i] : -1;
     int64_t *mt = mi >= 0 ? state + mi * NF : nullptr;
@@ -1173,7 +1232,90 @@ int64_t sam_emit_batch(
     }
     wtr.put('\n');
   }
-  return wtr.len;
+  };  // emit_rows
+
+  // auto mode self-caps on small batches (thread spawn ~50 us each);
+  // an explicit n_threads bypasses the cap so tests can drive the
+  // threaded path on tiny inputs
+  int nth = n_threads > 0 ? n_threads
+      : static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads <= 0 && nth > static_cast<int>(n / 2048))
+    nth = static_cast<int>(n / 2048);
+  if (nth > n) nth = static_cast<int>(n);
+  if (nth <= 1) {
+    Writer wtr{out, out_cap, 0, false};
+    emit_rows(0, n, wtr);
+    return wtr.len;
+  }
+
+  // per-row output upper bound (digits, tags and both reference names
+  // included), so each thread's scratch slice can never overflow
+  int64_t maxann = 1;
+  for (int s = 0; s < n_seqs; ++s) {
+    int64_t ln = ann_name_off[s + 1] - ann_name_off[s];
+    if (ln > maxann) maxann = ln;
+  }
+  const int64_t *mc_off = cig_off + (n + 1);
+  std::vector<int64_t> bnd(n + 1);
+  bnd[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t b = 256 + 2 * maxann + rg_len + 24
+        + (name_off[i + 1] - name_off[i])
+        + (seq_off[i + 1] - seq_off[i])
+        + (qual_off[i + 1] - qual_off[i])
+        + 6 * (cig_off[i + 1] - cig_off[i])
+        + (md_off[i + 1] - md_off[i])
+        + (bc_off[i + 1] - bc_off[i]);
+    int32_t nmu = multi_n ? multi_n[i] : 0;
+    for (int32_t m = 0; m < nmu; ++m) {
+      int64_t o = i * multi_stride + m;
+      b += maxann + 64 + 6 * (mc_off[o + 1] - mc_off[o]);
+    }
+    bnd[i + 1] = bnd[i] + b;
+  }
+
+  // range boundaries at pair edges (mate_idx is intra-pair by contract)
+  std::vector<int64_t> cut(nth + 1, n);
+  cut[0] = 0;
+  for (int t = 1; t < nth; ++t) {
+    int64_t c = n * t / nth;
+    if (mate_idx && (c & 1)) ++c;
+    cut[t] = c > n ? n : c;
+  }
+
+  // uninitialized scratch: a zeroing vector costs ~100 ms of page
+  // faults at 200k rows (the bound sum is ~3x the real output)
+  std::unique_ptr<uint8_t[]> scratch(new uint8_t[bnd[n]]);
+  std::vector<Writer> wts(nth);
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nth; ++t) {
+    wts[t] = Writer{scratch.get() + bnd[cut[t]],
+                    bnd[cut[t + 1]] - bnd[cut[t]], 0, false};
+    ts.emplace_back([&, t]() { emit_rows(cut[t], cut[t + 1], wts[t]); });
+  }
+  for (auto &th : ts) th.join();
+  int64_t total = 0;
+  bool over = false;
+  for (int t = 0; t < nth; ++t) {
+    total += wts[t].len;
+    over |= wts[t].overflow;
+  }
+  if (over) {
+    // bound breach (should be impossible): redo sequentially — safe,
+    // the per-row state mutations are idempotent (see emit_rows note)
+    Writer wtr{out, out_cap, 0, false};
+    emit_rows(0, n, wtr);
+    return wtr.len;
+  }
+  if (total <= out_cap) {
+    int64_t pos = 0;
+    for (int t = 0; t < nth; ++t) {
+      std::memcpy(out + pos, scratch.get() + bnd[cut[t]],
+                  static_cast<size_t>(wts[t].len));
+      pos += wts[t].len;
+    }
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -82,3 +82,11 @@ def test_native_samse_trimming_and_rg(tmp_path):
 
 def test_native_samse_no_multi(tmp_path):
     _run_both(tmp_path, n_occ=0, n_reads=60, seed=13, n_frac=0.01)
+
+
+def test_threaded_emit_md_identical(tmp_path, monkeypatch):
+    """NABWA_POST_THREADS forces the range-parallel md_batch/sam_emit_batch
+    path (auto mode self-caps below 2048 rows); output must stay
+    byte-identical to the Python oracle on the same multi-hit input."""
+    monkeypatch.setenv("NABWA_POST_THREADS", "3")
+    _run_both(tmp_path, n_reads=150, seed=41)
