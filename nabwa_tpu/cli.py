@@ -137,6 +137,21 @@ def _open_reads(path, mode):
         reader = BamReader(path)
         return lambda n, tq: fastq.read_bam_batch(reader, n, which,
                                                   mode=mode, trim_qual=tq)
+    col = fastq.ColumnarFastq.open(path, mode)
+    if col is not None:
+        # native slab parse -> columnar ReadBatch windows; falls back to
+        # the generic reader if the first parse rejects the format
+        state = {}
+
+        def pull(n, tq):
+            if "it" not in state:
+                r = col.pull(n, tq)
+                if r is not None:
+                    return r
+                state["it"] = fastq.iter_fastq(path)
+            return fastq.read_fastq_batch(state["it"], n, mode=mode,
+                                          trim_qual=tq)
+        return pull
     it = fastq.iter_fastq(path)
     return lambda n, tq: fastq.read_fastq_batch(it, n, mode=mode,
                                                 trim_qual=tq)

@@ -21,7 +21,8 @@ _SRCS = [_ROOT / "native" / "sais.cpp",
          _ROOT / "native" / "bsw2core.cpp",
          _ROOT / "native" / "bsw2aln.cpp",
          _ROOT / "native" / "post.cpp",
-         _ROOT / "native" / "bwtgen.cpp"]
+         _ROOT / "native" / "bwtgen.cpp",
+         _ROOT / "native" / "fastq.cpp"]
 _BUILD = _ROOT / "native" / "build"
 _SO = _BUILD / "libnabwa_native.so"
 
@@ -161,6 +162,18 @@ def _load():
         lib.bwt_inc_u8.argtypes = [
             _u8, ctypes.c_int64, ctypes.c_int64, _u8, _u64]
         lib.bwt_inc_u8.restype = ctypes.c_int
+        lib.fastq_parse.argtypes = [
+            _u8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, _u8, _i64, _u8, _i64, _u8, _i32]
+        lib.fastq_parse.restype = ctypes.c_int64
+        lib.sai_scan.argtypes = [
+            _u8, ctypes.c_int64, ctypes.c_int64, _i32, _u8,
+            ctypes.c_int64]
+        lib.sai_scan.restype = ctypes.c_int64
+        lib.gather_rows_u8.argtypes = [
+            _u8, _i64, _i64, _u8, ctypes.c_int64, _u8, _i64,
+            ctypes.c_int]
+        lib.gather_rows_u8.restype = None
         _lib = lib
     except Exception:
         _lib = None
@@ -366,20 +379,37 @@ def dfs_match_gap_native(fwd_bwt, primary_fwd, rev_bwt, primary_rev, l2,
     n = len(reads)
     if n == 0:
         return []
-    lengths = np.fromiter((r.len for r in reads), dtype=np.int32, count=n)
-    L = int(lengths.max())
-    if int(lengths.min()) == L:
-        # uniform lengths (the common chunk): one stack, no slice loop
-        seqs = np.stack(
-            [np.stack([r.seq for r in reads]),
-             np.stack([r.rseq for r in reads])],
-            axis=1).astype(np.uint8, copy=False)
-        seqs = np.ascontiguousarray(seqs)
-    else:
+    if hasattr(reads, "code_bytes"):
+        # columnar ReadBatch: pack [n,2,L] via one threaded native
+        # ragged gather (seq = reversed clip codes, rseq = reversed
+        # complement) — no per-read objects on the aln hot path
+        lengths = reads.clip_lens().astype(np.int32)
+        L = int(lengths.max())
         seqs = np.full((n, 2, L), 4, dtype=np.uint8)
-        for i, r in enumerate(reads):
-            seqs[i, 0, :r.len] = r.seq
-            seqs[i, 1, :r.len] = r.rseq
+        starts = np.repeat(
+            np.ascontiguousarray(reads.seq_off[reads.lo:reads.hi]), 2)
+        lens2 = np.repeat(lengths.astype(np.int64), 2)
+        flags = np.tile(np.array(
+            [1, 3 if reads.is_comp else 1], dtype=np.uint8), n)
+        out_off = np.arange(2 * n, dtype=np.int64) * L
+        lib.gather_rows_u8(reads.codes_flat, starts, lens2, flags,
+                           2 * n, seqs.reshape(-1), out_off, 0)
+    else:
+        lengths = np.fromiter((r.len for r in reads), dtype=np.int32,
+                              count=n)
+        L = int(lengths.max())
+        if int(lengths.min()) == L:
+            # uniform lengths (the common chunk): one stack, no slices
+            seqs = np.stack(
+                [np.stack([r.seq for r in reads]),
+                 np.stack([r.rseq for r in reads])],
+                axis=1).astype(np.uint8, copy=False)
+            seqs = np.ascontiguousarray(seqs)
+        else:
+            seqs = np.full((n, 2, L), 4, dtype=np.uint8)
+            for i, r in enumerate(reads):
+                seqs[i, 0, :r.len] = r.seq
+                seqs[i, 1, :r.len] = r.rseq
     maxdiff = np.ascontiguousarray(maxdiff, dtype=np.int32)
     fwd = np.ascontiguousarray(fwd_bwt, dtype=np.uint32)
     rev = np.ascontiguousarray(rev_bwt, dtype=np.uint32)

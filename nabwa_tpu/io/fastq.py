@@ -185,6 +185,193 @@ def iter_fastq(path):
     return FastqIter(path)
 
 
+class ReadBatch:
+    """Columnar batch of prepared reads (native fastq_parse output):
+    flat nt4 codes / quals / names + offsets, clip lengths.  The post
+    kernels consume the arrays directly; the sequence protocol
+    materializes `Read` objects lazily for the rare per-object paths
+    (mate-rescue proxies, refinement jobs, trim fix-ups)."""
+
+    __slots__ = ("names_flat", "name_off", "codes_flat", "seq_off",
+                 "qual_flat", "clip", "is_comp", "lo", "hi")
+
+    def __init__(self, names_flat, name_off, codes_flat, seq_off,
+                 qual_flat, clip, is_comp, lo=0, hi=None):
+        self.names_flat = names_flat
+        self.name_off = name_off
+        self.codes_flat = codes_flat
+        self.seq_off = seq_off
+        self.qual_flat = qual_flat
+        self.clip = clip
+        self.is_comp = is_comp
+        self.lo = lo
+        self.hi = len(clip) if hi is None else hi
+
+    def __len__(self):
+        return self.hi - self.lo
+
+    def window(self, a, b):
+        b = min(b, len(self))
+        return ReadBatch(self.names_flat, self.name_off, self.codes_flat,
+                         self.seq_off, self.qual_flat, self.clip,
+                         self.is_comp, self.lo + a, self.lo + b)
+
+    # --- columnar accessors (row-relative to this window) ---
+    def full_lens(self):
+        o = self.seq_off
+        return (o[self.lo + 1:self.hi + 1] - o[self.lo:self.hi]) \
+            .astype(np.int64)
+
+    def clip_lens(self):
+        return self.clip[self.lo:self.hi].astype(np.int64)
+
+    def name_bytes(self):
+        """(flat, off) of this window's names, off rebased to 0."""
+        o = self.name_off
+        a, b = int(o[self.lo]), int(o[self.hi])
+        return self.names_flat[a:b], \
+            (o[self.lo:self.hi + 1] - a).astype(np.int64)
+
+    def code_bytes(self):
+        """(flat, off) of this window's untrimmed nt4 codes."""
+        o = self.seq_off
+        a, b = int(o[self.lo]), int(o[self.hi])
+        return self.codes_flat[a:b], \
+            (o[self.lo:self.hi + 1] - a).astype(np.int64)
+
+    def qual_bytes(self):
+        o = self.seq_off
+        a, b = int(o[self.lo]), int(o[self.hi])
+        return self.qual_flat[a:b], \
+            (o[self.lo:self.hi + 1] - a).astype(np.int64)
+
+    def aligned_codes(self, strand, use_clip=True):
+        """(flat, off) of per-row search-orientation codes: row i is
+        codes[:clip] forward when strand[i] is false, its reverse
+        (complement iff COMPREAD mode) otherwise — the `r.rseq if strand
+        else r.seq[::-1]` chunks of the object pipeline, built by one
+        threaded native ragged gather."""
+        from ..index import native as native_mod
+        lens = self.clip_lens() if use_clip else self.full_lens()
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        st = np.asarray(strand, dtype=bool)
+        flags = (st.astype(np.uint8)
+                 * np.uint8(3 if self.is_comp else 1))
+        out = np.empty(int(off[-1]), dtype=np.uint8)
+        native_mod._load().gather_rows_u8(
+            self.codes_flat, np.ascontiguousarray(
+                self.seq_off[self.lo:self.hi]),
+            lens, flags, len(lens), out, off, 0)
+        return out, off
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            a, b, step = i.indices(len(self))
+            assert step == 1
+            return self.window(a, b)
+        if i < 0:
+            i += len(self)
+        j = self.lo + i
+        o0, o1 = int(self.seq_off[j]), int(self.seq_off[j + 1])
+        codes = self.codes_flat[o0:o1]
+        ln = int(self.clip[j])
+        fwd = codes[:ln]
+        if self.is_comp:
+            rseq = np.where(fwd < 4, 3 - fwd, fwd)[::-1].astype(np.uint8)
+        else:
+            rseq = fwd[::-1]
+        n0, n1 = int(self.name_off[j]), int(self.name_off[j + 1])
+        return Read(name=self.names_flat[n0:n1].tobytes().decode(),
+                    seq=fwd[::-1], rseq=rseq,
+                    qual=self.qual_flat[o0:o1],
+                    full_len=o1 - o0, clip_len=ln,
+                    full_codes=codes, bc="")
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class ColumnarFastq:
+    """Whole-file native FASTQ load with pull(n, trim_qual) windows.
+
+    Returns None from open() when the input needs the generic reader
+    (BAM, FASTA, gzip bombs, barcode mode, CR line endings, multi-line
+    records)."""
+
+    MAX_BYTES = 4 << 30
+
+    def __init__(self, data, mode):
+        self._data = data
+        self._mode = mode
+        self._batch = None
+        self._cur = 0
+        self._tq = None
+
+    @classmethod
+    def open(cls, path, mode):
+        from ..index import native as native_mod
+        if (mode >> 24) & 0xFF:          # barcode split: generic reader
+            return None
+        if native_mod._load() is None or \
+                not hasattr(native_mod._load(), "fastq_parse"):
+            return None
+        try:
+            import os
+            if os.path.getsize(path) > cls.MAX_BYTES:
+                return None
+            with open(path, "rb") as f:
+                head = f.read(2)
+                if head == b"\x1f\x8b":
+                    import gzip
+                    with gzip.open(path, "rb") as g:
+                        data = g.read()
+                else:
+                    data = head + f.read()
+        except OSError:
+            return None
+        if not data or data[:1] != b"@":
+            return None
+        return cls(data, mode)
+
+    def _parse(self, trim_qual):
+        from ..index import native as native_mod
+        lib = native_mod._load()
+        data = np.frombuffer(self._data, dtype=np.uint8)
+        nb = len(data)
+        max_reads = self._data.count(b"\n") // 4 + 2
+        name_flat = np.empty(nb, dtype=np.uint8)
+        name_off = np.zeros(max_reads + 1, dtype=np.int64)
+        codes_flat = np.empty(nb, dtype=np.uint8)
+        seq_off = np.zeros(max_reads + 1, dtype=np.int64)
+        qual_flat = np.empty(nb, dtype=np.uint8)
+        clip = np.zeros(max_reads, dtype=np.int32)
+        flags = (1 if self._mode & BWA_MODE_IL13 else 0) \
+            | (2 if self._mode & BWA_MODE_CFY else 0)
+        n = lib.fastq_parse(data, nb, max_reads, flags, int(trim_qual),
+                            name_flat, name_off, codes_flat, seq_off,
+                            qual_flat, clip)
+        if n < 0:
+            return None
+        self._batch = ReadBatch(
+            name_flat, name_off[:n + 1], codes_flat, seq_off[:n + 1],
+            qual_flat, clip[:n],
+            bool(self._mode & BWA_MODE_COMPREAD))
+        self._tq = trim_qual
+        self._data = None
+        return self._batch
+
+    def pull(self, n, trim_qual):
+        if self._batch is None:
+            if self._data is None or self._parse(trim_qual) is None:
+                return None            # caller falls back permanently
+        assert trim_qual == self._tq, "trim_qual changed between pulls"
+        w = self._batch.window(self._cur, self._cur + n)
+        self._cur += len(w)
+        return w
+
+
 def trim_read(trim_qual, codes, quals, full_len):
     """bwa_trim_read (bwaseqio.c:110-123): BWA-style partial-sum trimming.
     Returns new length."""

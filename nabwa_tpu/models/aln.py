@@ -270,11 +270,21 @@ class AlnEngine:
         opt = self.opt
         if not reads:
             return []
-        max_len = max(r.len for r in reads)
+        lens_arr = None
+        if not isinstance(reads, list):
+            from ..io.fastq import ReadBatch
+            if isinstance(reads, ReadBatch):
+                # columnar batch: lengths come off the offsets, and the
+                # native engine packs seqs straight from the flats
+                lens_arr = reads.clip_lens()
+            else:
+                reads = list(reads)
+        max_len = int(lens_arr.max()) if lens_arr is not None \
+            else max(r.len for r in reads)
         if opt.fnr > 0.0:
             tab = _maxdiff_table(opt.fnr, max(max_len, 64))
-            per_read_maxdiff = np.array([tab[r.len] for r in reads],
-                                        dtype=np.int32)
+            per_read_maxdiff = tab[lens_arr] if lens_arr is not None \
+                else np.array([tab[r.len] for r in reads], dtype=np.int32)
         else:
             per_read_maxdiff = np.full(len(reads), opt.max_diff,
                                        dtype=np.int32)
@@ -497,8 +507,8 @@ class AlnEngine:
             return np.zeros(0, dtype=np.uint32)
         fm = self.index.fwd if a else self.index.rev
         use_native = self._native_ok() and (
-            jax.default_backend() != "tpu"
-            or bool(_os.environ.get("NABWA_FORCE_NATIVE")))
+            bool(_os.environ.get("NABWA_FORCE_NATIVE"))
+            or jax.default_backend() != "tpu")
         if use_native:
             from ..index.native import bwt_sa_batch
             out = bwt_sa_batch(

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..constants import BWA_TYPE_NO_MATCH, BWA_AVG_ERR
 from ..index import native as native_mod
+from ..io import fastq as fq
 from ..refmodel.aln_scalar import cal_maxdiff
 from . import samse as se
 
@@ -93,6 +94,30 @@ def _flat(chunks):
                 if isinstance(c, (bytes, bytearray)) else c
             pos += n
     return flat, off
+
+
+def _interleave_flats(f0, o0, f1, o1):
+    """Two (flat, off) columns -> one with rows alternating 0,1,0,1...
+    (the sampe emit order) via the threaded native ragged gather."""
+    n = len(o0) - 1
+    lens = np.empty(2 * n, dtype=np.int64)
+    lens[0::2] = o0[1:] - o0[:-1]
+    lens[1::2] = o1[1:] - o1[:-1]
+    off = np.zeros(2 * n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    if not total:
+        return np.zeros(0, dtype=np.uint8), off
+    comb = np.concatenate([np.asarray(f0, dtype=np.uint8),
+                           np.asarray(f1, dtype=np.uint8)])
+    base = np.empty(2 * n, dtype=np.int64)
+    base[0::2] = o0[:-1]
+    base[1::2] = len(f0) + o1[:-1]
+    out = np.empty(total, dtype=np.uint8)
+    native_mod._load().gather_rows_u8(
+        comb, base, lens, np.zeros(2 * n, dtype=np.uint8), 2 * n,
+        out, off, 0)
+    return out, off
 
 
 def _pack_recs(per_read_alns):
@@ -426,14 +451,33 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     assert len(reads[1]) == n
     n2 = 2 * n
     # interleaved rows: 2i = end 0, 2i+1 = end 1 (the emit order)
-    reads_flat = [reads[j][i] for i in range(n) for j in (0, 1)]
+    colsrc = None
+    if isinstance(reads[0], fq.ReadBatch) \
+            and isinstance(reads[1], fq.ReadBatch):
+        colsrc = reads
+        class _LazyFlat:
+            # rescue proxies / refine jobs touch a handful of rows
+            def __getitem__(self, row):
+                return colsrc[row & 1][row >> 1]
+        reads_flat = _LazyFlat()
+    else:
+        reads_flat = [reads[j][i] for i in range(n) for j in (0, 1)]
     alns_flat = [per_read_alns[j][i] for i in range(n) for j in (0, 1)]
 
     state = np.zeros((n2, NF), dtype=np.int64)
-    lens = np.array([r.len for r in reads_flat], dtype=np.int64)
-    state[:, F_LEN] = lens
-    state[:, F_FULL_LEN] = [r.full_len for r in reads_flat]
-    state[:, F_CLIP_LEN] = [r.clip_len for r in reads_flat]
+    lens = np.empty(n2, dtype=np.int64)
+    if colsrc is not None:
+        lens[0::2] = colsrc[0].clip_lens()
+        lens[1::2] = colsrc[1].clip_lens()
+        state[:, F_LEN] = lens
+        state[0::2, F_FULL_LEN] = colsrc[0].full_lens()
+        state[1::2, F_FULL_LEN] = colsrc[1].full_lens()
+        state[:, F_CLIP_LEN] = lens
+    else:
+        lens[:] = [r.len for r in reads_flat]
+        state[:, F_LEN] = lens
+        state[:, F_FULL_LEN] = [r.full_len for r in reads_flat]
+        state[:, F_CLIP_LEN] = [r.clip_len for r in reads_flat]
     xflag = np.full(n2, SAM_FPD | SAM_FR2, dtype=np.int64)
     xflag[0::2] = SAM_FPD | SAM_FR1
     state[:, F_XFLAG] = xflag
@@ -646,9 +690,14 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     se._refine_jobs(jobs, pac, bns.l_pac, use_device=True)
 
     # --- MD/NM ---
-    seq_chunks = [(reads_flat[i].rseq if strand[i] else fwd_codes(i))
-                  for i in range(n2)]
-    seq_flat, seq_off = _flat(seq_chunks)
+    if colsrc is not None:
+        f0, o0 = colsrc[0].aligned_codes(strand[0::2])
+        f1, o1 = colsrc[1].aligned_codes(strand[1::2])
+        seq_flat, seq_off = _interleave_flats(f0, o0, f1, o1)
+    else:
+        seq_chunks = [(reads_flat[i].rseq if strand[i] else fwd_codes(i))
+                      for i in range(n2)]
+        seq_flat, seq_off = _flat(seq_chunks)
     cig_counts = np.zeros(n2, dtype=np.int64)
     for i, cg in cigars.items():
         if cg:
@@ -685,20 +734,32 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
         cigars[i] = s.cigar
         state[i, F_LEN] = s.len
 
-    # --- bc concat quirk (bwape.c:731-740) ---
-    bcs = [r.bc.encode() if r.bc else b"" for r in reads_flat]
-    for i in range(n):
-        if bcs[2 * i] or bcs[2 * i + 1]:
-            bc = bcs[2 * i] + bcs[2 * i + 1]
-            bcs[2 * i] = bcs[2 * i + 1] = bc
-
     # --- native SAM emission, interleaved with mate rows ---
-    names = [r.name.encode() for r in reads_flat]
-    name_flat, name_off = _flat(names)
-    bc_flat, bc_off = _flat(bcs)
-    sf_flat, sf_off = _flat([r.full_codes for r in reads_flat])
-    q_flat, q_off = _flat([(r.qual.tobytes() if r.qual is not None
-                            else b"") for r in reads_flat])
+    if colsrc is not None:
+        # columnar batches carry no barcodes (the loader falls back to
+        # the object reader in barcode mode), so the bc concat quirk
+        # (bwape.c:731-740) has nothing to do
+        name_flat, name_off = _interleave_flats(*colsrc[0].name_bytes(),
+                                                *colsrc[1].name_bytes())
+        bc_flat = np.zeros(0, dtype=np.uint8)
+        bc_off = np.zeros(n2 + 1, dtype=np.int64)
+        sf_flat, sf_off = _interleave_flats(*colsrc[0].code_bytes(),
+                                            *colsrc[1].code_bytes())
+        q_flat, q_off = _interleave_flats(*colsrc[0].qual_bytes(),
+                                          *colsrc[1].qual_bytes())
+    else:
+        # bc concat quirk (bwape.c:731-740)
+        bcs = [r.bc.encode() if r.bc else b"" for r in reads_flat]
+        for i in range(n):
+            if bcs[2 * i] or bcs[2 * i + 1]:
+                bc = bcs[2 * i] + bcs[2 * i + 1]
+                bcs[2 * i] = bcs[2 * i + 1] = bc
+        names = [r.name.encode() for r in reads_flat]
+        name_flat, name_off = _flat(names)
+        bc_flat, bc_off = _flat(bcs)
+        sf_flat, sf_off = _flat([r.full_codes for r in reads_flat])
+        q_flat, q_off = _flat([(r.qual.tobytes() if r.qual is not None
+                                else b"") for r in reads_flat])
     mcig_counts = np.zeros(n2 * stride, dtype=np.int64)
     for o, cg in mcigars.items():
         if cg:
@@ -763,10 +824,18 @@ def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
 
     n = len(reads)
     state = np.zeros((n, NF), dtype=np.int64)
-    lens = np.array([r.len for r in reads], dtype=np.int64)
-    state[:, F_LEN] = lens
-    state[:, F_FULL_LEN] = [r.full_len for r in reads]
-    state[:, F_CLIP_LEN] = [r.clip_len for r in reads]
+    colsrc = reads if isinstance(reads, fq.ReadBatch) else None
+    if colsrc is not None:
+        # columnar batch: length columns come straight off the offsets
+        lens = colsrc.clip_lens()
+        state[:, F_LEN] = lens
+        state[:, F_FULL_LEN] = colsrc.full_lens()
+        state[:, F_CLIP_LEN] = lens
+    else:
+        lens = np.array([r.len for r in reads], dtype=np.int64)
+        state[:, F_LEN] = lens
+        state[:, F_FULL_LEN] = [r.full_len for r in reads]
+        state[:, F_CLIP_LEN] = [r.clip_len for r in reads]
 
     # 1. hit selection + multi enumeration (exact drand48 stream)
     recs, counts = _pack_recs(per_read_alns)
@@ -870,9 +939,12 @@ def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
     se._refine_jobs(jobs, pac, bns.l_pac, use_device=True)
 
     # 5. MD/NM (native walk with ambiguity holes)
-    seq_chunks = [(reads[i].rseq if strand[i] else fwd_codes(i))
-                  for i in range(n)]
-    seq_flat, seq_off = _flat(seq_chunks)
+    if colsrc is not None:
+        seq_flat, seq_off = colsrc.aligned_codes(strand)
+    else:
+        seq_chunks = [(reads[i].rseq if strand[i] else fwd_codes(i))
+                      for i in range(n)]
+        seq_flat, seq_off = _flat(seq_chunks)
     cig_pairs = []
     cig_counts = np.zeros(n, dtype=np.int64)
     for i, cg in cigars.items():
@@ -909,15 +981,21 @@ def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
         state[i, F_LEN] = s.len
 
     # 7. native SAM emission
-    names = [r.name.encode() for r in reads]
-    name_flat, name_off = _flat(names)
-    bcs = [r.bc.encode() if r.bc else b"" for r in reads]
-    bc_flat, bc_off = _flat(bcs)
-    seqs_full = [r.full_codes for r in reads]
-    sf_flat, sf_off = _flat(seqs_full)
-    quals = [(r.qual.tobytes() if r.qual is not None else b"")
-             for r in reads]
-    q_flat, q_off = _flat(quals)
+    if colsrc is not None:
+        name_flat, name_off = colsrc.name_bytes()
+        bc_flat, bc_off = np.zeros(0, np.uint8), np.zeros(n + 1, np.int64)
+        sf_flat, sf_off = colsrc.code_bytes()
+        q_flat, q_off = colsrc.qual_bytes()
+    else:
+        names = [r.name.encode() for r in reads]
+        name_flat, name_off = _flat(names)
+        bcs = [r.bc.encode() if r.bc else b"" for r in reads]
+        bc_flat, bc_off = _flat(bcs)
+        seqs_full = [r.full_codes for r in reads]
+        sf_flat, sf_off = _flat(seqs_full)
+        quals = [(r.qual.tobytes() if r.qual is not None else b"")
+                 for r in reads]
+        q_flat, q_off = _flat(quals)
 
     # cigars may have changed in step 6: rebuild flat, now with the multi
     # cigars appended (emitter layout: read offsets then multi offsets)
