@@ -10,6 +10,7 @@ import ctypes
 import os
 import pathlib
 import subprocess
+import threading
 
 import numpy as np
 
@@ -28,6 +29,7 @@ _SO = _BUILD / "libnabwa_native.so"
 
 _lib = None
 _checked = False
+_load_lock = threading.Lock()
 
 _u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -39,7 +41,19 @@ def _load():
     global _lib, _checked
     if _checked:
         return _lib
-    _checked = True
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
+    # _checked is published only AFTER _lib is assigned: the old
+    # check-then-act version let a scheduler worker observe
+    # _checked=True mid-build and conclude "no native library", silently
+    # routing whole bam2bam pass-1 chunks onto the CPU-jit device path
+    # (observed: 6 s runs intermittently becoming 50 s)
+    global _lib, _checked
+    if _checked:
+        return _lib
     try:
         newest_src = max(s.stat().st_mtime for s in _SRCS)
         if not _SO.exists() or _SO.stat().st_mtime < newest_src:
@@ -177,6 +191,7 @@ def _load():
         _lib = lib
     except Exception:
         _lib = None
+    _checked = True
     return _lib
 
 

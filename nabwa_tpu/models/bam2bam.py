@@ -1125,7 +1125,16 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     def work_align(cid, payload):
         return pass1_work(engine, gopt, payload)
 
+    # The drand48 sampling + SA->position walk + isize histograms fold
+    # into the ordered pass-1 writer: chunks release strictly in record
+    # order, so the rng stream and histogram sums are identical to the
+    # former standalone stage — but the (GIL-bound) sampling now overlaps
+    # the other workers' native DFS instead of running as a serial stage
+    # after the pass.
+    hists = {}
+
     def apply_align(cid, res):
+        chunk_pairs = []
         for pi, states, alns, hws in res:
             p = pairs[pi]
             for j in range(p.kind):
@@ -1133,8 +1142,34 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
                 p.alns[j] = alns[j]
                 p.hw[j] = hws[j]
                 states[j].max_entries = hws[j]
+            chunk_pairs.append(p)
+        pos_states = []
+        for p in chunk_pairs:
             if not unique(p, skip_duplicates):
-                p.phase = POSITIONED
+                continue
+            if rng_mode == "counter":
+                r = Rand48()
+                r.x = hash_64((bns.seed ^ p.recno)
+                              & 0xFFFFFFFFFFFFFFFF) & ((1 << 48) - 1)
+            else:
+                r = rng
+            if p.kind == SINGLETON:
+                se.aln2seq_core(p.alns[0], p.states[0], r, set_main=True,
+                                n_multi=popt.max_occ_se)
+            else:
+                for j in range(2):
+                    st = p.states[j]
+                    st.n_multi = 0
+                    st.multi = []
+                    se.aln2seq_core(p.alns[j], st, r, set_main=True,
+                                    n_multi=0)
+            pos_states.extend(p.states[j] for j in range(p.kind))
+        se.cal_pac_pos(engine, pos_states, gopt.max_diff, gopt.fnr)
+        for p in chunk_pairs:
+            if unique(p, skip_duplicates):
+                improve_isize_est(hists, p, popt.ap_prior,
+                                  engine.index.fwd.seq_len)
+            p.phase = POSITIONED
 
     # lease long enough that a legitimately slow chunk is never re-issued
     # to a second worker (duplicate compute); the reference's resend sweep
@@ -1152,41 +1187,8 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     telemetry.bump("pass1_resends", sched1.total_resends)
     telemetry.bump("pass1_dups", sched1.total_dups)
 
-    # ---- posn: drand48 sampling in record order at the coordinator ----
-    with timers("sample + position"):
-        for p in pairs:
-            if not unique(p, skip_duplicates):
-                continue
-            if rng_mode == "counter":
-                r = Rand48()
-                r.x = hash_64((bns.seed ^ p.recno)
-                              & 0xFFFFFFFFFFFFFFFF) & ((1 << 48) - 1)
-            else:
-                r = rng
-            if p.kind == SINGLETON:
-                se.aln2seq_core(p.alns[0], p.states[0], r, set_main=True,
-                                n_multi=popt.max_occ_se)
-            else:
-                for j in range(2):
-                    s = p.states[j]
-                    s.n_multi = 0
-                    s.multi = []
-                    se.aln2seq_core(p.alns[j], s, r, set_main=True,
-                                    n_multi=0)
-        # positions (batched device SA walk, no rng involved)
-        se.cal_pac_pos(engine, [p.states[j] for p in pairs
-                                if unique(p, skip_duplicates)
-                                for j in range(p.kind)],
-                       gopt.max_diff, gopt.fnr)
-    # per-RG isize histograms in record order (insert_size.c)
-    hists = {}
-    for p in pairs:
-        if unique(p, skip_duplicates):
-            improve_isize_est(hists, p, popt.ap_prior,
-                              engine.index.fwd.seq_len)
-        p.phase = POSITIONED
-
-    # ---- barrier: infer_all_isizes (bam2bam.c:1856-1870) ----
+    # ---- barrier: infer_all_isizes (bam2bam.c:1856-1870); the per-RG
+    # histograms were accumulated in record order by the pass-1 writer --
     iinfos = {}
     for rg, h in hists.items():
         ii = infer_isize_hist(h, popt.ap_prior, engine.index.fwd.seq_len,
@@ -1202,9 +1204,26 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     def work_finish(cid, payload):
         return pass2_work(engine, gopt, popt, iinfos, payload)
 
-    out_records = []
     counters = {"n_tot": [0, 0], "n_mapped": [0, 0]}
     ema = RateEMA("bam2bam")
+
+    # Output streams from the ordered pass-2 writer: records release in
+    # input order, so BGZF compression/IO overlaps the remaining chunks'
+    # compute instead of running as a serial stage after the pass.
+    header_text = print_header_text(bns, reader.text, argv or [], version)
+    refs = [(a.name, a.length) for a in bns.anns]
+    out_f = open(out_bam, "wb")
+    bam_w = bamio.BgzfWriter(out_f, level=2)
+    payload = bytearray(b"BAM\x01")
+    t = header_text.encode("latin1")
+    import struct as _struct
+    payload += _struct.pack("<i", len(t)) + t
+    payload += _struct.pack("<i", len(refs))
+    for name, ln in refs:
+        nb = name.encode() + b"\x00"
+        payload += _struct.pack("<i", len(nb)) + nb \
+            + _struct.pack("<i", ln)
+    bam_w.write(bytes(payload))
 
     def apply_finish(cid, res):
         recs_list, cnt = res
@@ -1219,7 +1238,8 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
             if only_aligned and any(recs[i].flag & SAM_FSU
                                     for i in range(p.kind)):
                 continue
-            out_records.extend(recs)
+            for rec in recs:
+                bam_w.write(rec.encode())
 
     with timers("pass 2 finish"):
         _, sched2 = run_distributed(chunks2, work_finish,
@@ -1241,12 +1261,10 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
           % (counters["n_mapped"][0], counters["n_tot"][0], 17),
           file=_sys.stderr)
 
-    # ---- output BAM ----
+    # ---- output BAM: flush the streaming writer ----
     with timers("write output"):
-        header_text = print_header_text(bns, reader.text, argv or [],
-                                        version)
-        refs = [(a.name, a.length) for a in bns.anns]
-        bamio.make_bam(out_bam, refs, out_records, text=header_text)
+        bam_w.close()
+        out_f.close()
     if coordinator is not None:
         coordinator.close()
     ema.final(len(pairs))
