@@ -37,6 +37,15 @@ def main():
                     stack_cap=int(os.environ.get("NABWA_BENCH_STACK",
                                                  "256")))
     eng.host_frac = 0.0
+    # count reads that overflow every device tier and drain on the host
+    # CPU (a small stack cap must not fake a device win)
+    fallback = {"n": 0}
+    orig_drain = eng._drain_native
+
+    def counting_drain(fb_reads, *a, **kw):
+        fallback["n"] += len(fb_reads)
+        return orig_drain(fb_reads, *a, **kw)
+    eng._drain_native = counting_drain
     eng.run_chunk(reads[:BATCH], device_batch=BATCH)   # compile
     rates = []
     for _ in range(3):
@@ -44,8 +53,9 @@ def main():
         eng.run_chunk(reads, device_batch=BATCH)
         rates.append(len(reads) / (time.time() - t0))
     print({"fetch2": os.environ.get("NABWA_PALLAS_FETCH2", "1"),
-           "bb": eng.PALLAS_BB,
+           "bb": eng.PALLAS_BB, "stack": eng.stack_cap,
            "device_rps": round(sorted(rates)[1], 1),
+           "host_fallback_reads": fallback["n"],
            "all": [round(r, 1) for r in rates]})
 
 
