@@ -190,6 +190,17 @@ def _load_locked():
         lib.gather_rows_u8.restype = None
         _lib = lib
     except Exception:
+        # never silent: a broken native build otherwise just skips every
+        # native-marked test and downgrades the engines to Python paths
+        # (observed: a missing <cstdio> turned bwasw 350 -> 0.7 reads/s
+        # with no diagnostic)
+        import sys as _sys
+        import traceback as _tb
+        print("[nabwa.native] native library unavailable:",
+              file=_sys.stderr)
+        exc = _tb.format_exc(limit=2)
+        err = getattr(_sys.exc_info()[1], "stderr", None)
+        print(err.decode()[:2000] if err else exc, file=_sys.stderr)
         _lib = None
     _checked = True
     return _lib

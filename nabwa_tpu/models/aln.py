@@ -661,6 +661,17 @@ class AlnEngine:
             # measure the lockstep kernel.
             refill = (self._pal_hbm and not lobotomy
                       and not _os3.environ.get("NABWA_NO_REFILL"))
+            if refill:
+                # the tier-0 iteration cap exists to bound the LOCKSTEP
+                # kernel's tail (one hard read idles the whole block); a
+                # refill block instead works through B/BB reads per lane
+                # and needs ~(B/BB)*iters_per_read iterations — a 768
+                # cap left ~90% of a 1024-read batch unfinished, silently
+                # draining it to the host CPU (measured r5: at stack 64
+                # the "device" rate was mostly native).  The kernel exits
+                # on its own once the read queue is dry, so the hard cap
+                # is only a runaway bound here.
+                statics["max_iters"] = self.max_iters
             out = dfs_pallas.aln_device_step_pallas(
                 self._pal_table, self._pal_params, self.bwt_fwd,
                 self.bwt_rev, self.rev_off, self.primary_fwd,

@@ -22,6 +22,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <chrono>
 #include <thread>
 #include <vector>
 
@@ -837,6 +840,10 @@ int64_t bsw2_aln_batch(
     int nth = n_threads > 0 ? n_threads
         : (int)std::thread::hardware_concurrency();
     if (nth < 1) nth = 1;
+    const bool timing = std::getenv("NABWA_BSW_TIMING") != nullptr;
+    auto clk = [] { return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count(); };
+    double tA0 = timing ? clk() : 0.0;
 
     // phase A: rng-free forward-index work for amb-free reads
     {
@@ -865,6 +872,7 @@ int64_t bsw2_aln_batch(
         for (auto& t : ts) t.join();
     }
 
+    double tB0 = timing ? clk() : 0.0;
     // phase B: sequential drand48 replay in read order
     Rng rng{*rng_io};
     for (int64_t i = 0; i < n_reads; ++i) {
@@ -915,6 +923,7 @@ int64_t bsw2_aln_batch(
     }
     *rng_io = rng.x;
 
+    double tC0 = timing ? clk() : 0.0;
     // phase C: CIGARs, parallel
     {
         std::atomic<int64_t> cursor(0);
@@ -937,6 +946,11 @@ int64_t bsw2_aln_batch(
         if (bad.load()) return -1;
     }
 
+    if (timing)
+        std::fprintf(stderr,
+                     "[bsw2.timing] n=%lld A %.3fs B %.3fs C %.3fs\n",
+                     (long long)n_reads, tB0 - tA0, tC0 - tB0,
+                     clk() - tC0);
     // marshal out
     int64_t htot = 0, ctot = 0;
     for (int64_t i = 0; i < n_reads; ++i) {

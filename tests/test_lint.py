@@ -134,3 +134,17 @@ if __name__ == "__main__":
     test_compileall()
     test_no_never_bound_names()
     print("lint ok:", len(SOURCES), "files")
+
+
+def test_native_library_builds():
+    """The native library must BUILD whenever a compiler exists: a broken
+    build silently skips every native-marked test and downgrades the
+    engines to Python fallbacks (round-5 incident: a missing include
+    made bwasw 500x slower with no failing test)."""
+    import shutil
+    if shutil.which("g++") is None:
+        import pytest
+        pytest.skip("no compiler")
+    from nabwa_tpu.index import native
+    assert native._load() is not None, \
+        "native library failed to build (see stderr)"
