@@ -279,7 +279,9 @@ def cmd_samse(argv):
     from .utils.rand48 import Rand48
     from .utils.files import final_rename
 
-    opt, per_read = sai.read_sai_tuples(args.sai)
+    opt, per_read = sai.read_sai_columnar(args.sai)
+    if per_read is None:
+        opt, per_read = sai.read_sai_tuples(args.sai)
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
     ntpac = _open_ntpac(args.prefix, opt.mode)
@@ -347,8 +349,12 @@ def cmd_sampe(argv):
     if args.force_isize:
         popt.force_isize = 1
 
-    opt0, per_read0 = sai.read_sai_tuples(args.sai1)
-    opt, per_read1 = sai.read_sai_tuples(args.sai2)
+    opt0, per_read0 = sai.read_sai_columnar(args.sai1)
+    if per_read0 is None:
+        opt0, per_read0 = sai.read_sai_tuples(args.sai1)
+    opt, per_read1 = sai.read_sai_columnar(args.sai2)
+    if per_read1 is None:
+        opt, per_read1 = sai.read_sai_tuples(args.sai2)
     idx = BwaIndex.load(args.prefix)
     eng = AlnEngine(idx, opt)
     ntpac = _open_ntpac(args.prefix, opt.mode)

@@ -120,6 +120,78 @@ def read_sai(path):
     return opt, out
 
 
+class AlnColumn:
+    """Columnar .sai chunk: the raw u32 record words (the bwt_aln1_t
+    stream IS the native kernels' record layout) + per-read counts.
+    Sequence protocol materializes per-read tuple lists lazily for the
+    object-pipeline fallbacks; the native post path consumes the arrays
+    directly (post_native._pack_recs is then a no-op)."""
+
+    __slots__ = ("recs", "counts", "off", "lo", "hi")
+
+    def __init__(self, recs, counts, off=None, lo=0, hi=None):
+        self.recs = recs            # u32 [4*total], 4 words per record
+        self.counts = counts        # i32 [n]
+        if off is None:
+            off = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+        self.off = off
+        self.lo = lo
+        self.hi = len(counts) if hi is None else hi
+
+    def __len__(self):
+        return self.hi - self.lo
+
+    def columns(self):
+        """(recs u32 flat rebased to this window, counts i32)."""
+        a, b = int(self.off[self.lo]), int(self.off[self.hi])
+        return (np.ascontiguousarray(self.recs[4 * a:4 * b]),
+                np.ascontiguousarray(self.counts[self.lo:self.hi]))
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            a, b, step = i.indices(len(self))
+            assert step == 1
+            return AlnColumn(self.recs, self.counts, self.off,
+                             self.lo + a, self.lo + b)
+        if i < 0:
+            i += len(self)
+        j = self.lo + i
+        a, b = int(self.off[j]), int(self.off[j + 1])
+        if a == b:
+            return []
+        return aln_records_to_tuples(
+            self.recs[4 * a:4 * b].view(ALN_DTYPE))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def read_sai_columnar(path):
+    """Native one-pass .sai scan -> (GapOpt, AlnColumn), or (opt, None)
+    when the native library is unavailable (caller uses the tuple
+    reader)."""
+    from ..index import native as native_mod
+    lib = native_mod._load()
+    if lib is None or not hasattr(lib, "sai_scan"):
+        return None, None
+    with open(path, "rb") as f:
+        data = f.read()
+    opt = GapOpt.unpack(data[:GAP_OPT_SIZE])
+    body = np.frombuffer(data, dtype=np.uint8, offset=GAP_OPT_SIZE)
+    max_reads = len(body) // 4 + 1
+    counts = np.zeros(max_reads, dtype=np.int32)
+    recs = np.empty(len(body), dtype=np.uint8)
+    n = lib.sai_scan(body, len(body), max_reads, counts, recs, len(recs))
+    if n < 0:
+        return opt, None
+    total = int(counts[:n].astype(np.int64).sum())
+    return opt, AlnColumn(
+        np.ascontiguousarray(recs[:16 * total]).view(np.uint32),
+        counts[:n])
+
+
 def read_sai_tuples(path):
     """Returns (GapOpt, list of per-read aln-tuple lists) with one flat
     record pass — avoids building one tiny array per read (read_sai) and

@@ -462,7 +462,11 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
         reads_flat = _LazyFlat()
     else:
         reads_flat = [reads[j][i] for i in range(n) for j in (0, 1)]
-    alns_flat = [per_read_alns[j][i] for i in range(n) for j in (0, 1)]
+    from ..io import sai as sai_mod
+    aln_cols = (isinstance(per_read_alns[0], sai_mod.AlnColumn)
+                and isinstance(per_read_alns[1], sai_mod.AlnColumn))
+    alns_flat = None if aln_cols else \
+        [per_read_alns[j][i] for i in range(n) for j in (0, 1)]
 
     state = np.zeros((n2, NF), dtype=np.int64)
     lens = np.empty(n2, dtype=np.int64)
@@ -483,7 +487,24 @@ def sampe_bytes(engine, reads, per_read_alns, gopt, popt, rng, rg_id=None,
     state[:, F_XFLAG] = xflag
 
     # --- SE phase (bwape.c:316-338): exact drand48 stream, j inner ---
-    recs, counts = _pack_recs(alns_flat)
+    if aln_cols:
+        # raw .sai record words ARE the kernel layout: interleave the two
+        # ends' byte columns with one native gather, no tuples
+        r0, c0 = per_read_alns[0].columns()
+        r1, c1 = per_read_alns[1].columns()
+        counts = np.empty(n2, dtype=np.int32)
+        counts[0::2] = c0
+        counts[1::2] = c1
+        o0 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(c0.astype(np.int64) * 16, out=o0[1:])
+        o1 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(c1.astype(np.int64) * 16, out=o1[1:])
+        rb, _ = _interleave_flats(r0.view(np.uint8), o0,
+                                  r1.view(np.uint8), o1)
+        recs = np.ascontiguousarray(rb).view(np.uint32) if len(rb) \
+            else np.zeros(0, dtype=np.uint32)
+    else:
+        recs, counts = _pack_recs(alns_flat)
     hit_off = np.zeros(n2 + 1, dtype=np.int64)
     np.cumsum(counts, out=hit_off[1:])
     dummy_u64 = np.zeros(n2, dtype=np.uint64)
@@ -838,7 +859,11 @@ def samse_bytes(engine, reads, per_read_alns, opt, n_occ=3, rng=None,
         state[:, F_CLIP_LEN] = [r.clip_len for r in reads]
 
     # 1. hit selection + multi enumeration (exact drand48 stream)
-    recs, counts = _pack_recs(per_read_alns)
+    from ..io import sai as sai_mod
+    if isinstance(per_read_alns, sai_mod.AlnColumn):
+        recs, counts = per_read_alns.columns()
+    else:
+        recs, counts = _pack_recs(per_read_alns)
     stride = n_occ + 1
     multi_pos = np.zeros(n * stride, dtype=np.uint64)
     multi_gap = np.zeros(n * stride, dtype=np.int32)
