@@ -49,6 +49,11 @@ from .u32 import ult, ule, ugt, uge, ushr
 I32 = jnp.int32
 LANES = 128
 FREE = 0x7FFFFFFF
+# DMA-semaphore increment per [1,128] i32 row copy: the engine signals
+# 32-byte granules (512 B -> 16; verified by scripts/probe_sem.py on the
+# v5e backend).  Only the bulk-drain fetch mode (fetch2 >= 2) relies on
+# it; the sequential-wait modes stay available via NABWA_PALLAS_FETCH2.
+SEM_UNIT = 16
 
 # meta packing: i(0-6) a(7) ldp(8-14) state(15-16) nmm(17-21) go(22-25)
 # ge(26-29)
@@ -189,8 +194,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
              s_key, s_meta, s_k, s_l, stage, rowidx,
              pw0w, pw0b, pw1w, pw1b,
              seqf_s, seqr_s, swwf_s, swwr_s, swbf_s, swbr_s, meta_s,
-             hms, hks, hls, hss, summ_s, lanestat, fillflag, cur_read,
-             dma_sem, sem_in, sem_out) = refs
+             hms, hks, hls, hss, summ_s, lanestat, fillflag, idx_smem,
+             cur_read, dma_sem, sem_in, sem_out) = refs
             sww_f_ref, sww_r_ref = swwf_s, swwr_s
             swb_f_ref, swb_r_ref = swbf_s, swbr_s
             hmeta_ref, hk_ref, hl_ref, hscore_ref = hms, hks, hls, hss
@@ -201,8 +206,9 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
              table_ref,
              hmeta_ref, hk_ref, hl_ref, hscore_ref, summ_ref,
              s_key, s_meta, s_k, s_l, stage, rowidx,
-             pw0w, pw0b, pw1w, pw1b, *dma_sem) = refs
-            dma_sem = dma_sem[0] if dma_sem else None
+             pw0w, pw0b, pw1w, pw1b, *rest) = refs
+            idx_smem = rest[0] if len(rest) > 1 else None
+            dma_sem = rest[-1] if rest else None
         l2_0 = params_ref[0, 0]
         l2_1 = params_ref[0, 1]
         l2_2 = params_ref[0, 2]
@@ -469,7 +475,7 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 # every downstream use is masked).
                 same_row = rl_col == rk_col
                 if "fetch" not in lobotomy:
-                    if fetch2:
+                    if fetch2 >= 1:
                         # unconditional-fetch variant: every lane always
                         # copies both (clamped) rows — no per-lane guard
                         # branches, a statically-known descriptor count,
@@ -494,15 +500,41 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 # issued back-to-back right after the pop; every occ-
                 # independent gate (plane extracts, seq lookup, free-slot
                 # prefix) then runs in the DMA shadow before the drain.
-                if fetch2:
-                    def issue2(i, cur):
-                        pltpu.make_async_copy(
-                            table_ref.at[pl.ds(rowidx[i, 0], 1), :],
-                            stage.at[pl.ds(i, 1), :], dma_sem).start()
-                        pltpu.make_async_copy(
-                            table_ref.at[pl.ds(rowidx[i, 1], 1), :],
-                            stage.at[pl.ds(i + BB, 1), :], dma_sem).start()
-                        return cur
+                if fetch2 >= 1:
+                    if fetch2 >= 3 and BB == LANES:
+                        # stage the row indices to SMEM: transpose the
+                        # [BB,1] index columns onto lanes (one XLU
+                        # sublane<->lane transpose each), DMA the aligned
+                        # [2,128] tile to SMEM, and the issue loop does
+                        # 2*BB fast SMEM scalar reads instead of 2*BB
+                        # slow VMEM scalar reads
+                        rowidx[0:1, :] = jnp.transpose(rk_col)
+                        rowidx[1:2, :] = jnp.transpose(rl_col)
+                        idx_cp = pltpu.make_async_copy(
+                            rowidx.at[pl.ds(0, 2), :], idx_smem, dma_sem)
+                        idx_cp.start()
+                        idx_cp.wait()
+
+                        def issue3(i, cur):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(idx_smem[0, i], 1), :],
+                                stage.at[pl.ds(i, 1), :], dma_sem).start()
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(idx_smem[1, i], 1), :],
+                                stage.at[pl.ds(i + BB, 1), :],
+                                dma_sem).start()
+                            return cur
+                        issue2 = issue3
+                    else:
+                        def issue2(i, cur):
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(rowidx[i, 0], 1), :],
+                                stage.at[pl.ds(i, 1), :], dma_sem).start()
+                            pltpu.make_async_copy(
+                                table_ref.at[pl.ds(rowidx[i, 1], 1), :],
+                                stage.at[pl.ds(i + BB, 1), :],
+                                dma_sem).start()
+                            return cur
                     n_dma = jnp.int32(2 * BB)
                     if "fetch" not in lobotomy:
                         jax.lax.fori_loop(0, BB, issue2, jnp.int32(0),
@@ -675,19 +707,30 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
             # ================ end DMA-shadow window ================
 
             if hbm:
-                # drain: every copy is the same [1,128] shape, so a wait
-                # on a FIXED descriptor decrements the shared semaphore by
-                # exactly one copy's amount — n_dma fixed waits replace
-                # the per-lane rowidx reloads + branches + descriptor
-                # builds of the old mirrored drain loop (the fetch bucket
-                # was 23 us/iter, >60% of the whole iteration)
+                # drain.  Mode 2+: ONE bulk semaphore_wait for the whole
+                # sweep — each [1,128] i32 copy increments the DMA
+                # semaphore by its 32-byte-granule count (512 B -> 16,
+                # measured on this backend by scripts/probe_sem.py), so
+                # waiting n_dma*16 replaces n_dma sequential waits.
+                # Mode 1: fixed-descriptor unrolled waits.  Mode 0
+                # (legacy): n_dma dynamic waits.
                 def drain1(i, _):
                     pltpu.make_async_copy(
                         table_ref.at[pl.ds(0, 1), :],
                         stage.at[pl.ds(0, 1), :], dma_sem).wait()
                     return 0
                 if "fetch" not in lobotomy:
-                    if fetch2:
+                    if fetch2 >= 2:
+                        # jax refuses semaphore_wait on DMA semaphores,
+                        # but a wait's decrement comes from its
+                        # DESCRIPTOR size — one [2BB,128] slab descriptor
+                        # drains the whole sweep's 2*BB row copies in a
+                        # single wait
+                        pltpu.make_async_copy(
+                            table_ref.at[pl.ds(0, 2 * BB), :],
+                            stage.at[pl.ds(0, 2 * BB), :],
+                            dma_sem).wait()
+                    elif fetch2 == 1:
                         # static count: the loop bound is known at trace
                         # time, so the drain unrolls with no scalar
                         # bookkeeping
@@ -1223,6 +1266,10 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
     L = seqs.shape[2]
 
     assert not (mxu and hbm)
+    if interpret and fetch2 >= 2:
+        # the interpreter's semaphore model doesn't reproduce the
+        # hardware's 32-byte-granule increments the bulk drain relies on
+        fetch2 = 1
     kernel = make_kernel(
         BB=BB, S=S, H=H, L=L, s_mm=s_mm, s_gapo=s_gapo, s_gape=s_gape,
         max_gape=max_gape, max_gapo=max_gapo,
@@ -1281,6 +1328,7 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
                 pltpu.VMEM((BB, 128), I32),     # summ_s
                 pltpu.VMEM((BB, 128), I32),     # lanestat
                 pltpu.VMEM((BB, 128), I32),     # fillflag
+                pltpu.SMEM((2, LANES), I32),    # idx_smem (fetch mode 3)
                 pltpu.SMEM((BB,), I32),         # cur_read
                 pltpu.SemaphoreType.DMA(()),    # dma_sem (fetch)
                 pltpu.SemaphoreType.DMA(()),    # sem_in
@@ -1355,7 +1403,8 @@ def dfs_pallas_call(table, params, seqs, lengths, pw_w, pw_b, sw_w, sw_b,
             pltpu.VMEM((BB, 128), I32),     # pw0b
             pltpu.VMEM((BB, 128), I32),     # pw1w
             pltpu.VMEM((BB, 128), I32),     # pw1b
-        ] + ([pltpu.SemaphoreType.DMA(())] if hbm else []),
+        ] + ([pltpu.SMEM((2, LANES), I32),  # idx_smem (fetch mode 3)
+              pltpu.SemaphoreType.DMA(())] if hbm else []),
         interpret=interpret,
     )(params,
       seqs[:, 0, :], seqs[:, 1, :],

@@ -21,12 +21,11 @@ def kernel(table_ref, out_ref, stage, sem):
     for i in range(K):
         pltpu.make_async_copy(table_ref.at[pl.ds(i, 1), :],
                               stage.at[pl.ds(i, 1), :], sem).start()
-    # read after issuing; completion may lag but K small + sync below
+    out_ref[0] = pltpu.semaphore_read(sem)   # right after issue
     for i in range(K):
         pltpu.make_async_copy(table_ref.at[pl.ds(0, 1), :],
                               stage.at[pl.ds(0, 1), :], sem).wait()
-        out_ref[0, i] = pltpu.semaphore_read(sem)
-    out_ref[0, K] = jnp.int32(-1)
+        out_ref[1 + i] = pltpu.semaphore_read(sem)
 
 
 def main():
@@ -34,13 +33,13 @@ def main():
     out = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((K + 2,), jnp.int32),
         scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32),
                         pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(table)
-    print("sem after each of", K, "waits:", np.asarray(out)[0, :K + 1])
+    print("sem post-issue then after each wait:", np.asarray(out))
 
 
 if __name__ == "__main__":
