@@ -1041,6 +1041,15 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
                 file + (n_flushed, new_cursor)."""
                 # vector -> scalar handoff: done flags + the summ rows
                 lanestat[:, 0:1] = cr["done"]
+                if fetch2 >= 3 and BB == LANES:
+                    # SMEM-stage the done flags (same trick as the occ
+                    # fetch): the lane loop then reads fast SMEM scalars
+                    # instead of BB slow VMEM scalars per sweep
+                    lanestat[0:1, :] = jnp.transpose(cr["done"])
+                    st_cp = pltpu.make_async_copy(
+                        lanestat.at[pl.ds(0, 2), :], idx_smem, dma_sem)
+                    st_cp.start()
+                    st_cp.wait()
                 fillflag[:] = jnp.zeros((BB, LANES), I32)
                 summ = jnp.zeros((BB, SW), I32)
                 summ = jnp.where(lane8 == 0, cr["naln"], summ)
@@ -1055,7 +1064,8 @@ def make_kernel(*, BB, S, H, L, s_mm, s_gapo, s_gape, max_gape, max_gapo,
 
                 def lane(i, c):
                     nf, ni, cur = c
-                    st = lanestat[i, 0]
+                    st = idx_smem[0, i] if fetch2 >= 3 and BB == LANES \
+                        else lanestat[i, 0]
                     rd = cur_read[i]
                     do_flush = (st != 0) & (rd >= 0)
 

@@ -3,7 +3,9 @@
 Runs the u32-position HBM Pallas tier on the 3 Gbp index built by
 scripts/bench_index_build.py (default /tmp/nabwa_idxbuild_3000000000),
 compares every aln tuple bit-exactly against the native C++ engine on
-the same reads, and writes GBP_DEVICE_r04.json.
+the same reads, times the reference binary single-thread on the SAME
+index files (the formats are bit-compatible), and writes
+GBP_DEVICE_r05.json.
 
   NREADS=2048 python scripts/bench_gbp_device.py
 """
@@ -103,5 +105,30 @@ for i, (a, b) in enumerate(zip(res_native, res_dev2)):
 out["mismatches"] = mism
 out["ok"] = mism == 0
 print("aln tuples identical:", mism == 0)
-json.dump(out, open("GBP_DEVICE_r04.json", "w"), indent=1)
+
+# --- reference binary, single thread, on the SAME index + reads ---
+if not os.environ.get("GBP_NO_REF"):
+    import subprocess
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tests"))
+    from tests.refbin import ensure_bwa
+    bwa = ensure_bwa()
+    fq = WORK / "gbp_reads.fq"
+    FWD = b"ACGTN"
+    with open(fq, "wb") as f:
+        for r in reads:
+            # full_codes are original-orientation nt4
+            seq = bytes(FWD[c] for c in r.full_codes)
+            f.write(b"@%s\n%s\n+\n%s\n"
+                    % (r.name.encode(), seq, b"I" * r.len))
+    sai = WORK / "gbp_ref.sai"
+    sai.unlink(missing_ok=True)
+    t0 = time.time()
+    subprocess.run([str(bwa), "aln", str(WORK / "g.fa"), str(fq),
+                    "-f", str(sai)], check=True, capture_output=True)
+    dt_r = time.time() - t0
+    out["reference_reads_per_sec"] = round(N / dt_r, 1)
+    out["device_vs_reference"] = round((N / dt_d) / (N / dt_r), 2)
+    print(f"reference 1-thread: {dt_r:.2f}s ({N/dt_r:.0f} reads/s)")
+
+json.dump(out, open("GBP_DEVICE_r05.json", "w"), indent=1)
 print(json.dumps(out))
