@@ -36,8 +36,10 @@ N_READS = 32768
 READ_LEN = 100
 # large fixed device slices: every device sync costs a ~30 ms tunnel
 # round trip, so the hybrid split hands the device a few big slices
-# (one compile bucket) and overlaps the host drain with their queue
-DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "1024"))
+# (one compile bucket) and overlaps the host drain with their queue.
+# 2048 measured best of 1024/2048/4096 with the mode-3 refill kernel
+# (9.3k vs 7.8k/8.7k device-only, r5)
+DEVICE_BATCH = int(os.environ.get("NABWA_BENCH_BATCH", "2048"))
 STACK_CAP = int(os.environ.get("NABWA_BENCH_STACK", "256"))
 
 
