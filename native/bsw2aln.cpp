@@ -636,10 +636,19 @@ struct Batch {
     Opt opt0;  // t/bw hold the GLOBAL defaults here
 };
 
+// env-gated phase-A cost split (NABWA_BSW_TIMING)
+static std::atomic<long long> g_core_ns{0}, g_ext_ns{0}, g_misc_ns{0};
+static inline long long now_ns() {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+
 static bool aln1_core_pre(const Batch& B, const Opt& o, const GFm& gfm,
                           int64_t l, const uint8_t* seqA,
                           const uint8_t* seqB, bool is_rev,
                           std::vector<CHit>* merged_out) {
+    const bool tmg = std::getenv("NABWA_BSW_TIMING") != nullptr;
+    long long t0 = tmg ? now_ns() : 0;
     const uint8_t* seqs[2] = {seqA, seqB};
     std::vector<CHit> ball[2], bnar[2];
     for (int k = 0; k < 2; ++k) {
@@ -673,6 +682,8 @@ static bool aln1_core_pre(const Batch& B, const Opt& o, const GFm& gfm,
         resolve_duphits(&gfm, &ball[k], o.is_);
         resolve_duphits(&gfm, &bnar[k], o.is_);
     }
+    long long t1 = tmg ? now_ns() : 0;
+    if (tmg) g_core_ns += t1 - t0;
     chain_filter(o, l, &bnar[0], &bnar[1]);
     std::vector<CHit> out[2];
     for (int k = 0; k < 2; ++k) {
@@ -686,6 +697,7 @@ static bool aln1_core_pre(const Batch& B, const Opt& o, const GFm& gfm,
     }
     merge_hits_into(&out[0], &out[1], l, true);
     merged_out->swap(out[0]);
+    if (tmg) g_ext_ns += now_ns() - t1;
     return true;
 }
 
@@ -948,9 +960,11 @@ int64_t bsw2_aln_batch(
 
     if (timing)
         std::fprintf(stderr,
-                     "[bsw2.timing] n=%lld A %.3fs B %.3fs C %.3fs\n",
+                     "[bsw2.timing] n=%lld A %.3fs B %.3fs C %.3fs "
+                     "(core %.3fs ext %.3fs cpu-s)\n",
                      (long long)n_reads, tB0 - tA0, tC0 - tB0,
-                     clk() - tC0);
+                     clk() - tC0, g_core_ns.load() / 1e9,
+                     g_ext_ns.load() / 1e9);
     // marshal out
     int64_t htot = 0, ctot = 0;
     for (int64_t i = 0; i < n_reads; ++i) {

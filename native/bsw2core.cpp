@@ -13,8 +13,20 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <atomic>
 #include <unordered_map>
 #include <vector>
+
+// env-gated op counters (NABWA_BSW_COUNTS): cumulative across calls
+static std::atomic<long long> g_cnt_nodes{0}, g_cnt_cells{0},
+    g_cnt_occ{0}, g_cnt_hash{0}, g_cnt_expand{0};
+extern "C" void bsw2_counts(long long* out) {
+    out[0] = g_cnt_nodes.load();
+    out[1] = g_cnt_cells.load();
+    out[2] = g_cnt_occ.load();
+    out[3] = g_cnt_hash.load();
+    out[4] = g_cnt_expand.load();
+}
 
 namespace {
 
@@ -72,8 +84,44 @@ static void g_occ4_edge(const GFm& fm, uint32_t k, uint32_t cnt[4]) {
 
 static void g_two_occ4(const GFm& fm, uint32_t k, uint32_t l,
                        uint32_t cnt_k[4], uint32_t cnt_l[4]) {
-    g_occ4_edge(fm, k, cnt_k);
-    g_occ4_edge(fm, l, cnt_l);
+    // bwt_2occ4's shared-checkpoint shortcut (bwt.c:179-216): once the
+    // interval narrows, k and l usually land in the same 128-bp block —
+    // count [0..k] once and extend by the (k..l] delta instead of
+    // re-walking the block (was ~30% of the bwasw core's genome-FM time)
+    uint32_t ka = k >= fm.primary ? k - 1 : k;
+    uint32_t la = l >= fm.primary ? l - 1 : l;
+    if (k == (uint32_t)-1 || k == fm.seq_len || l == fm.seq_len
+        || (ka >> 7) != (la >> 7)) {
+        g_occ4_edge(fm, k, cnt_k);
+        g_occ4_edge(fm, l, cnt_l);
+        return;
+    }
+    const uint32_t* p = fm.bwt + (ka >> 7) * 12;
+    const uint32_t* w = p + 4;
+    int kk = (int)(ka & 127), ll = (int)(la & 127);
+    int wk = kk / 16, wl = ll / 16;
+    uint32_t c1 = 0, c2 = 0, c3 = 0;
+    for (int j = 0; j < wk; ++j)
+        word_cnt123(w[j], &c1, &c2, &c3);
+    word_cnt123(w[wk] & part_mask(kk), &c1, &c2, &c3);
+    cnt_k[0] = p[0] + (uint32_t)(kk + 1) - c1 - c2 - c3;
+    cnt_k[1] = p[1] + c1;
+    cnt_k[2] = p[2] + c2;
+    cnt_k[3] = p[3] + c3;
+    // extend to [0..ll]: bits (kk..ll] only
+    if (wl == wk) {
+        word_cnt123(w[wl] & part_mask(ll) & ~part_mask(kk),
+                    &c1, &c2, &c3);
+    } else {
+        word_cnt123(w[wk] & ~part_mask(kk), &c1, &c2, &c3);
+        for (int j = wk + 1; j < wl; ++j)
+            word_cnt123(w[j], &c1, &c2, &c3);
+        word_cnt123(w[wl] & part_mask(ll), &c1, &c2, &c3);
+    }
+    cnt_l[0] = p[0] + (uint32_t)(ll + 1) - c1 - c2 - c3;
+    cnt_l[1] = p[1] + c1;
+    cnt_l[2] = p[2] + c2;
+    cnt_l[3] = p[3] + c3;
 }
 
 // ---- target (read) bwtl occ4 via the cumulative table ----
@@ -123,6 +171,7 @@ struct CHit {
 static inline uint64_t key64(uint32_t k, uint32_t l) {
     return ((uint64_t)k << 32) | l;
 }
+
 
 // ks_heapadjust (ksort.h), max-heap wrt <, over int32 values
 static void heapadjust(int i, int n, int32_t* l) {
@@ -334,7 +383,24 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
     CHit* hits = (CHit*)hits_out;
     std::vector<CHit> b1;
 
-    Entry* u0 = new Entry{0, (uint32_t)t.n, {}};
+    // Entry pool: new/delete per DAG node was ~10% of the core (the
+    // reference uses a mempool the same way, bwtsw2_core.c:58-85);
+    // recycled entries keep their array capacity
+    std::vector<Entry*> pool;
+    auto ent_new = [&](uint32_t k, uint32_t l) -> Entry* {
+        if (!pool.empty()) {
+            Entry* e = pool.back();
+            pool.pop_back();
+            e->tk = k;
+            e->tl = l;
+            e->array.clear();
+            return e;
+        }
+        return new Entry{k, l, {}};
+    };
+    auto ent_free = [&](Entry* e) { pool.push_back(e); };
+
+    Entry* u0 = ent_new(0, (uint32_t)t.n);
     {
         Cell x;
         std::memset(&x, 0, sizeof(x));
@@ -353,6 +419,7 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
     while (!stack0.empty()) {
         Entry* v = stack0.back();
         stack0.pop_back();
+        g_cnt_nodes += 1;
         int old_n = (int)v->array.size();
         for (Cell& p : v->array) {
             if (p.ql == 0) continue;
@@ -370,8 +437,9 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
             int64_t l64 = t.L2[tj] + tcl[tj];
             if (k64 > l64) continue;
             auto& slot = chash[key64((uint32_t)k64, (uint32_t)l64)];
+            g_cnt_hash += 1;
             slot.second -= 1;
-            Entry* u = new Entry{(uint32_t)k64, (uint32_t)l64, {}};
+            Entry* u = ent_new((uint32_t)k64, (uint32_t)l64);
             std::fill(heap.begin(), heap.end(), 0);
             // csm[pj] = score_mat[tj][pj]
             int32_t csm[4];
@@ -381,6 +449,7 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
             for (int i = 0; i < (int)v->array.size(); ++i) {
                 // NOTE: v->array may grow below; re-index every access
                 if (v->array[i].ql == 0) continue;
+                g_cnt_cells += 1;
                 Cell x;
                 std::memset(&x, 0, sizeof(x));
                 x.I = x.D = MINUS_INF;
@@ -436,6 +505,8 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
                         uint32_t qck[4], qcl[4];
                         g_two_occ4(g, (uint32_t)(v->array[i].qk - 1),
                                    v->array[i].ql, qck, qcl);
+                        g_cnt_occ += 1;
+                        g_cnt_expand += 1;
                         for (int qj = 0; qj < 4; ++qj) {
                             if (v->array[i].cpos[qj] != -1) continue;
                             uint32_t nk = (uint32_t)(g.L2[qj] + qck[qj]
@@ -484,13 +555,13 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
                     stack0.push_back(w);
                     pending_list[pos - 1] = nullptr;
                 }
-                delete u;
+                ent_free(u);
             } else if (cnt) {
                 if (!u->array.empty()) {
                     pending_list.push_back(u);
                     slot.first = (int)pending_list.size();
                 } else {
-                    delete u;
+                    ent_free(u);
                 }
             } else {
                 save_narrow_hits(t, u, &b1, thr, IS);
@@ -498,9 +569,11 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
                 stack0.push_back(u);
             }
         }
-        delete v;
+        ent_free(v);
     }
     for (Entry* e : pending_list)
+        delete e;
+    for (Entry* e : pool)
         delete e;
 
     if ((int64_t)b1.size() > b1_cap) {

@@ -66,3 +66,16 @@ if "--cprofile" in sys.argv:
     print(s.getvalue())
 assert rc == 0
 print(f"bwasw: {dt:.2f}s ({N/dt:.1f} reads/s)")
+
+if os.environ.get("NABWA_BSW_COUNTS"):
+    import ctypes
+    import numpy as _np
+    from nabwa_tpu.index import native as _nm
+    _lib = _nm._load()
+    _lib.bsw2_counts.argtypes = [
+        _np.ctypeslib.ndpointer(_np.int64, flags="C_CONTIGUOUS")]
+    _lib.bsw2_counts.restype = None
+    c = _np.zeros(5, dtype=_np.int64)
+    _lib.bsw2_counts(c)
+    print(f"[bsw2.counts] nodes={c[0]} cells={c[1]} occ={c[2]} "
+          f"hash={c[3]} expand={c[4]}")
