@@ -14,12 +14,19 @@
 #include <cstdint>
 #include <cstring>
 #include <atomic>
+#include <cstdlib>
 #include <unordered_map>
 #include <vector>
 
-// env-gated op counters (NABWA_BSW_COUNTS): cumulative across calls
+// env-gated op counters (NABWA_BSW_COUNTS): cumulative across calls.
+// The atomics MUST be branch-gated: unconditional increments bounce one
+// cache line across all phase-A threads (measured 350 -> 200 reads/s)
 static std::atomic<long long> g_cnt_nodes{0}, g_cnt_cells{0},
     g_cnt_occ{0}, g_cnt_hash{0}, g_cnt_expand{0};
+static const bool g_cnt_on = []() {
+    const char* e = getenv("NABWA_BSW_COUNTS");
+    return e != nullptr && *e;
+}();
 extern "C" void bsw2_counts(long long* out) {
     out[0] = g_cnt_nodes.load();
     out[1] = g_cnt_cells.load();
@@ -171,6 +178,65 @@ struct CHit {
 static inline uint64_t key64(uint32_t k, uint32_t l) {
     return ((uint64_t)k << 32) | l;
 }
+
+// open-addressing (k,l)->{pending_pos,count} map: the std::unordered_map
+// here was ~15% of the DAG core (766k ops per 150 reads).  Sentinel ~0
+// is unreachable (l < 2^32-1 for any indexable genome).
+struct FlatMap {
+    std::vector<uint64_t> keys;
+    std::vector<std::pair<int, int>> vals;
+    size_t mask = 0, count = 0;
+    static inline uint64_t hsh(uint64_t x) {
+        x ^= x >> 33;
+        x *= 0xff51afd7ed558ccdULL;
+        x ^= x >> 33;
+        x *= 0xc4ceb9fe1a85ec53ULL;
+        x ^= x >> 33;
+        return x;
+    }
+    void reset(size_t n) {
+        size_t c = 64;
+        while (c < 2 * n) c <<= 1;
+        keys.assign(c, ~0ull);
+        vals.assign(c, {0, 0});
+        mask = c - 1;
+        count = 0;
+    }
+    std::pair<int, int>* find(uint64_t k) {
+        size_t i = hsh(k) & mask;
+        while (keys[i] != ~0ull) {
+            if (keys[i] == k) return &vals[i];
+            i = (i + 1) & mask;
+        }
+        return nullptr;
+    }
+    std::pair<int, int>& get(uint64_t k) {   // find-or-insert
+        if (2 * (count + 1) > keys.size()) {
+            std::vector<uint64_t> ok;
+            std::vector<std::pair<int, int>> ov;
+            ok.swap(keys);
+            ov.swap(vals);
+            keys.assign(ok.size() * 2, ~0ull);
+            vals.assign(ov.size() * 2, {0, 0});
+            mask = keys.size() - 1;
+            for (size_t j = 0; j < ok.size(); ++j) {
+                if (ok[j] == ~0ull) continue;
+                size_t i = hsh(ok[j]) & mask;
+                while (keys[i] != ~0ull) i = (i + 1) & mask;
+                keys[i] = ok[j];
+                vals[i] = ov[j];
+            }
+        }
+        size_t i = hsh(k) & mask;
+        while (keys[i] != ~0ull) {
+            if (keys[i] == k) return vals[i];
+            i = (i + 1) & mask;
+        }
+        keys[i] = k;
+        ++count;
+        return vals[i] = {0, 0};
+    }
+};
 
 
 // ks_heapadjust (ksort.h), max-heap wrt <, over int32 values
@@ -352,7 +418,8 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
 
     // connectivity pre-pass (bwtsw2_core.c:87-120): in-degree per
     // interval; value = {pending_pos, count}
-    std::unordered_map<uint64_t, std::pair<int, int>> chash;
+    FlatMap chash;
+    chash.reset((size_t)(2 * t.n + 16));
     {
         std::vector<std::pair<int64_t, int64_t>> st;
         st.emplace_back(0, t.n);
@@ -367,12 +434,12 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
                 int64_t nl = t.L2[j] + cl[j];
                 if (nk > nl) continue;
                 uint64_t key = key64((uint32_t)nk, (uint32_t)nl);
-                auto it = chash.find(key);
-                if (it == chash.end()) {
-                    chash[key] = {0, 1};
+                auto* it = chash.find(key);
+                if (it == nullptr) {
+                    chash.get(key) = {0, 1};
                     st.emplace_back(nk, nl);
                 } else {
-                    ++it->second.second;
+                    ++it->second;
                 }
             }
         }
@@ -419,7 +486,7 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
     while (!stack0.empty()) {
         Entry* v = stack0.back();
         stack0.pop_back();
-        g_cnt_nodes += 1;
+        if (g_cnt_on) g_cnt_nodes += 1;
         int old_n = (int)v->array.size();
         for (Cell& p : v->array) {
             if (p.ql == 0) continue;
@@ -436,8 +503,8 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
             int64_t k64 = t.L2[tj] + tck[tj] + 1;
             int64_t l64 = t.L2[tj] + tcl[tj];
             if (k64 > l64) continue;
-            auto& slot = chash[key64((uint32_t)k64, (uint32_t)l64)];
-            g_cnt_hash += 1;
+            auto& slot = chash.get(key64((uint32_t)k64, (uint32_t)l64));
+            if (g_cnt_on) g_cnt_hash += 1;
             slot.second -= 1;
             Entry* u = ent_new((uint32_t)k64, (uint32_t)l64);
             std::fill(heap.begin(), heap.end(), 0);
@@ -447,50 +514,52 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
                 csm[pj] = (tj == pj) ? a : -b;
 
             for (int i = 0; i < (int)v->array.size(); ++i) {
-                // NOTE: v->array may grow below; re-index every access
-                if (v->array[i].ql == 0) continue;
-                g_cnt_cells += 1;
+                // v->array only grows at this iteration's expansion
+                // tail, so one pointer serves every earlier access (the
+                // old per-access re-indexing defeated register
+                // allocation through the realloc-aliasing barrier)
+                Cell* vi = &v->array[i];
+                if (vi->ql == 0) continue;
+                if (g_cnt_on) g_cnt_cells += 1;
                 Cell x;
                 std::memset(&x, 0, sizeof(x));
                 x.I = x.D = MINUS_INF;
                 x.G = MINUS_INF;
                 bool is_added = false;
-                v->array[i].upos = x.upos = -1;
-                int32_t ppos = v->array[i].ppos;
+                vi->upos = x.upos = -1;
+                int32_t ppos = vi->ppos;
                 if (ppos >= 0) {
                     int32_t par_upos = v->array[ppos].upos;
                     const Cell* c1 = par_upos >= 0 ? &u->array[par_upos]
                                                    : nullptr;
-                    if (fill_cell(q, r, qr, csm[v->array[i].pj], &x, c1,
-                                  &v->array[i], &v->array[ppos]) > 0) {
+                    if (fill_cell(q, r, qr, csm[vi->pj], &x, c1,
+                                  vi, &v->array[ppos]) > 0) {
                         x.ppos = par_upos;
-                        v->array[i].upos = (int32_t)u->array.size();
+                        vi->upos = (int32_t)u->array.size();
                         u->array.push_back(x);
                         if (x.ppos >= 0)
-                            u->array[x.ppos].cpos[v->array[i].pj] =
-                                v->array[i].upos;
+                            u->array[x.ppos].cpos[vi->pj] = vi->upos;
                         is_added = true;
                     }
                 } else {
-                    const Cell& p = v->array[i];
-                    x.D = (p.D > p.G - q) ? p.D - r : p.G - qr;
+                    x.D = (vi->D > vi->G - q) ? vi->D - r : vi->G - qr;
                     if (x.D > 0) {
                         x.G = x.D;
                         x.I = MINUS_INF;
                         x.ppos = -1;
-                        v->array[i].upos = (int32_t)u->array.size();
+                        vi->upos = (int32_t)u->array.size();
                         u->array.push_back(x);
                         is_added = true;
                     }
                 }
                 if (is_added) {
-                    Cell& xu = u->array[v->array[i].upos];
+                    Cell& xu = u->array[vi->upos];
                     xu.cpos[0] = xu.cpos[1] = xu.cpos[2] = xu.cpos[3] = -1;
-                    xu.pj = v->array[i].pj;
-                    xu.qk = v->array[i].qk;
-                    xu.ql = v->array[i].ql;
-                    xu.qlen = v->array[i].qlen;
-                    xu.tlen = v->array[i].tlen + 1;
+                    xu.pj = vi->pj;
+                    xu.qk = vi->qk;
+                    xu.ql = vi->ql;
+                    xu.qlen = vi->qlen;
+                    xu.tlen = vi->tlen + 1;
                     x = xu;
                     if (x.G > -heap[0]) {
                         heap[0] = -x.G;
@@ -500,37 +569,41 @@ int bsw2_core_u32(const int64_t* t_sa, const int64_t* t_l2,
                 if ((x.G > qr && x.G >= -heap[0]) || i < old_n) {
                     bool has_gap = false;
                     for (int d = 0; d < 4; ++d)
-                        if (v->array[i].cpos[d] == -1) has_gap = true;
+                        if (vi->cpos[d] == -1) has_gap = true;
                     if (has_gap) {
                         uint32_t qck[4], qcl[4];
-                        g_two_occ4(g, (uint32_t)(v->array[i].qk - 1),
-                                   v->array[i].ql, qck, qcl);
-                        g_cnt_occ += 1;
-                        g_cnt_expand += 1;
+                        g_two_occ4(g, (uint32_t)(vi->qk - 1),
+                                   vi->ql, qck, qcl);
+                        if (g_cnt_on) {
+                            g_cnt_occ += 1;
+                            g_cnt_expand += 1;
+                        }
+                        Cell proto;
+                        std::memset(&proto, 0, sizeof(proto));
+                        proto.G = proto.I = proto.D = MINUS_INF;
+                        proto.qlen = vi->qlen + 1;
+                        proto.ppos = i;
+                        proto.tlen = vi->tlen;
+                        proto.upos = -1;
+                        proto.cpos[0] = proto.cpos[1] = proto.cpos[2] =
+                            proto.cpos[3] = -1;
                         for (int qj = 0; qj < 4; ++qj) {
-                            if (v->array[i].cpos[qj] != -1) continue;
+                            if (vi->cpos[qj] != -1) continue;
                             uint32_t nk = (uint32_t)(g.L2[qj] + qck[qj]
                                                      + 1);
                             uint32_t nl = g.L2[qj] + qcl[qj];
                             if (nk > nl) {
-                                v->array[i].cpos[qj] = -2;
+                                vi->cpos[qj] = -2;
                                 continue;
                             }
-                            Cell y;
-                            std::memset(&y, 0, sizeof(y));
-                            y.G = y.I = y.D = MINUS_INF;
+                            Cell y = proto;
                             y.qk = nk;
                             y.ql = nl;
                             y.pj = qj;
-                            y.qlen = v->array[i].qlen + 1;
-                            y.ppos = i;
-                            y.tlen = v->array[i].tlen;
-                            y.upos = -1;
-                            y.cpos[0] = y.cpos[1] = y.cpos[2] =
-                                y.cpos[3] = -1;
-                            v->array[i].cpos[qj] =
-                                (int32_t)v->array.size();
+                            vi->cpos[qj] = (int32_t)v->array.size();
                             v->array.push_back(y);
+                            // push may realloc: refresh the hoisted ptr
+                            vi = &v->array[i];
                         }
                     }
                 }
