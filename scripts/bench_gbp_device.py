@@ -121,14 +121,19 @@ if not os.environ.get("GBP_NO_REF"):
             f.write(b"@%s\n%s\n+\n%s\n"
                     % (r.name.encode(), seq, b"I" * r.len))
     sai = WORK / "gbp_ref.sai"
-    sai.unlink(missing_ok=True)
-    t0 = time.time()
-    subprocess.run([str(bwa), "aln", str(WORK / "g.fa"), str(fq),
-                    "-f", str(sai)], check=True, capture_output=True)
-    dt_r = time.time() - t0
-    out["reference_reads_per_sec"] = round(N / dt_r, 1)
+    # twice: the first run pays the 2.2 GB cold index read; the warm run
+    # is the honest per-read rate (the device number likewise excludes
+    # its one-time table upload, reported as device_first_run_s)
+    for leg in ("cold", "warm"):
+        sai.unlink(missing_ok=True)
+        t0 = time.time()
+        subprocess.run([str(bwa), "aln", str(WORK / "g.fa"), str(fq),
+                        "-f", str(sai)], check=True, capture_output=True)
+        dt_r = time.time() - t0
+        out[f"reference_reads_per_sec_{leg}"] = round(N / dt_r, 1)
+        print(f"reference 1-thread {leg}: {dt_r:.2f}s "
+              f"({N/dt_r:.0f} reads/s)")
     out["device_vs_reference"] = round((N / dt_d) / (N / dt_r), 2)
-    print(f"reference 1-thread: {dt_r:.2f}s ({N/dt_r:.0f} reads/s)")
 
 json.dump(out, open("GBP_DEVICE_r05.json", "w"), indent=1)
 print(json.dumps(out))
