@@ -188,7 +188,45 @@ class BgzfWriter:
 
 
 def bgzf_decompress(data):
-    """Decompress a BGZF/gzip byte stream fully (multi-member aware)."""
+    """Decompress a BGZF/gzip byte stream fully (multi-member aware).
+
+    BGZF members carry their compressed size in the BC extra subfield
+    (SAM spec 4.1), so the fast path walks the block table directly and
+    decompresses exact slices on a small thread pool (zlib releases the
+    GIL).  The old decompressobj loop re-sliced the whole remaining
+    buffer per 64 KB member — O(n^2) memcpy, ~1 s on a 200k-record
+    input.  Non-BGZF gzip falls back to the streaming loop."""
+    n = len(data)
+    blocks = []
+    pos = 0
+    while pos + 18 <= n:
+        if data[pos:pos + 4] != b"\x1f\x8b\x08\x04":
+            blocks = None
+            break
+        (xlen,) = struct.unpack_from("<H", data, pos + 10)
+        bsize = None
+        q, qend = pos + 12, pos + 12 + xlen
+        while q + 4 <= qend:
+            si1, si2, slen = data[q], data[q + 1], \
+                struct.unpack_from("<H", data, q + 2)[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack_from("<H", data, q + 4)[0] + 1
+                break
+            q += 4 + slen
+        if bsize is None or pos + bsize > n:
+            blocks = None
+            break
+        blocks.append((pos, bsize))
+        pos += bsize
+    if blocks is not None and pos == n:
+        def one(b):
+            s, ln = b
+            return zlib.decompress(data[s:s + ln], 31)
+        if len(blocks) > 64:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(4) as ex:
+                return b"".join(ex.map(one, blocks, chunksize=32))
+        return b"".join(one(b) for b in blocks)
     out = bytearray()
     pos = 0
     while pos < len(data):
