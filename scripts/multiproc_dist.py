@@ -9,7 +9,7 @@ ZeroMQ worker fan-out + PUB/SUB isize broadcast (bam2bam.c:1462-1715,
 Coordinator mode (no env): spawns N workers of this file, collects their
 shard outputs, and byte-compares the concatenation + the psum'd
 histogram against a single-process run of the same step.  Writes
-MULTIPROC_r04.json at the repo root.
+MULTIPROC_r05.json at the repo root.
 
   N_PROCS=2 python scripts/multiproc_dist.py
 """
@@ -211,7 +211,7 @@ def coordinator_main():
         "ok": bool(ok),
     }
     print(json.dumps(res))
-    (ROOT / "MULTIPROC_r04.json").write_text(json.dumps(res, indent=1))
+    (ROOT / "MULTIPROC_r05.json").write_text(json.dumps(res, indent=1))
     if not ok:
         raise SystemExit(1)
 
