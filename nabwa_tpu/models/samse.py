@@ -150,6 +150,7 @@ def cal_pac_pos(engine, states, max_mm, fnr):
     Reverse-strand primary hits and multis resolve on the forward BWT;
     forward-strand ones on the reverse BWT with the seq_len-(sa+len) flip."""
     rev = engine.index.rev
+    _md_cache = {}
     jobs_f, jobs_r = [], []  # (state_idx, 'p'|('m',j), sa_row)
     for si, s in enumerate(states):
         matched = s.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT)
@@ -184,8 +185,16 @@ def cal_pac_pos(engine, states, max_mm, fnr):
 
     for s in states:
         if s.type in (BWA_TYPE_UNIQUE, BWA_TYPE_REPEAT):
-            max_diff = cal_maxdiff(s.len, BWA_AVG_ERR, fnr) if fnr > 0.0 \
-                else max_mm
+            if fnr > 0.0:
+                # cal_maxdiff is an iterative series per length — cache
+                # per distinct read length (one or two values per chunk;
+                # the per-state call was ~0.6 s per 200k records)
+                max_diff = _md_cache.get(s.len)
+                if max_diff is None:
+                    max_diff = cal_maxdiff(s.len, BWA_AVG_ERR, fnr)
+                    _md_cache[s.len] = max_diff
+            else:
+                max_diff = max_mm
             s.seQ = s.mapQ = approx_mapQ(s, max_diff)
 
 
