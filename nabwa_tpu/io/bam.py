@@ -155,14 +155,51 @@ BGZF_EOF = bytes.fromhex(
 
 
 class BgzfWriter:
-    """BGZF writer at compression level 2 (bgzf.c via 'w2')."""
+    """BGZF writer at compression level 2 (bgzf.c via 'w2').
+
+    Compression runs on a dedicated thread (async=True, the default):
+    write() only appends to a buffer and hands full 64 KB blocks to the
+    compressor queue — zlib releases the GIL, so the deflate work
+    overlaps the caller's compute instead of serializing inside e.g.
+    bam2bam's ordered writer lock.  Block boundaries (and therefore the
+    output bytes) are identical to the synchronous path."""
 
     MAX_BLOCK = 0x10000 - 256  # conservative input per block
 
-    def __init__(self, fileobj, level=2):
+    def __init__(self, fileobj, level=2, use_async=True):
         self.f = fileobj
         self.level = level
         self.buf = bytearray()
+        self._q = None
+        if use_async:
+            import queue
+            import threading
+            self._q = queue.Queue(maxsize=64)
+            self._err = []
+            self._t = threading.Thread(target=self._pump, daemon=True)
+            self._t.start()
+
+    def _pump(self):
+        try:
+            while True:
+                chunk = self._q.get()
+                if chunk is None:
+                    return
+                self.f.write(self._deflate(chunk))
+        except Exception as e:
+            self._err.append(e)
+            while self._q.get() is not None:
+                pass
+
+    def _deflate(self, chunk):
+        co = zlib.compressobj(self.level, zlib.DEFLATED, -15, 8)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = len(cdata) + 25 + 1  # header 12 + xtra 6 + crc 4 + isize 4
+        xlen = 6
+        hdr = struct.pack("<4BI2B2H2BH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF,
+                          xlen, ord("B"), ord("C"), 2, bsize - 1)
+        crc = zlib.crc32(chunk) & 0xFFFFFFFF
+        return hdr + cdata + struct.pack("<II", crc, len(chunk))
 
     def write(self, data):
         self.buf += data
@@ -172,18 +209,19 @@ class BgzfWriter:
     def _flush_block(self, n):
         chunk = bytes(self.buf[:n])
         del self.buf[:n]
-        co = zlib.compressobj(self.level, zlib.DEFLATED, -15, 8)
-        cdata = co.compress(chunk) + co.flush()
-        bsize = len(cdata) + 25 + 1  # header 12 + xtra 6 + crc 4 + isize 4
-        xlen = 6
-        hdr = struct.pack("<4BI2B2H2BH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF,
-                          xlen, ord("B"), ord("C"), 2, bsize - 1)
-        crc = zlib.crc32(chunk) & 0xFFFFFFFF
-        self.f.write(hdr + cdata + struct.pack("<II", crc, len(chunk)))
+        if self._q is not None:
+            self._q.put(chunk)
+        else:
+            self.f.write(self._deflate(chunk))
 
     def close(self):
         while self.buf:
             self._flush_block(min(len(self.buf), self.MAX_BLOCK))
+        if self._q is not None:
+            self._q.put(None)
+            self._t.join()
+            if self._err:
+                raise self._err[0]
         self.f.write(BGZF_EOF)
 
 

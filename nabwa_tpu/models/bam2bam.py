@@ -233,26 +233,32 @@ def read_bam_pairs(reader, allow_broken=False, drop_aligned=False,
         yield p
 
 
+def _tag_unwanted(a, b):
+    return ((a in b"ASCN" and b == 77)            # ?M
+            or (a == 77 and b == 68)              # MD
+            or (a == 88 and chr(b) in "01ACGMNOT")  # X?
+            or (a == 89 and b == 81))             # YQ
+
+
 def erase_unwanted_tags(rec: BamRec):
     """erase_unwanted_tags (bwaseqio.c:413-464): drop AM NM CM SM MD X0 X1
-    XA XC XG XM XN XO XT YQ."""
+    XA XC XG XM XN XO XT YQ.  Scan-first: typical unaligned input (RG/BC
+    only) strips nothing, so the common case does no copies at all."""
     d = rec.data
     p = rec.aux_off()
-    out = bytearray(d[:p])
     n = len(d)
     while p < n:
-        keep = True
-        a, b = d[p], d[p + 1]
-        if a in b"ASCN" and b == ord("M"):
-            keep = False
-        elif a == ord("M") and b == ord("D"):
-            keep = False
-        elif a == ord("X") and chr(b) in "01ACGMNOT":
-            keep = False
-        elif a == ord("Y") and b == ord("Q"):
-            keep = False
+        if _tag_unwanted(d[p], d[p + 1]):
+            break
+        p = bamio._skip_tag(d, p)
+    else:
+        pass
+    if p >= n:
+        return
+    out = bytearray(d[:p])
+    while p < n:
         q = bamio._skip_tag(d, p)
-        if keep:
+        if not _tag_unwanted(d[p], d[p + 1]):
             out += d[p:q]
         p = q
     rec.data = out
@@ -1097,14 +1103,7 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     timers = StageTimers("bam2bam")
     telemetry = Counters()
 
-    with timers("read input"):
-        pairs = list(read_bam_pairs(reader, allow_broken=broken_input,
-                                    drop_aligned=drop_aligned,
-                                    sai_streams=sai_streams))
-    for recno, p in enumerate(pairs):
-        p.recno = recno
-    idx_chunks = [list(range(i, min(i + chunk_size, len(pairs))))
-                  for i in range(0, len(pairs), chunk_size)]
+    pairs = []
 
     coordinator = None
     if port is not None:
@@ -1114,13 +1113,33 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
             "prefix": prefix or "",
         })
 
-    # ---- PASS 1: align (device DFS), chunk-distributed ----
-    chunks1 = [{"items": [(pi, pairs[pi].kind,
-                           pairs[pi].recs[:pairs[pi].kind],
-                           unique(pairs[pi], skip_duplicates),
-                           pairs[pi].side)
-                          for pi in idxs]}
-               for idxs in idx_chunks]
+    # ---- PASS 1: align (device DFS), chunk-distributed; the input BAM
+    # is parsed by a producer thread and chunks stream into the
+    # scheduler as they fill, so the (GIL-bound) record reader overlaps
+    # the workers' native compute — the reference's mux likewise never
+    # waits for the whole input (bam2bam.c:1462-1530) ----
+    chunks1 = []
+
+    def produce_chunks(append):
+        buf = []
+
+        def flush():
+            append({"items": [(pi, pairs[pi].kind,
+                               pairs[pi].recs[:pairs[pi].kind],
+                               unique(pairs[pi], skip_duplicates),
+                               pairs[pi].side)
+                              for pi in buf]})
+            buf.clear()
+        for p in read_bam_pairs(reader, allow_broken=broken_input,
+                                drop_aligned=drop_aligned,
+                                sai_streams=sai_streams):
+            p.recno = len(pairs)
+            pairs.append(p)
+            buf.append(p.recno)
+            if len(buf) >= chunk_size:
+                flush()
+        if buf:
+            flush()
 
     def work_align(cid, payload):
         return pass1_work(engine, gopt, payload)
@@ -1177,13 +1196,16 @@ def bam2bam(engine, in_bam, out_bam, gopt, popt, rng, argv=None,
     # worker-kill tests keep a fast redelivery turnaround.
     import os as _os
     lease_s = float(_os.environ.get("NABWA_LEASE_S", "90"))
-    with timers("pass 1 align"):
+    with timers("read + pass 1 align"):
         _, sched1 = run_distributed(chunks1, work_align,
                                     n_workers=n_workers,
                                     lease_timeout=lease_s,
                                     writer=apply_align,
                                     worker_wrapper=worker_wrapper,
-                                    coordinator=coordinator, phase=1)
+                                    coordinator=coordinator, phase=1,
+                                    producer=produce_chunks)
+    idx_chunks = [list(range(i, min(i + chunk_size, len(pairs))))
+                  for i in range(0, len(pairs), chunk_size)]
     telemetry.bump("pass1_resends", sched1.total_resends)
     telemetry.bump("pass1_dups", sched1.total_dups)
 

@@ -35,8 +35,14 @@ class ChunkScheduler:
         """lease_timeout mirrors the worker idle timeout (bam2bam.c:10);
         window bounds in-flight chunks like the ring size.  max_attempts
         caps redelivery of a deterministically failing chunk — the pass
-        aborts instead of re-issuing it forever."""
-        self.n_chunks = n_chunks
+        aborts instead of re-issuing it forever.
+
+        n_chunks=None starts in STREAMING mode: chunks appear via
+        append() while workers run (the reference's mux drains records
+        as the reader produces them, bam2bam.c:1462-1530) and
+        close_input() marks the end of input."""
+        self.input_open = n_chunks is None
+        self.n_chunks = 0 if n_chunks is None else n_chunks
         self.lease_timeout = lease_timeout
         self.window = window
         self.max_attempts = max_attempts
@@ -111,15 +117,25 @@ class ChunkScheduler:
                 self.next_output += 1
         return out
 
+    def append(self, n=1):
+        """Streaming mode: n more chunks are now available."""
+        with self.lock:
+            self.n_chunks += n
+
+    def close_input(self):
+        with self.lock:
+            self.input_open = False
+
     @property
     def finished(self):
         with self.lock:
-            return self.next_output == self.n_chunks
+            return (not self.input_open
+                    and self.next_output == self.n_chunks)
 
 
 def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
                     writer=None, worker_wrapper=None, coordinator=None,
-                    phase=0, ctx=None, max_attempts=16):
+                    phase=0, ctx=None, max_attempts=16, producer=None):
     """Drive chunks through worker threads (each typically owning a device
     or remote host) with redelivery; returns ordered results.
 
@@ -131,10 +147,16 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
     deduped and released through the same ordered writer); phase/ctx tag
     and accompany the served chunks.  n_workers=0 with a coordinator
     means all compute is remote.
+
+    producer: optional callable(append) run on its own thread; it
+    appends payloads to `chunks` via append(payload) while the workers
+    drain them (input overlapped with compute).  chunks then starts as
+    an empty list owned by this call.
     """
-    sched = ChunkScheduler(len(chunks), lease_timeout=lease_timeout,
+    sched = ChunkScheduler(None if producer else len(chunks),
+                           lease_timeout=lease_timeout,
                            max_attempts=max_attempts)
-    results = [None] * len(chunks)
+    results = []
     # Writer calls must be serialized AND ordered: release_ready() pops in
     # order under the scheduler lock, but without this lock worker A could
     # pop chunk 0, get preempted, and worker B pop+write chunk 1 first.
@@ -146,7 +168,8 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
     def drain_to_writer():
         with writer_lock:
             for oid, r in sched.release_ready():
-                results[oid] = r
+                assert oid == len(results)   # strict order by design
+                results.append(r)
                 if writer:
                     writer(oid, r)
 
@@ -186,6 +209,21 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
                 drain_to_writer()
 
         coordinator.begin_pass(phase, sched, chunks, accept_remote, ctx)
+    prod_err = []
+    prod_thread = None
+    if producer is not None:
+        def run_producer():
+            try:
+                def append(payload):
+                    chunks.append(payload)
+                    sched.append()
+                producer(append)
+            except BaseException as e:   # workers must not wait forever
+                prod_err.append(e)
+            finally:
+                sched.close_input()
+        prod_thread = threading.Thread(target=run_producer)
+        prod_thread.start()
     try:
         threads = [threading.Thread(target=worker, args=(w,))
                    for w in range(n_workers)]
@@ -193,6 +231,10 @@ def run_distributed(chunks, work_fn, n_workers=4, lease_timeout=5.0,
             t.start()
         for t in threads:
             t.join()
+        if prod_thread is not None:
+            prod_thread.join()
+        if prod_err:
+            raise prod_err[0]
         while (coordinator is not None and not sched.finished
                and sched.poisoned is None):
             time.sleep(0.02)
