@@ -5,6 +5,8 @@ import random
 import threading
 import time
 
+import pytest
+
 from nabwa_tpu.parallel.scheduler import ChunkScheduler, run_distributed
 
 
@@ -115,3 +117,49 @@ def test_fail_backoff_delays_reissue():
     assert sched.acquire(now=now + 0.01) == 1  # fresh chunk still flows
     assert sched.acquire(now=now + 0.01) is None
     assert sched.acquire(now=now + 0.06) == 0
+
+
+def test_streaming_producer_ordered_results():
+    """Streaming mode (bam2bam's overlapped input read): chunks appear
+    while workers run; results release strictly in order; a transient
+    worker failure still redelivers."""
+    import threading
+
+    fail_once = {"done": False}
+
+    def work(cid, payload):
+        if cid == 7 and not fail_once["done"]:
+            fail_once["done"] = True
+            raise ValueError("transient")
+        return payload * 10
+
+    applied = []
+
+    def writer(oid, r):
+        applied.append((oid, r))
+
+    def producer(append):
+        for i in range(20):
+            append(i)
+            if i % 5 == 0:
+                time.sleep(0.02)     # workers outrun the producer
+
+    results, sched = run_distributed(
+        [], work, n_workers=3, lease_timeout=60.0, writer=writer,
+        producer=producer)
+    assert results == [i * 10 for i in range(20)]
+    assert applied == [(i, i * 10) for i in range(20)]
+    assert sched.finished
+
+
+def test_streaming_producer_error_propagates():
+    def work(cid, payload):
+        return payload
+
+    def producer(append):
+        append(1)
+        raise RuntimeError("reader died")
+
+    with pytest.raises(RuntimeError, match="reader died"):
+        run_distributed([], work, n_workers=2, lease_timeout=60.0,
+                        producer=producer)
