@@ -88,7 +88,17 @@ def build_index(fa_path, prefix=None, sa_intv=SA_INTERVAL, color=False):
     if bns.l_pac > 0xFFFFFFFF:
         raise ValueError("references over 4GB not supported (bwtint_t is "
                          "uint32, bwtindex.c:103-105)")
-    rcodes = packmod.reverse_pac(prefix)
+    big = bns.l_pac > BWT_INC_THRESHOLD
+    if big:
+        # big genomes: swap the anonymous 1 B/char codes for the
+        # read_pac memmap cache, and never hold both strands' codes at
+        # once — at 3 Gbp the old flow kept 6 GB of anonymous code
+        # arrays alive through both strand builds (the reference builds
+        # human in ~2.5 GB, bwa.txt:374-376)
+        del codes
+        codes = packmod.read_pac(str(prefix) + ".pac")
     _build_one(codes, prefix, ".bwt", ".sa", sa_intv)
+    del codes
+    rcodes = packmod.reverse_pac(prefix, as_memmap=big)
     _build_one(rcodes, prefix, ".rbwt", ".rsa", sa_intv)
     return bns

@@ -215,14 +215,20 @@ def read_pac(path):
         return unpack_pac(raw[:-1], l_pac)
 
 
-def reverse_pac(prefix):
+def reverse_pac(prefix, as_memmap=False):
     """bwa_pac_rev_core equivalent (.pac → .rpac, reversed NOT complemented,
-    bwtmisc.c:168-193)."""
+    bwtmisc.c:168-193).  as_memmap=True returns the reversed codes as a
+    read-only memmap of the .rpac.codes cache instead of a 1 B/char
+    anonymous array — big-genome builds keep only file-backed (evictable)
+    pages resident."""
     codes = read_pac(str(prefix) + ".pac")
     rcodes = codes[::-1].copy()
     # The reference writes floor(l_pac/4)+1 packed bytes + ct byte
     # (bwtmisc.c:175,188-190) — same layout as write_pac produces.
     write_pac(str(prefix) + ".rpac", rcodes)
+    if as_memmap:
+        del rcodes, codes
+        return read_pac(str(prefix) + ".rpac")
     return rcodes
 
 
