@@ -75,6 +75,24 @@ def test_engine_hbm_tier_default_bb(small_index, monkeypatch):
     assert eng.PALLAS_BB == 128
 
 
+@pytest.mark.parametrize("mode", ["0", "1"])
+def test_engine_hbm_fetch_modes(small_index, monkeypatch, mode):
+    """Fetch modes 0 (legacy guarded issue + sequential drain) and 1
+    (unconditional issue + unrolled drain) must stay bit-identical to
+    the jnp engine; modes 2-3 clamp to 1 under interpret and are
+    covered on hardware by scripts/ab_device.py."""
+    idx, reads = small_index
+    monkeypatch.setenv("NABWA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("NABWA_PALLAS_BB", "8")
+    monkeypatch.setenv("NABWA_PALLAS_FETCH2", mode)
+    monkeypatch.setattr(AlnEngine, "PALLAS_MAX_TABLE", 0)
+
+    _, ref = _results(idx, reads, use_pallas=False)
+    eng, pal = _results(idx, reads, use_pallas=True)
+    assert eng._pal_hbm and eng._pal_fetch2 == int(mode)
+    assert ref == pal
+
+
 def test_engine_vmem_tier(small_index, monkeypatch):
     """Default thresholds: 30 kbp fits VMEM; table-resident tier (MXU
     one-hot path for small tables) must also match the jnp engine."""
