@@ -338,6 +338,13 @@ class AlnEngine:
                 n_dev = plan_device_share(
                     len(reads), device_batch, dev_rate, host_rate,
                     _os.cpu_count() or 1, self.DEV_LAT)
+                env_share = _os.environ.get("NABWA_DEV_SHARE")
+                if env_share:
+                    # measurement override: pin the device share to a
+                    # fixed fraction (policy experiments on hardware)
+                    n_dev = min(len(reads),
+                                (int(float(env_share) * len(reads))
+                                 // device_batch) * device_batch)
                 handles = []
                 t_disp0 = _time.time()
                 for start in range(0, n_dev, device_batch):
