@@ -50,6 +50,17 @@ static inline void word_cnt123(uint32_t v, uint32_t* c1, uint32_t* c2,
     *c3 += (uint32_t)__builtin_popcount(hi & lo);
 }
 
+// two adjacent words per popcountll (same trick as dfsgap.cpp:83-121)
+static inline void word_cnt123_pair(uint32_t va, uint32_t vb, uint32_t* c1,
+                                    uint32_t* c2, uint32_t* c3) {
+    uint64_t v = ((uint64_t)va << 32) | vb;
+    uint64_t lo = v & 0x5555555555555555ull,
+             hi = (v >> 1) & 0x5555555555555555ull;
+    *c1 += (uint32_t)__builtin_popcountll(lo & ~hi);
+    *c2 += (uint32_t)__builtin_popcountll(hi & ~lo);
+    *c3 += (uint32_t)__builtin_popcountll(hi & lo);
+}
+
 static inline uint32_t part_mask(int kk) {
     return ~((1u << ((15 - (kk & 15)) << 1)) - 1u);
 }
@@ -68,7 +79,10 @@ static void g_occ4_raw(const GFm& fm, uint32_t k, uint32_t cnt[4]) {
     int kk = (int)(k % 128);
     int wi = kk / 16;
     uint32_t c1 = 0, c2 = 0, c3 = 0;
-    for (int j = 0; j < wi; ++j)
+    int j = 0;
+    for (; j + 1 < wi; j += 2)
+        word_cnt123_pair(w[j], w[j + 1], &c1, &c2, &c3);
+    for (; j < wi; ++j)
         word_cnt123(w[j], &c1, &c2, &c3);
     word_cnt123(w[wi] & part_mask(kk), &c1, &c2, &c3);
     cnt[0] = p[0] + (uint32_t)(kk + 1) - c1 - c2 - c3;
